@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver) — measures engine throughput, not driver
+materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "filter_project_pushdown",
+    "topk_orders",
+    "join_broadcast_part_qty",
+    "join_range_shipments_90d",
+    "join_asof_purchase_signup",
+    "window_rank_top3_orders",
+    "window_moving_avg",
+    "rollup_region_nation",
+    "session_window_batch",
+    "agg_approx_count_distinct",
+    # LLM-pipeline headliners (present from the modules that define them)
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+    "text_quality_scores",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from csv_to_parquet_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # JVM/codegen warm-up outside the timed region
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,115 @@
+"""Configuration with reference-parity precedence.
+
+defaults → YAML config file → CLI flag overrides, input required
+(reference config/config.go:22-85). Notable parity details:
+
+- the delimiter is truncated to its FIRST character — the reference
+  takes ``Delimiter[0]`` as a byte (converter/converter.go:127-130),
+  silently ignoring the rest; Spark's ``sep`` would accept multi-char,
+  so we truncate here.
+- ``--keep`` inverts ``delete_original`` (config/config.go:36,64-66).
+- ``batch_size`` exists for CLI parity but, like the reference (it only
+  drives a debug-log cadence, converter/converter.go:365-367), does not
+  affect the written row groups (always 128 MB).
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, fields
+
+try:
+    import yaml  # PyYAML — optional; config files are optional too
+except ImportError:
+    yaml = None
+
+
+@dataclass
+class Settings:
+    input: str = ""
+    output: str = ""  # empty → alongside each input (converter.go:107-114)
+    delimiter: str = ","
+    batch_size: int = 10000  # log cadence only (config/config.go:27)
+    sample_rows: int = 100  # inference sample (config/config.go:29)
+    delete_original: bool = False
+    log_level: str = "info"
+    # engine extensions beyond the reference surface:
+    single_file: bool = True  # 1 CSV → 1 parquet file (reference layout)
+    enhanced_dates: bool = False  # type probed dates for real (SURVEY §7 M2)
+
+    def __post_init__(self) -> None:
+        if self.delimiter:
+            self.delimiter = self.delimiter[0]  # first byte only
+
+
+def load_settings(argv: list[str] | None = None) -> Settings:
+    parser = argparse.ArgumentParser(
+        prog="csv-to-parquet-spark",
+        description="Convert CSV files to Parquet (Spark engine).",
+    )
+    parser.add_argument("--config", "-c", help="YAML config file")
+    parser.add_argument("--input", "-i", help="input CSV file or directory")
+    parser.add_argument("--output", "-o", help="output directory")
+    parser.add_argument("--delimiter", "-d", help="CSV delimiter (first char used)")
+    parser.add_argument("--batch-size", type=int, dest="batch_size")
+    parser.add_argument("--sample-rows", type=int, dest="sample_rows")
+    parser.add_argument(
+        "--delete-original", action="store_true", default=None, dest="delete_original"
+    )
+    parser.add_argument(
+        "--keep",
+        action="store_true",
+        default=None,
+        help="keep original files (overrides delete_original)",
+    )
+    parser.add_argument("--log-level", dest="log_level")
+    parser.add_argument(
+        "--multi-file",
+        action="store_true",
+        default=None,
+        help="write native Spark directory layout instead of one parquet file",
+    )
+    parser.add_argument(
+        "--enhanced-dates",
+        action="store_true",
+        default=None,
+        help="infer DATE/TIMESTAMP types instead of storing dates as strings",
+    )
+    args = parser.parse_args(argv)
+
+    cfg = Settings()
+    if args.config:
+        if yaml is None:
+            raise RuntimeError("PyYAML not available but --config was given")
+        with open(args.config, encoding="utf-8") as f:
+            doc = yaml.safe_load(f) or {}
+        valid = {f.name for f in fields(Settings)}
+        for k, v in doc.items():
+            if k in valid:
+                setattr(cfg, k, v)
+
+    # CLI overrides (pflag precedence, config/config.go:58-78)
+    for name in (
+        "input",
+        "output",
+        "delimiter",
+        "batch_size",
+        "sample_rows",
+        "delete_original",
+        "log_level",
+    ):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(cfg, name, v)
+    if args.keep:
+        cfg.delete_original = False
+    if args.multi_file:
+        cfg.single_file = False
+    if args.enhanced_dates:
+        cfg.enhanced_dates = True
+    if cfg.delimiter:
+        cfg.delimiter = cfg.delimiter[0]
+
+    if not cfg.input:
+        parser.error("input is required (config/config.go:80-82)")
+    return cfg

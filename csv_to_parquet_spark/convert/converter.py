@@ -1,0 +1,264 @@
+"""The conversion engine: CSV → Parquet with reference semantics.
+
+Maps the reference's per-file pipeline (converter/converter.go:116-182)
+onto Spark:
+
+  discover inputs (S1)  → file / dir glob *.csv
+  pass 1 (I1)           → sample-N inference, exact lattice (inference.py)
+  header cleaning (P1)  → clean_headers (headers.py)
+  pass 2 (T1/T2/F1/K1)  → all-string scan → try_cast projection → parquet
+  verify (V1)           → output exists and is non-empty
+  delete original (D1)  → optional, --keep inverts
+  summary (A1)          → Result fold with byte savings
+
+Like the reference, every file is read twice (sample pass + full pass,
+converter/converter.go:133 vs :328) and each file gets its OWN inferred
+schema. Files convert concurrently — the reference caps 4 goroutines
+(converter/converter.go:91); we submit up to 4 concurrent Spark *jobs*
+from a thread pool, and Spark additionally parallelizes each job across
+all cores/executors by file splits. At cluster scale a single huge CSV
+still converts as a zero-shuffle scan→project→write pipelined across
+executors, O(partition) memory.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import glob
+import logging
+import os
+import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from csv_to_parquet_spark.convert.headers import clean_headers
+from csv_to_parquet_spark.convert.inference import (
+    InferredColumn,
+    cast_column,
+    format_schema,
+    infer_column_kinds,
+)
+
+log = logging.getLogger("csv_to_parquet_spark")
+
+MAX_CONCURRENT_FILES = 4  # reference semaphore cap, converter/converter.go:91
+ROW_GROUP_BYTES = 128 * 1024 * 1024  # converter/converter.go:325
+
+
+@dataclass
+class Result:
+    """Per-file outcome (reference Result, converter/converter.go:21-27)."""
+
+    input: str
+    output: str = ""
+    input_bytes: int = 0
+    output_bytes: int = 0
+    rows: int = -1
+    error: str = ""
+    seconds: float = 0.0
+
+    @property
+    def ok(self) -> bool:
+        return self.error == ""
+
+
+@dataclass
+class Summary:
+    converted: int = 0
+    failed: int = 0
+    input_bytes: int = 0
+    output_bytes: int = 0
+    results: list[Result] = field(default_factory=list)
+
+    @property
+    def mb_saved(self) -> float:
+        return (self.input_bytes - self.output_bytes) / (1024 * 1024)
+
+
+def discover_inputs(input_path: str) -> list[str]:
+    """File vs directory-glob discovery (converter/converter.go:66-88)."""
+    if os.path.isdir(input_path):
+        return sorted(glob.glob(os.path.join(input_path, "*.csv")))
+    return [input_path]
+
+
+def read_raw_header(path: str, delimiter: str) -> list[str]:
+    """Read the raw header row driver-side (tiny read). Keeps the BOM so
+    clean_header strips it exactly like the reference (converter.go:203)."""
+    with open(path, encoding="utf-8", newline="") as f:
+        reader = _csv.reader(f, delimiter=delimiter)
+        for row in reader:
+            return row
+    return []
+
+
+def read_csv_raw(
+    spark: SparkSession, path: str, delimiter: str, n_cols: int
+) -> DataFrame:
+    """All-string CSV scan with the reference's tolerance knobs:
+    PERMISSIVE (short rows → trailing NULLs, extra cells dropped —
+    converter.go:383-386) and STOP_AT_DELIMITER unescaped-quote handling
+    (≈ Go LazyQuotes, converter.go:194)."""
+    schema = ", ".join(f"`_raw{i}` STRING" for i in range(n_cols))
+    return (
+        spark.read.option("header", True)
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("unescapedQuoteHandling", "STOP_AT_DELIMITER")
+        .option("enforceSchema", True)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def infer_file_schema(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    sample_rows: int = 100,
+    enhanced_dates: bool = False,
+) -> list[InferredColumn]:
+    """Pass 1: sample-bounded exact-lattice inference (converter.go:185-239)."""
+    raw_headers = read_raw_header(path, delimiter)
+    names = clean_headers(raw_headers)
+    sample = read_csv_raw(spark, path, delimiter, len(names)).limit(sample_rows)
+    kinds = infer_column_kinds(sample, enhanced_dates=enhanced_dates)
+    return [
+        InferredColumn(name=names[i], raw_name=raw_headers[i], kind=kinds[f"_raw{i}"])
+        for i in range(len(names))
+    ]
+
+
+def _single_file_output(tmp_dir: str, final_path: str) -> None:
+    """Promote Spark's part-file to a single <base>.parquet (K2 parity —
+    the reference maps 1 CSV → 1 parquet file, converter.go:107-114)."""
+    parts = [p for p in glob.glob(os.path.join(tmp_dir, "part-*")) if not p.endswith(".crc")]
+    if len(parts) != 1:
+        raise RuntimeError(f"expected exactly one part file in {tmp_dir}, got {parts}")
+    if os.path.exists(final_path):
+        os.remove(final_path)
+    shutil.move(parts[0], final_path)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def output_path_for(input_file: str, output_dir: str | None) -> str:
+    """<dir>/<base>.parquet (reference outputPath, converter.go:107-114)."""
+    base = os.path.splitext(os.path.basename(input_file))[0] + ".parquet"
+    d = output_dir if output_dir else os.path.dirname(input_file)
+    return os.path.join(d, base)
+
+
+def convert_file(
+    spark: SparkSession,
+    input_file: str,
+    output_dir: str | None = None,
+    delimiter: str = ",",
+    sample_rows: int = 100,
+    delete_original: bool = False,
+    single_file: bool = True,
+    enhanced_dates: bool = False,
+) -> Result:
+    """Convert one CSV file (reference convertFile, converter.go:116-182)."""
+    t0 = time.monotonic()
+    res = Result(input=input_file)
+    try:
+        res.input_bytes = os.path.getsize(input_file)
+        out = output_path_for(input_file, output_dir)
+        res.output = out
+
+        cols = infer_file_schema(
+            spark, input_file, delimiter, sample_rows, enhanced_dates
+        )
+        log.debug("schema for %s: %s", input_file, format_schema(cols))
+
+        raw = read_csv_raw(spark, input_file, delimiter, len(cols))
+        typed = raw.select(
+            *[
+                cast_column(c.kind, f"_raw{i}").alias(c.name)
+                for i, c in enumerate(cols)
+            ]
+        )
+
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        writer = typed.coalesce(1) if single_file else typed
+        target = out + "._spark_tmp" if single_file else out
+        (
+            writer.write.mode("overwrite")
+            .option("parquet.block.size", ROW_GROUP_BYTES)
+            .parquet(target)
+        )
+        if single_file:
+            _single_file_output(target, out)
+
+        # V1: verify output exists and is non-empty (converter.go:161-166)
+        if single_file:
+            res.output_bytes = os.path.getsize(out)
+        else:
+            res.output_bytes = sum(
+                os.path.getsize(p) for p in glob.glob(os.path.join(out, "*.parquet"))
+            )
+        if res.output_bytes == 0:
+            raise RuntimeError(f"output {out} is empty")
+
+        if delete_original:  # D1, converter.go:169-175
+            try:
+                os.remove(input_file)
+            except OSError as e:
+                log.warning("could not delete original %s: %s", input_file, e)
+    except Exception as e:  # V2: partial-output cleanup (converter.go:153-158)
+        res.error = str(e)
+        for p in (res.output, res.output + "._spark_tmp"):
+            if p and os.path.exists(p):
+                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+    res.seconds = time.monotonic() - t0
+    return res
+
+
+def convert_all(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str | None = None,
+    delimiter: str = ",",
+    sample_rows: int = 100,
+    delete_original: bool = False,
+    single_file: bool = True,
+    enhanced_dates: bool = False,
+    max_concurrent: int = MAX_CONCURRENT_FILES,
+) -> Summary:
+    """Convert a file or a directory of CSVs (reference ConvertAll,
+    converter.go:66-105): each file keeps its own inferred schema, up to
+    ``max_concurrent`` Spark jobs in flight."""
+    files = discover_inputs(input_path)
+    summary = Summary()
+    if not files:
+        log.warning("no CSV files found in %s", input_path)
+        return summary
+
+    def _one(f: str) -> Result:
+        return convert_file(
+            spark,
+            f,
+            output_dir,
+            delimiter,
+            sample_rows,
+            delete_original,
+            single_file,
+            enhanced_dates,
+        )
+
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        results = list(pool.map(_one, files))
+
+    for r in results:  # A1 summary fold (main.go:35-59)
+        summary.results.append(r)
+        if r.ok:
+            summary.converted += 1
+            summary.input_bytes += r.input_bytes
+            summary.output_bytes += r.output_bytes
+        else:
+            summary.failed += 1
+            log.error("failed: %s: %s", r.input, r.error)
+    return summary

@@ -1,0 +1,75 @@
+"""Registry over the driver's parquet star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under a scale-factor dir.
+
+Scale posture: ``spark.read.parquet`` gives Catalyst a FileSourceScan
+with predicate pushdown + column pruning for free; nothing here caches
+or collects. At 100 TB these would be partitioned parquet/iceberg
+directories — the loader takes any path glob, so nothing changes.
+
+Session-conf pinning: queries may run under a SparkSession we did not
+build (the verify driver's), so :func:`ensure_session_confs` pins the
+runtime-settable confs our semantics depend on — UTC session timezone
+(oracle parity with DuckDB's naive timestamps) and
+``nanosAsLong`` (events.parquet stores TIMESTAMP(NANOS) which Spark
+otherwise refuses to read; we read the raw int64 and convert).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at *any* scale factor
+# (region/nation are fixed-size; supplier/part grow slowly). Operators
+# use this to decide broadcast hints.
+BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
+
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as raw int64 under nanosAsLong; convert
+        # ns → µs with *integer* division (float division would lose
+        # precision above 2^53 ns) — same floor semantics DuckDB uses
+        # when narrowing ns → µs.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
