@@ -37,11 +37,17 @@ HEADLINE = [
     "rollup_region_nation",
     "session_window_batch",
     "agg_approx_count_distinct",
-    # LLM-pipeline headliners (present from the modules that define them)
+    # LLM-pipeline headliners
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_simhash_signatures",
     "knn_bruteforce_cosine",
+    "knn_lsh_ann",
     "text_quality_scores",
+    "text_ngram_top50",
+    "mm_image_features_stub",
+    # streaming
+    "stream_tumbling_counts",
 ]
 
 

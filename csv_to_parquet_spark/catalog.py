@@ -17,7 +17,14 @@ def build_catalog() -> Catalog:
     merged = Catalog()
     merged.merge(relational.CAT)
 
-    for modname in ("conversion", "dedup", "similarity", "textops", "multimodal"):
+    for modname in (
+        "relational2",
+        "conversion",
+        "dedup",
+        "similarity",
+        "textops",
+        "multimodal",
+    ):
         try:
             import importlib
 

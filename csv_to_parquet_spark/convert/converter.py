@@ -108,6 +108,10 @@ def read_csv_raw(
         .option("sep", delimiter)
         .option("mode", "PERMISSIVE")
         .option("unescapedQuoteHandling", "STOP_AT_DELIMITER")
+        # RFC-4180 doubled-quote escaping inside quoted fields, like
+        # Go encoding/csv (converter.go:192-194); Spark's default
+        # escape is backslash, which Go CSV does not use.
+        .option("escape", '"')
         .option("enforceSchema", True)
         .schema(schema)
         .csv(path)

@@ -52,3 +52,52 @@ def l2_norm_sq(a: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """cos(a,b) = dot/(sqrt(|a|^2)*sqrt(|b|^2)), all double math."""
     return dot_double(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic hashing
+#
+# xxhash64/murmur are Spark-only, DuckDB's hash() is DuckDB-only — the
+# portable common denominator is md5. We take the first 15 hex chars
+# (60 bits, fits bigint) as an unsigned integer. Identical in both
+# engines, so hash-derived results (simhash, minhash, fingerprints)
+# are oracle-exact, not rows-only.
+# ---------------------------------------------------------------------------
+
+def md5_60(col: Column | str) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_60_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`md5_60` — keep in sync."""
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def shingles(tokens: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (JVM-side, 1-based slice).
+
+    Docs shorter than ``n`` tokens yield an empty array.
+    DuckDB mirror: :func:`shingles_sql`.
+    """
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(tokens_expr: str, n: int = 3) -> str:
+    return (
+        f"CASE WHEN len({tokens_expr}) >= {n} THEN "
+        f"[array_to_string(({tokens_expr})[i:i+{n - 1}], ' ') "
+        f" for i in range(1, len({tokens_expr}) - {n - 2})] "
+        f"ELSE [] END"
+    )
+
+
+TOKENIZE_SQL = "regexp_split_to_array(trim({col}), '\\s+')"

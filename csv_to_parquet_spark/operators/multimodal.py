@@ -1,0 +1,167 @@
+"""Multimodal column operators — opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic stand-in (clearly marked below); everything Spark-side is
+real and tested: binary column construction, Arrow-batched mapInPandas
+plumbing (schema, batch shape, multi-row yield), and metadata
+extraction. Payloads are the UTF-8 bytes of ``documents.text`` — at
+production scale they'd be image/audio/video blobs read from parquet
+binary columns, and ONLY ``_decode_payload`` changes.
+
+Scale posture:
+- Metadata extraction is pure JVM expressions (octet_length, md5) — no
+  Python in that path at all.
+- Feature extraction crosses to Python exactly once, via mapInPandas
+  (Arrow batches, vectorized numpy inside) — the sanctioned pattern for
+  binary decode at 100 TB: one pass, no shuffle, batch-at-a-time
+  memory.
+- Frame sampling yields a variable number of rows per input row —
+  mapInPandas (not a scalar pandas_udf) because the cardinality
+  changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.sources.tables import load_table
+
+CAT = Catalog()
+
+_FRAME_LEN, _FRAME_STRIDE = 32, 64
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """STUB for the real decoder. A production build would do, e.g.::
+
+        from PIL import Image          # not installed in this container
+        img = Image.open(io.BytesIO(payload))
+        return {"width": img.width, "height": img.height, ...}
+
+    Here: deterministic pseudo-features of the raw bytes so results are
+    stable and oracle-checkable. Real codec integration replaces this
+    one function; every Spark-side contract stays identical.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode is intentionally not wired up in this container"
+        )
+    except ImportError:
+        pass
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "checksum": sum(payload) % 2_147_483_647,
+        # fake "dimensions" derived deterministically from the payload
+        "width": (n % 64) + 1,
+        "height": (n // 64) + 1,
+    }
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → opaque binary payload column + typed metadata."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+@CAT.query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column — pure JVM path
+    (octet_length/md5 on binary), zero Python, zero shuffle."""
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        "mime",
+    )
+
+
+@CAT.query(
+    "mm_image_features_stub",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n,
+             list_sum(list_transform(split(text, ''), x -> ord(x))) AS bytesum
+      FROM documents)
+    SELECT doc_id, n AS n_bytes,
+           CAST(bytesum % 2147483647 AS BIGINT) AS checksum,
+           CAST((n % 64) + 1 AS BIGINT) AS width,
+           CAST((n // 64) + 1 AS BIGINT) AS height
+    FROM b
+    """,
+)
+def mm_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through Arrow-batched mapInPandas: the real
+    decode boundary (stubbed — see _decode_payload). The oracle can
+    mirror the fake features because the corpus is ASCII (byte == char);
+    with real codecs this entry degrades to a rows-only check."""
+    schema = "doc_id BIGINT, n_bytes BIGINT, checksum BIGINT, width BIGINT, height BIGINT"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_payload(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[["doc_id", "n_bytes", "checksum", "width", "height"]]
+
+    return _payloads(spark, sf_dir).mapInPandas(extract, schema)
+
+
+@CAT.query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+               WHERE strlen(text) >= {_FRAME_LEN}),
+    f AS (SELECT doc_id, text,
+                 unnest(range(0, ((n - {_FRAME_LEN}) // {_FRAME_STRIDE}) + 1)) AS i
+          FROM d)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           md5(substring(text, i * {_FRAME_STRIDE} + 1, {_FRAME_LEN})) AS frame_md5
+    FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from an opaque "video" payload: mapInPandas yields
+    a VARIABLE number of rows per input (every {stride}-offset
+    {len}-byte window) — the batch-shape contract a real frame decoder
+    needs. Frame hashes are md5 so the oracle verifies exact bytes."""
+    schema = "doc_id BIGINT, frame_idx BIGINT, frame_md5 STRING"
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: list[tuple[int, int, str]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx in range((len(b) - _FRAME_LEN) // _FRAME_STRIDE + 1):
+                    chunk = b[idx * _FRAME_STRIDE : idx * _FRAME_STRIDE + _FRAME_LEN]
+                    if len(chunk) == _FRAME_LEN:
+                        out.append(
+                            (doc_id, idx, hashlib.md5(chunk).hexdigest())
+                        )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_md5"])
+
+    return _payloads(spark, sf_dir).mapInPandas(frames, schema)

@@ -1,0 +1,290 @@
+"""Relational operator catalog, wave 2 — widens SURVEY §2 Part B
+coverage: more TPC-H query shapes (Q4/Q6), outer joins with unmatched
+rows, argmax aggregation, map/array explode over JSON, null-handling
+and conditional functions, unionByName, exact percentiles, and
+IN-subquery rewrites.
+
+Same scale rules as relational.py: broadcast the small side, one
+shuffle per groupBy/join key, integer-cents money math, every computed
+column aliased identically in Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_to_parquet_spark.functions import cents
+from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.sources.tables import load_table
+
+CAT = Catalog()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@CAT.query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-filtered orders semi-joined to late-shipping
+    lineitems, counted per priority. The semi join shuffles each side
+    once on orderkey and never materializes lineitem columns."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@CAT.query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg — the all-pushdown
+    query. Every predicate reaches the parquet scan; zero shuffles
+    beyond the single-row final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                    "bigint"
+                )
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@CAT.query(
+    "join_left_outer_customer_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.total_cents, 0) AS total_cents
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+                      CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+               FROM orders GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving order-less customers (aggregate-then-
+    join: the fact side collapses to one row per key BEFORE the join —
+    at scale this is the shuffle-minimal order)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n_orders", zero).alias("n_orders"),
+        F.coalesce("total_cents", zero).alias("total_cents"),
+    )
+
+
+@CAT.query(
+    "agg_argmax_supplier",
+    oracle="""
+    SELECT n_name, s_acctbal AS top_bal, s_suppkey AS top_suppkey
+    FROM (SELECT n_name, s_acctbal, s_suppkey,
+                 ROW_NUMBER() OVER (PARTITION BY n_name
+                                    ORDER BY s_acctbal DESC, s_suppkey DESC) AS rn
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey) t
+    WHERE rn = 1 ORDER BY n_name
+    """,
+)
+def agg_argmax_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group via max(struct(value, key)) — a deterministic
+    single-pass argmax (ties broken by key), no window, no join-back."""
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    top = F.max(F.struct(F.col("s_acctbal"), F.col("s_suppkey"))).alias("top")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(top)
+        .select(
+            "n_name",
+            F.col("top.s_acctbal").alias("top_bal"),
+            F.col("top.s_suppkey").alias("top_suppkey"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@CAT.query(
+    "map_explode_props",
+    oracle="""
+    SELECT event_id, 'k' AS prop_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_value
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → map<string,bigint> → explode to (key, value) rows — the
+    generic property-bag flattening pattern (schema-free ingestion)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+        .filter(F.col("prop_value").isNotNull())
+    )
+
+
+@CAT.query(
+    "null_funcs_supplier",
+    oracle="""
+    SELECT s_suppkey,
+           COALESCE(NULLIF(s_name, ''), 'unknown') AS name_or_default,
+           GREATEST(s_acctbal, 0.0) AS bal_floor0,
+           LEAST(s_acctbal, 1000.0) AS bal_cap1000,
+           CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END AS bal_nonneg,
+           (s_acctbal IS NULL) AS bal_is_null
+    FROM supplier
+    """,
+)
+def null_funcs_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling suite: coalesce/nullif/greatest/least/conditional
+    nulling (the reference's only null semantics is empty-cell→NULL,
+    converter.go:385-390; here nulls are first-class expressions)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif("s_name", F.lit("")), F.lit("unknown")).alias(
+            "name_or_default"
+        ),
+        F.greatest("s_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("s_acctbal", F.lit(1000.0)).alias("bal_cap1000"),
+        F.when(F.col("s_acctbal") < 0, None)
+        .otherwise(F.col("s_acctbal"))
+        .alias("bal_nonneg"),
+        F.isnull("s_acctbal").alias("bal_is_null"),
+    )
+
+
+@CAT.query(
+    "union_by_name_parties",
+    oracle="""
+    SELECT kind, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(bal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM (
+      SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier
+    ) GROUP BY kind ORDER BY kind
+    """,
+)
+def union_by_name_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName over heterogeneous sources normalized to a common
+    schema — the ingestion-union pattern."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("bal")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("bal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("bal")).alias("bal_cents"))
+        .orderBy("kind")
+    )
+
+
+@CAT.query(
+    "percentiles_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ≙
+    DuckDB quantile_cont). approx_percentile is the sketch-based scale
+    path — estimates are engine-specific, so the exact form carries the
+    oracle check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(F.percentile("l_quantity", p), 6).alias(f"p{int(p * 100)}")
+                for p in (0.25, 0.50, 0.75, 0.95)
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@CAT.query(
+    "in_subquery_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 400000)
+    """,
+)
+def in_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (SQL form) — Catalyst rewrites to a left-semi join;
+    same plan as the DataFrame semi join, proving the SQL surface."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
+        """
+    )

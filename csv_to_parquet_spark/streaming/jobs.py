@@ -1,0 +1,253 @@
+"""Structured Streaming operators.
+
+The reference's only "streaming" notion is batch-over-a-directory
+(converter/converter.go:74-79) plus delete-after-convert
+(converter.go:169-175). Here that becomes a real Structured Streaming
+watch-folder pipeline (``cleanSource`` = the exact built-in match for
+``delete_original``), and the events table gets the full event-time
+surface: watermarks, tumbling/sliding windows, session windows, and
+streaming dedup.
+
+Determinism for the oracle gate (SURVEY §7 hard part #2): every query
+runs with ``trigger(availableNow=True)`` — the stream drains all
+available input then stops, so results equal the batch computation and
+the DuckDB SQL can express them. Aggregations go to a memory sink in
+``complete`` mode so no window is withheld by the final watermark.
+
+Scale posture: memory-sink/complete here is the *test* harness only —
+the operators themselves (watermark + window/session_window/
+dropDuplicatesWithinWatermark) are the production shapes: state-store
+backed, append-mode emittable to parquet/kafka sinks, late data
+bounded by the watermark. File listing in the source is incremental;
+checkpoints make every query exactly-once restartable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_to_parquet_spark.functions import cents
+from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.sources.tables import ensure_session_confs
+
+CAT = Catalog()
+
+_uniq = count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (ns timestamps handled
+    exactly like the batch loader in sources/tables.py)."""
+    ensure_session_confs(spark)
+    d = tempfile.mkdtemp(prefix="events_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    src = spark.readStream.schema(schema).parquet(d)
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC,
+    # so instants equal the oracle's naive timestamps — outputs cast
+    # window bounds back to NTZ for the comparison.
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain an availableNow stream into a memory sink; return the
+    result table. Test/oracle harness only — production writes append
+    mode to a durable sink with the same transformations."""
+    name = f"stream_result_{next(_uniq)}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@CAT.query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a watermark — the
+    canonical streaming aggregation. availableNow + complete mode makes
+    the result equal the batch group-by, so it is oracle-exact."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+@CAT.query(
+    "stream_sliding_avg",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, value FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP), value FROM events)
+    SELECT win_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM b GROUP BY win_start
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in two
+    windows. The oracle mirrors that as a UNION ALL of the two shifted
+    hourly buckets."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+        "n_events",
+        "value_cents",
+    )
+
+
+@CAT.query(
+    "stream_session_windows",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+    SELECT user_id, CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute gap) per user — the
+    state-store-backed sessionization operator; a second (batch)
+    aggregation collapses sessions to per-user counts for a stable
+    oracle shape."""
+    ev = _events_stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(sessions)
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+@CAT.query(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark, then a
+    windowless aggregation — the ingestion-dedup pattern (exactly-once
+    semantics against replayed sources)."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique")
+    )
+    return _run_to_memory(agg)
+
+
+@CAT.query(
+    "stream_convert_watch_folder",
+    oracle="""
+    SELECT i AS id, (i * 7)::BIGINT AS val, 'u' || (i % 10)::VARCHAR AS tag
+    FROM range(1, 91) r(i)
+    """,
+)
+def stream_convert_watch_folder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's directory mode as a Structured Streaming
+    watch-folder: CSVs land in a directory, the stream picks each file
+    up, converts with the inferred schema, and appends parquet;
+    ``cleanSource='delete'`` is the built-in match for the reference's
+    delete_original (converter/converter.go:169-175). availableNow
+    drains the three staged files deterministically."""
+    from csv_to_parquet_spark.convert.converter import infer_file_schema
+    from csv_to_parquet_spark.convert.inference import cast_column, to_struct_type
+
+    base = tempfile.mkdtemp(prefix="watchfolder_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+    # three formula-generated CSV chunks "landing" in the watch folder
+    for chunk, lo in enumerate((1, 31, 61)):
+        with open(os.path.join(in_dir, f"chunk{chunk}.csv"), "w") as f:
+            f.write("id,val,tag\n")
+            for i in range(lo, lo + 30):
+                f.write(f"{i},{i * 7},u{i % 10}\n")
+
+    cols = infer_file_schema(spark, os.path.join(in_dir, "chunk0.csv"))
+    raw_schema = to_struct_type(
+        [type(c)(name=f"_raw{j}", raw_name=c.raw_name, kind="string") for j, c in enumerate(cols)]
+    )
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("header", True)
+        .option("cleanSource", "delete")
+        .csv(in_dir)
+    )
+    typed = src.select(
+        *[cast_column(c.kind, f"_raw{j}").alias(c.name) for j, c in enumerate(cols)]
+    )
+    q = (
+        typed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -1,0 +1,53 @@
+"""LLM-pipeline operator invariants beyond per-query oracle parity.
+
+- MinHash-LSH near-dup pairs must equal the exact inverted-index
+  Jaccard result at the driver's correctness scale (sf0.01) — this is
+  what licenses attaching the exact-SQL oracle to the LSH query.
+- The ANN (random-hyperplane LSH) top-k must achieve high recall
+  against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.queries()
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.select("doc_a", "doc_b").collect()}
+
+
+def test_minhash_lsh_equals_exact_at_driver_sf(spark, sf_oracle, queries):
+    exact = _pairs(queries["dedup_ngram_jaccard"](spark, sf_oracle))
+    lsh = _pairs(queries["dedup_minhash_lsh"](spark, sf_oracle))
+    assert lsh == exact
+    assert len(exact) > 0, "corpus should contain planted near-dups"
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_smoke, queries):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in queries["knn_bruteforce_cosine"](spark, sf_smoke).collect()
+    }
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in queries["knn_lsh_ann"](spark, sf_smoke).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    # This corpus is the hard regime for LSH — near-uniform random
+    # vectors whose true top-10 sit at cos ≈ 0.25–0.48. At L=8/k=5 the
+    # analytic recall there is ~0.5 (≳0.95 for clustered real-world
+    # embeddings at cos ≥ 0.8); gate at 0.35 to stay deterministic-safe.
+    assert recall >= 0.35, f"ANN recall {recall:.2f} too low vs brute force"
+
+
+def test_simhash_pairs_runs(spark, sf_smoke, queries):
+    df = queries["dedup_simhash_pairs"](spark, sf_smoke)
+    assert {f.name for f in df.schema.fields} == {"doc_a", "doc_b", "hamming"}
+    df.collect()  # must execute without error; pair count is data-dependent

@@ -1,0 +1,70 @@
+"""Physical-plan assertions — the 100 TB posture is checked, not hoped.
+
+Each test materializes the optimized/physical plan of a catalog query
+and asserts the scale-critical property: filters and projections reach
+the parquet scan, small dimensions broadcast instead of shuffling the
+fact side, and top-k plans as TakeOrderedAndProject rather than a
+global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.queries()
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_smoke, queries):
+    plan = _plan(queries["filter_project_pushdown"](spark, sf_smoke))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity,45" in plan
+    # column pruning: the scan must not read l_discount/l_tax etc.
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_discount" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, sf_smoke, queries):
+    plan = _plan(queries["q5_regional_revenue"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    # the two fact-fact joins shuffle; dims must NOT add exchanges
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_plans_take_ordered(spark, sf_smoke, queries):
+    plan = _plan(queries["topk_orders"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+
+
+def _n_ops(plan: str, op: str) -> int:
+    # formatted explain lists each operator twice (tree + detail);
+    # count the numbered detail headers only, e.g. "(5) Exchange"
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.M))
+
+
+def test_q1_two_shuffles_with_partial_agg(spark, sf_smoke, queries):
+    plan = _plan(queries["q1_pricing_summary"](spark, sf_smoke))
+    # scan → partial HashAggregate → ONE agg exchange → final agg →
+    # range exchange for the output sort; nothing else.
+    assert _n_ops(plan, "Exchange") <= 2, plan
+    assert _n_ops(plan, "HashAggregate") == 2, plan  # partial + final
+
+
+def test_whole_stage_codegen_in_scalar_suites(spark, sf_smoke, queries):
+    for name in ("string_funcs_part", "math_funcs_lineitem", "text_quality_scores"):
+        plan = _plan(queries[name](spark, sf_smoke))
+        assert "codegen id" in plan, name  # inside a WholeStageCodegen span
+        assert "EvalPython" not in plan, f"{name} fell back to Python UDFs"
