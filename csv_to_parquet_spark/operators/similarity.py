@@ -99,18 +99,46 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _table_buckets(vec: Column) -> Column:
-    """array of L (table_id, bucket) structs for an embedding column —
-    one narrow JVM-side map, no shuffle."""
-    entries = []
-    for t, planes in enumerate(_PLANES):
-        bucket = F.lit(0).cast("bigint")
-        for i, plane in enumerate(planes):
-            d = dot_double(vec, F.array(*[F.lit(x) for x in plane]))
-            bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("bigint")).otherwise(0)
-        entries.append(
-            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+    """array of L (tbl, bucket) structs for an embedding column —
+    one narrow JVM-side map, no shuffle.
+
+    All L×k hyperplanes enter as one nested array literal so the whole
+    bucket computation is a single nested higher-order-function
+    expression (each plane's dot product evaluated exactly once per
+    row), instead of L×k inlined aggregate trees that blow up codegen
+    size. Built lazily — Column literals need an active session.
+    """
+    tables_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in plane]) for plane in table])
+            for table in _PLANES
+        ]
+    )
+
+    def dot(p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-    return F.array(*entries)
+
+    weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(_K_BITS)])
+    return F.transform(
+        tables_lit,
+        lambda planes, t: F.struct(
+            t.alias("tbl"),
+            F.aggregate(
+                F.transform(
+                    planes,
+                    lambda p, i: F.when(
+                        dot(p) >= 0, F.element_at(weights, i + F.lit(1))
+                    ).otherwise(F.lit(0).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("bucket"),
+        ),
+    )
 
 
 @CAT.query("knn_lsh_ann")  # approximate by design → rows-only check
