@@ -24,6 +24,7 @@ def build_catalog() -> Catalog:
         "similarity",
         "textops",
         "multimodal",
+        "layout",
     ):
         try:
             import importlib

@@ -141,6 +141,41 @@ def convert_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "convert_enhanced_dates",
+    oracle="""
+    SELECT i AS id,
+           CAST('2024-01-01'::DATE + INTERVAL ((i - 1) % 28) DAY AS TIMESTAMP) AS iso_date_ts,
+           CAST('2024-03-01'::TIMESTAMP + INTERVAL (i) MINUTE AS TIMESTAMP) AS iso_ts
+    FROM range(1, 41) r(i)
+    """,
+)
+def convert_enhanced_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enhanced (non-parity) inference mode: columns whose sampled
+    values all match one of the reference's six probed layouts
+    (converter/converter.go:264-271) become real DATE / TIMESTAMP
+    instead of demoting to string (the reference's deliberate demotion,
+    converter.go:272-275, is the parity default)."""
+    rows = ["id,iso_date,iso_ts"]
+    for i in range(1, 41):
+        rows.append(
+            f"{i},2024-01-{((i - 1) % 28) + 1:02d},"
+            f"2024-03-01T00:{i:02d}:00"
+        )
+    out = _convert_fixture(spark, "endates", rows, enhanced_dates=True)
+    # the parquet holds a true DateType column (the capability under
+    # test — assert it), then present as timestamp for the cross-engine
+    # value compare (date-object vs timestamp repr differs per driver)
+    assert dict(out.dtypes)["iso_date"] == "date", out.dtypes
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "id",
+        F.col("iso_date").cast("timestamp_ntz").alias("iso_date_ts"),
+        "iso_ts",
+    )
+
+
+@CAT.query(
     "convert_star_roundtrip",
     oracle="""
     SELECT c_custkey::BIGINT AS c_custkey,

@@ -269,6 +269,164 @@ def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)/100.0 AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Date + returnflag filters push to the scans; nation broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev_c) / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@CAT.query(
+    "q14_promo_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                   ELSE 0 END)
+             / SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)), 6)
+             AS promo_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast
+    fact⋈dim join (LIKE predicate on the dimension)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev_c).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev_c), 6).alias("promo_pct"),
+        )
+    )
+
+
+@CAT.query(
+    "q19_bracket_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))
+    """,
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicates across both join
+    sides — the join keeps the equi key, the OR-of-ANDs evaluates as a
+    post-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    brackets = (
+        ((b == "Brand#1") & q.between(1, 11) & s.between(1, 5))
+        | ((b == "Brand#2") & q.between(10, 20) & s.between(1, 10))
+        | ((b == "Brand#3") & q.between(20, 30) & s.between(1, 15))
+    )
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(brackets)
+        .agg(
+            F.sum(rev_c).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@CAT.query(
+    "agg_collect_sorted_types",
+    oracle="""
+    SELECT p_brand,
+           array_to_string(list_sort(list_distinct(list(p_type))), '|') AS types_sorted,
+           CAST(len(list_distinct(list(p_type))) AS BIGINT) AS n_types
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def agg_collect_sorted_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + array_sort + array_join — deterministic string
+    aggregation (sorted, so partition order can't leak into results)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.collect_set("p_type").alias("types"))
+        .select(
+            "p_brand",
+            F.array_join(F.array_sort("types"), "|").alias("types_sorted"),
+            F.size("types").cast("bigint").alias("n_types"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@CAT.query(
+    "posexplode_tokens_sample",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents WHERE doc_id < 10)
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS pos,
+           toks[i] AS token
+    FROM t, unnest(range(1, len(toks) + 1)) r(i)
+    """,
+)
+def posexplode_tokens_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — position-preserving array flattening."""
+    from csv_to_parquet_spark.functions import tokenize
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return d.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+
+
+@CAT.query(
     "agg_salted_skew",
     oracle="""
     SELECT l_returnflag,

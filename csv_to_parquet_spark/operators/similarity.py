@@ -182,6 +182,83 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELLS = 16
+_IVF_PROBES = 4
+
+
+@CAT.query("knn_ivf_ann")  # approximate by design → rows-only check
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization.
+
+    "Training": 16 deterministic seed vectors (vec_id 100..115) are
+    collected to the driver as the coarse centroids — model parameters,
+    bytes-sized, the one legitimate driver-side collect in the module
+    (real IVF k-means training is itself an aggregation producing
+    exactly this artifact). Assignment is then a PURE MAP: each corpus
+    vector's nearest-centroid cell comes from an argmax over a centroid
+    array literal — no shuffle, no UDF. Queries probe their
+    ``_IVF_PROBES`` nearest cells and rerank candidates with exact
+    cosine, touching ~probes/cells of the corpus per query at scale.
+    Recall vs brute force asserted in tests.
+    """
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_CELLS))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in r.embedding]) for r in cents]
+    )
+
+    def cell_ranks(vec: Column, n: int) -> Column:
+        """indices of the n nearest centroids (cosine argmax order)."""
+        sims = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sqrt(
+                F.aggregate(
+                    F.zip_with(c, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        ranked = F.slice(
+            F.reverse(F.array_sort(F.arrays_zip(sims.alias("s"),
+                F.sequence(F.lit(0), F.lit(_IVF_CELLS - 1)).alias("cell")))),
+            1,
+            n,
+        )
+        return F.transform(ranked, lambda r: r["cell"])
+
+    corpus = e.withColumn("cell", cell_ranks(F.col("embedding"), 1)[0])
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(cell_ranks(F.col("embedding"), _IVF_PROBES)).alias("probe"),
+        )
+    )
+    cs = cosine_similarity("qv", "embedding")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        corpus.join(
+            q,
+            (F.col("cell") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cs", cs)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cs", 6).alias("cosine"), "rn")
+    )
+
+
 @CAT.query(
     "similarity_label_centroids",
     oracle="""

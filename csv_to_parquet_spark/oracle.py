@@ -31,13 +31,21 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df = df[sorted(df.columns)]
+    import datetime
+
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).astype("datetime64[us]")
         elif s.dtype == object:
-            # unify None representations for sorting
-            df[c] = s.where(pd.notna(s), None)
+            non_null = s.dropna()
+            if len(non_null) and isinstance(non_null.iloc[0], datetime.date):
+                # Spark DATE arrives as datetime.date objects; DuckDB
+                # DATE as datetime64 — unify
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                # unify None representations for sorting
+                df[c] = s.where(pd.notna(s), None)
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="first").reset_index(
             drop=True

@@ -200,6 +200,58 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "stream_foreach_batch_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def stream_foreach_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch — the programmable streaming sink. Each micro-batch
+    is handed to arbitrary batch code (here: upsert-by-overwrite of a
+    per-day parquet rollup; in production the same hook drives JDBC
+    merges, Delta upserts, multi-sink fanout). availableNow drains the
+    source, then the materialized rollup is read back and re-aggregated
+    to day level for the oracle check (idempotent even if the source
+    arrived in several batches)."""
+    ev = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="febatch_out_")
+    ckpt = tempfile.mkdtemp(prefix="febatch_ckpt_")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.date_trunc("day", "ts").alias("day_start"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(cents("value")).alias("value_cents"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("day_start").cast("timestamp_ntz").alias("day_start"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+
+
+@CAT.query(
     "stream_convert_watch_folder",
     oracle="""
     SELECT i AS id, (i * 7)::BIGINT AS val, 'u' || (i % 10)::VARCHAR AS tag

@@ -47,6 +47,21 @@ def test_ann_recall_vs_bruteforce(spark, sf_smoke, queries):
     assert recall >= 0.35, f"ANN recall {recall:.2f} too low vs brute force"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_smoke, queries):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in queries["knn_bruteforce_cosine"](spark, sf_smoke).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in queries["knn_ivf_ann"](spark, sf_smoke).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # 4/16 cells probed on near-uniform vectors → ~0.5 measured; same
+    # hard-regime caveat as the hyperplane-LSH test above.
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low vs brute force"
+
+
 def test_simhash_pairs_runs(spark, sf_smoke, queries):
     df = queries["dedup_simhash_pairs"](spark, sf_smoke)
     assert {f.name for f in df.schema.fields} == {"doc_a", "doc_b", "hamming"}

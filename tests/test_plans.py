@@ -63,6 +63,23 @@ def test_q1_two_shuffles_with_partial_agg(spark, sf_smoke, queries):
     assert _n_ops(plan, "HashAggregate") == 2, plan  # partial + final
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke, queries):
+    df = queries["bucketed_join_order_revenue"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # the join itself must not exchange: both sides are bucketed on the
+    # key. (The only permissible exchange would be for the final agg,
+    # but that groups on the same key, so none at all.)
+    assert _n_ops(plan, "Exchange") == 0, plan
+
+
+def test_partition_pruning_reaches_scan(spark, sf_smoke, queries):
+    df = queries["partition_pruned_year_revenue"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    assert "o_year" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
 def test_whole_stage_codegen_in_scalar_suites(spark, sf_smoke, queries):
     for name in ("string_funcs_part", "math_funcs_lineitem", "text_quality_scores"):
         plan = _plan(queries[name](spark, sf_smoke))
