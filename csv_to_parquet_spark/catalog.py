@@ -25,6 +25,7 @@ def build_catalog() -> Catalog:
         "textops",
         "multimodal",
         "layout",
+        "formats",
     ):
         try:
             import importlib

@@ -41,7 +41,7 @@ from csv_to_parquet_spark.functions import (
     tokenize,
 )
 from csv_to_parquet_spark.operators import Catalog
-from csv_to_parquet_spark.sources.tables import load_table
+from csv_to_parquet_spark.sources.tables import load_table, spread
 
 CAT = Catalog()
 
@@ -57,7 +57,9 @@ _N_BANDS, _BAND_R = 32, 2  # r=2, b=32: P(candidate | J=0.6) ≈ 1 - (1-0.36)^32
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # every consumer here does hash-heavy per-row work → spread the
+    # single-file scan across all cores (see sources.tables.spread)
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 _SHINGLES_SQL = shingles_sql("regexp_split_to_array(trim(text), '\\s+')", 3)
@@ -320,10 +322,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total runtime (at cluster scale this materialization is the
     signature store every LSH system keeps). Hashes are xxhash64
     (JVM-codegen'd) rather than md5 — valid because the oracle checks
-    the verified Jaccard pairs, which are hash-independent.
+    the verified Jaccard pairs, which are hash-independent. The cache
+    and the verification intersects both work on compact int64 hash
+    arrays, never the shingle strings (64-bit collisions: ~n_sh²/2⁶⁴
+    per pair, immaterial next to the 0.6 threshold).
     """
-    sets = shingle_sets(spark, sf_dir, hash_fn="xxhash").persist()
-    sig = sets.select("doc_id", _minhash_sig().alias("sig"))
+    shs = F.array_distinct(shingles(tokenize("text"), 3))
+    h63 = F.array_distinct(F.transform(shs, lambda s: F.xxhash64(s)))
+    # persist the ONE expensive column only; every derived value
+    # (sizes, 31-bit hashes, signatures) is cheap arithmetic over the
+    # cached arrays. Deriving them before the persist boundary makes
+    # CollapseProject evaluate the shingle pipeline once per reference
+    # (measured 2-3× slower cache population).
+    base = _docs(spark, sf_dir).select("doc_id", h63.alias("h63")).persist()
+    sets = base.withColumn("n_sh", F.size("h63")).filter(F.col("n_sh") > 0)
+    sig = sets.withColumn(
+        "hs", F.transform("h63", lambda h: F.pmod(h, F.lit(_P31)))
+    ).select("doc_id", _minhash_sig().alias("sig"))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -355,10 +370,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact verification of the candidate set only, off the same
     # persisted shingle sets
     va = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha"), F.col("n_sh").alias("na")
+        F.col("doc_id").alias("doc_a"), F.col("h63").alias("sha"), F.col("n_sh").alias("na")
     )
     vb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shb"), F.col("n_sh").alias("nb")
+        F.col("doc_id").alias("doc_b"), F.col("h63").alias("shb"), F.col("n_sh").alias("nb")
     )
     c = F.size(F.array_intersect("sha", "shb"))
     j = c.cast("double") / (F.col("na") + F.col("nb") - c)
@@ -403,27 +418,27 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, no groupBy — at 100 TB this runs as scan→project only.
     Near-dup docs land within small hamming distance; banding the 60
     bits into 4×15-bit chunks gives the LSH candidate path at scale."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     hs = F.transform(F.array_distinct(tokenize("text")), lambda t: md5_60(t))
-    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(_SIMHASH_BITS)])
     hashed = _docs(spark, sf_dir).select("doc_id", hs.alias("hs"))
-    n = F.size("hs")
-    simhash = F.aggregate(
-        F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc
-        + F.when(
-            2
-            * F.size(
-                F.filter(
-                    F.col("hs"),
-                    lambda h: h.bitwiseAND(F.element_at(masks, b + F.lit(1))) != 0,
-                )
-            )
-            > n,
-            F.element_at(masks, b + F.lit(1)),
-        ).otherwise(F.lit(0).cast("bigint")),
-    )
-    return hashed.select("doc_id", simhash.alias("simhash"))
+    bit_idx = np.arange(_SIMHASH_BITS, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def fold_bits(hs_col: pd.Series) -> pd.Series:
+        # votes per bit = 2·|{h: bit set}| − n; bit set iff votes > 0.
+        # The 60 per-bit array passes were interpreted-HOF cost (~10 s
+        # at bench scale); one numpy broadcast is sub-second.
+        out = np.empty(len(hs_col), dtype=np.int64)
+        for i, h in enumerate(hs_col):
+            hv = np.asarray(h, dtype=np.int64)
+            bits = (hv[:, None] >> bit_idx) & 1
+            sim_bits = (2 * bits.sum(axis=0) - len(hv)) > 0
+            out[i] = int((sim_bits.astype(np.int64) << bit_idx).sum())
+        return pd.Series(out)
+
+    return hashed.select("doc_id", fold_bits("hs").alias("simhash"))
 
 
 @CAT.query(

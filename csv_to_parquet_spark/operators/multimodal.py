@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.operators import Catalog
-from csv_to_parquet_spark.sources.tables import load_table
+from csv_to_parquet_spark.sources.tables import load_table, spread
 
 CAT = Catalog()
 
@@ -71,8 +71,10 @@ def _decode_payload(payload: bytes) -> dict:
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text → opaque binary payload column + typed metadata."""
-    return load_table(spark, sf_dir, "documents").select(
+    """documents.text → opaque binary payload column + typed metadata.
+    Spread across cores: mapInPandas parallelism == partition count,
+    and the source is a single file."""
+    return spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),

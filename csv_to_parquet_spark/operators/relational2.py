@@ -462,6 +462,95 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(l_quantity) > 150)
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered semi join (orders whose total
+    quantity clears a threshold) back into the 3-way join, top 100.
+    The qualifying-keys aggregate runs first and semi-joins — the big
+    fact table is never re-scanned per key."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@CAT.query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(s_suppkey) OVER w AS poorest_key,
+           LAST_VALUE(s_suppkey) OVER (PARTITION BY s_nationkey
+               ORDER BY s_acctbal, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS richest_key
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile, percent_rank, cume_dist,
+    first/last value over an explicit full-partition frame."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("s_suppkey").over(w).alias("poorest_key"),
+        F.last("s_suppkey").over(w_full).alias("richest_key"),
+    )
+
+
+@CAT.query("approx_percentile_sketch")  # sketch estimates are engine-specific
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the single-pass,
+    mergeable, bounded-memory scale path for quantiles; the exact
+    interpolated variant (percentiles_quantity) carries the oracle."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+                "approx_median_price"
+            )
+        )
+    )
+
+
+@CAT.query(
     "in_subquery_big_spenders",
     oracle="""
     SELECT c_custkey, c_name FROM customer

@@ -21,13 +21,15 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from csv_to_parquet_spark.functions import cosine_similarity, dot_double
 from csv_to_parquet_spark.operators import Catalog
-from csv_to_parquet_spark.sources.tables import load_table
+from csv_to_parquet_spark.sources.tables import load_table, spread
 
 CAT = Catalog()
 
@@ -52,7 +54,10 @@ _PLANES = [
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # 64-dim dot products per row on a single-file table → parallelize
+    return spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
 
 
 @CAT.query(
@@ -99,46 +104,31 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _table_buckets(vec: Column) -> Column:
-    """array of L (tbl, bucket) structs for an embedding column —
-    one narrow JVM-side map, no shuffle.
+    """array of L bucket ids (index = table) for an embedding column.
 
-    All L×k hyperplanes enter as one nested array literal so the whole
-    bucket computation is a single nested higher-order-function
-    expression (each plane's dot product evaluated exactly once per
-    row), instead of L×k inlined aggregate trees that blow up codegen
-    size. Built lazily — Column literals need an active session.
+    Vectorized Arrow pandas_udf: the whole batch's L×k hyperplane dot
+    products are ONE numpy matmul — the per-plane interpreted-HOF
+    formulation cost ~40 boxed array passes per row. Buckets only
+    gate candidate recall (exact cosine reranks afterwards), so the
+    float64-matmul rounding vs per-element JVM accumulation is
+    immaterial; corpus and queries use the identical computation.
     """
-    tables_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(v)) for v in plane]) for plane in table])
-            for table in _PLANES
-        ]
-    )
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    def dot(p: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(_K_BITS)])
-    return F.transform(
-        tables_lit,
-        lambda planes, t: F.struct(
-            t.alias("tbl"),
-            F.aggregate(
-                F.transform(
-                    planes,
-                    lambda p, i: F.when(
-                        dot(p) >= 0, F.element_at(weights, i + F.lit(1))
-                    ).otherwise(F.lit(0).cast("bigint")),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("bucket"),
-        ),
+    planes = np.array(_PLANES, dtype=np.float64).reshape(
+        _N_TABLES * _K_BITS, _DIM
     )
+    weights = (1 << np.arange(_K_BITS, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def buckets_udf(emb: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in emb.values])
+        bits = (v @ planes.T >= 0).astype(np.int64)  # (n, L*k)
+        b = bits.reshape(len(v), _N_TABLES, _K_BITS) @ weights  # (n, L)
+        return pd.Series(list(b))
+
+    return buckets_udf(vec)
 
 
 @CAT.query("knn_lsh_ann")  # approximate by design → rows-only check
@@ -153,7 +143,9 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the brute-force baseline is asserted in tests.
     """
     e = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", F.explode(_table_buckets(F.col("embedding"))).alias("tb")
+        "vec_id",
+        "embedding",
+        F.posexplode(_table_buckets(F.col("embedding"))).alias("tbl", "bucket"),
     )
     q = F.broadcast(
         _emb(spark, sf_dir)
@@ -161,7 +153,7 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
-            F.explode(_table_buckets(F.col("embedding"))).alias("qtb"),
+            F.posexplode(_table_buckets(F.col("embedding"))).alias("qtbl", "qbucket"),
         )
     )
     cs = cosine_similarity("qv", "embedding")
@@ -169,8 +161,8 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(
             q,
-            (F.col("tb.tbl") == F.col("qtb.tbl"))
-            & (F.col("tb.bucket") == F.col("qtb.bucket"))
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id", "qv", "embedding")

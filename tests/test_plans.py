@@ -81,7 +81,11 @@ def test_partition_pruning_reaches_scan(spark, sf_smoke, queries):
 
 
 def test_whole_stage_codegen_in_scalar_suites(spark, sf_smoke, queries):
-    for name in ("string_funcs_part", "math_funcs_lineitem", "text_quality_scores"):
+    for name in ("string_funcs_part", "math_funcs_lineitem", "date_funcs_orders"):
         plan = _plan(queries[name](spark, sf_smoke))
         assert "codegen id" in plan, name  # inside a WholeStageCodegen span
         assert "EvalPython" not in plan, f"{name} fell back to Python UDFs"
+    # text_quality_scores starts with a spread() exchange, so the AQE
+    # pre-execution plan hides codegen ids — still must be Python-free
+    plan = _plan(queries["text_quality_scores"](spark, sf_smoke))
+    assert "EvalPython" not in plan, "text_quality_scores fell back to Python UDFs"
