@@ -135,6 +135,46 @@ def mm_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "mm_resize_stub",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+               WHERE strlen(text) >= 64),
+    px AS (SELECT doc_id,
+                  unnest(range(0, 8)) AS ry,
+                  text, n
+           FROM d)
+    SELECT doc_id, CAST(ry AS BIGINT) AS row_idx,
+           CAST(list_sum([ord(substring(text, ry * 8 + x + 1, 1))
+                          for x in range(0, 8)]) AS BIGINT) AS row_sum
+    FROM px
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Resize" through the stubbed decoder: treat the first 64 payload
+    bytes as an 8×8 image and emit per-row pixel sums (a real resize
+    kernel replaces the numpy body; batch shape and schema are what a
+    thumbnail pipeline needs). ASCII corpus → byte == char, so the
+    oracle recomputes the same sums from the text."""
+    schema = "doc_id BIGINT, row_idx BIGINT, row_sum BIGINT"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: list[tuple[int, int, int]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if len(b) < 64:
+                    continue
+                img = np.frombuffer(b[:64], dtype=np.uint8).reshape(8, 8)
+                for ry, s in enumerate(img.sum(axis=1, dtype=np.int64)):
+                    out.append((doc_id, ry, int(s)))
+            yield pd.DataFrame(out, columns=["doc_id", "row_idx", "row_sum"])
+
+    return _payloads(spark, sf_dir).mapInPandas(resize, schema)
+
+
+@CAT.query(
     "mm_frame_sample",
     oracle=f"""
     WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents

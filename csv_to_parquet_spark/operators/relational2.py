@@ -551,6 +551,60 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "grouped_pandas_order_seq",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) - 1 AS seq_idx,
+           COALESCE(date_diff('day',
+               CAST(LAG(o_orderdate) OVER w AS DATE),
+               CAST(o_orderdate AS DATE)), -1) AS days_since_prev,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def grouped_pandas_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer order-history features
+    (sequence index, day gaps, exact running cents) computed with
+    pandas inside each group — the operator shape for per-entity
+    feature engineering where the transition logic outgrows window
+    functions (here it deliberately doesn't, so the window-SQL oracle
+    verifies the grouped-map machinery bit-for-bit: every output is
+    integer-exact). One shuffle on the grouping key; group size is
+    bounded by orders-per-customer, so executor memory is safe at any
+    corpus scale."""
+    import numpy as np
+    import pandas as pd  # noqa: F811
+
+    def features(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        days = pdf["o_orderdate"].astype("datetime64[us]").dt.normalize().diff()
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "seq_idx": np.arange(len(pdf), dtype=np.int64),
+                "days_since_prev": days.dt.days.fillna(-1).astype(np.int64),
+                "cum_cents": np.round(pdf["o_totalprice"] * 100)
+                .astype(np.int64)
+                .cumsum(),
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            features,
+            "o_orderkey BIGINT, o_custkey BIGINT, seq_idx BIGINT, "
+            "days_since_prev BIGINT, cum_cents BIGINT",
+        )
+    )
+
+
+@CAT.query(
     "in_subquery_big_spenders",
     oracle="""
     SELECT c_custkey, c_name FROM customer

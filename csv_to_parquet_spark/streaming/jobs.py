@@ -200,6 +200,76 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "stream_stateful_user_counters",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running counter (event count, exact cents total, last
+    event time) maintained in GroupState across micro-batches — the
+    building block Spark's built-in aggregations can't express when the
+    state transition is arbitrary code (sessionization with custom
+    rules, fraud counters, CDC merge). availableNow drains the source,
+    so the final state equals the batch aggregate (the oracle).
+    """
+    import pandas as pd  # noqa: F811 (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir)
+
+    def update(key, batches, state: GroupState):
+        n, cents_total, last_us = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        for pdf in batches:
+            n += len(pdf)
+            cents_total += int(round(pdf["value"] * 100).sum())
+            last_us = max(
+                last_us, int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
+            )
+        state.update((n, cents_total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_cents": [cents_total],
+                "last_us": [last_us],
+            }
+        )
+
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id BIGINT, n_events BIGINT, "
+            "value_cents BIGINT, last_us BIGINT",
+            stateStructType="n BIGINT, cents BIGINT, last_us BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    res = _run_to_memory(out, mode="update")
+    # update-mode emits one row per (user, batch); keep the final state
+    latest = res.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("value_cents").alias("value_cents"),
+        F.max("last_us").alias("last_us"),
+    )
+    return latest.select(
+        "user_id",
+        "n_events",
+        "value_cents",
+        F.timestamp_micros(F.col("last_us")).cast("timestamp_ntz").alias("last_seen"),
+    )
+
+
+@CAT.query(
     "stream_foreach_batch_rollup",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,

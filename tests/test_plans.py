@@ -11,11 +11,8 @@ from __future__ import annotations
 
 import pytest
 
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+from csv_to_parquet_spark.plans.inspect import formatted as _plan
+from csv_to_parquet_spark.plans.inspect import n_ops as _n_ops_helper
 
 
 @pytest.fixture(scope="module")
@@ -47,12 +44,7 @@ def test_topk_plans_take_ordered(spark, sf_smoke, queries):
     assert "TakeOrderedAndProject" in plan
 
 
-def _n_ops(plan: str, op: str) -> int:
-    # formatted explain lists each operator twice (tree + detail);
-    # count the numbered detail headers only, e.g. "(5) Exchange"
-    import re
-
-    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.M))
+_n_ops = _n_ops_helper
 
 
 def test_q1_two_shuffles_with_partial_agg(spark, sf_smoke, queries):
