@@ -103,10 +103,31 @@ def main() -> int:
             .csv(src + "_dir")
         )
         part = glob.glob(os.path.join(src + "_dir", "part-*.csv"))[0]
-        shutil.move(part, src)
+        # stage a 4× concatenation: per-convert fixed costs (session
+        # jobs, inference pass, commit) dominate at ~40 MB and would
+        # understate steady-state MB/s; the reference's own workload is
+        # arbitrarily large CSVs
+        with open(src, "wb") as out_f, open(part, "rb") as in_f:
+            header = in_f.readline()
+            body = in_f.read()
+            out_f.write(header)
+            for _ in range(4):
+                out_f.write(body)
+        os.remove(part)
         shutil.rmtree(src + "_dir", ignore_errors=True)
     csv_mb = os.path.getsize(src) / 1048576
     out_dir = os.path.join(stage, "out")
+    # warm the CSV-parse + parquet-write codegen path on a tiny file so
+    # the timed conversion measures throughput, not first-plan compile
+    warm_csv = os.path.join(stage, "warm.csv")
+    if not os.path.exists(warm_csv):
+        with open(src, "rb") as f_in, open(warm_csv, "wb") as f_out:
+            for _ in range(1000):
+                line = f_in.readline()
+                if not line:
+                    break
+                f_out.write(line)
+    convert_file(spark, warm_csv, output_dir=os.path.join(stage, "warm_out"))
     t0 = time.perf_counter()
     res = convert_file(spark, src, output_dir=out_dir, single_file=False)
     convert_s = time.perf_counter() - t0

@@ -551,6 +551,43 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "generate_date_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(range(DATE '1997-01-01', DATE '1997-03-01',
+                               INTERVAL 1 DAY)) AS TIMESTAMP) AS d)
+    SELECT s.d AS order_day, COUNT(o.o_orderkey) AS n_orders
+    FROM spine s LEFT JOIN orders o
+      ON CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) = s.d
+    GROUP BY s.d
+    """,
+)
+def generate_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date spine (sequence + explode) left-joined to facts —
+    the calendar-table pattern that reports zero-activity days. The
+    spine is generated, not stored; it broadcasts to the fact side."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("date"),
+                F.lit("1997-02-28").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    ).select(F.col("day").cast("timestamp_ntz").alias("order_day"))
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("order_day"),
+        "o_orderkey",
+    )
+    return (
+        F.broadcast(spine)
+        .join(o, "order_day", "left")
+        .groupBy("order_day")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@CAT.query(
     "grouped_pandas_order_seq",
     oracle="""
     SELECT o_orderkey, o_custkey,
