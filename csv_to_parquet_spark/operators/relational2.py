@@ -551,6 +551,122 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "profile_table_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS qty_nonnull,
+           MIN(l_quantity) AS qty_min,
+           MAX(l_quantity) AS qty_max,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS flag_card,
+           CAST(MIN(l_shipdate) AS TIMESTAMP) AS ship_min,
+           CAST(MAX(l_shipdate) AS TIMESTAMP) AS ship_max,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS disc_violations
+    FROM lineitem
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: null counts, ranges, cardinalities, and a
+    constraint check in ONE scan (all aggregates fold map-side, one
+    single-row exchange) — the ingestion-QA step a pipeline runs before
+    promoting data. The reference's only validation is output-file
+    non-emptiness (converter/converter.go:161-166)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("qty_nonnull"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.count_distinct("l_returnflag").alias("flag_card"),
+        F.min("l_shipdate").cast("timestamp_ntz").alias("ship_min"),
+        F.max("l_shipdate").cast("timestamp_ntz").alias("ship_max"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("disc_violations"),
+    )
+
+
+@CAT.query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_cents
+    FROM supplier, rev
+    WHERE s_suppkey = l_suppkey
+      AND total_cents = (SELECT MAX(total_cents) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, then the
+    supplier(s) achieving the global maximum (aggregate → scalar-max
+    semi-filter → dim join). The revenue aggregate is computed once and
+    reused for both the max and the final join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_c).alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("m"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_cents == mx.m)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@CAT.query(
+    "udtf_split_bigrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents WHERE doc_id < 5)
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS bigram_idx,
+           array_to_string(toks[i:i+1], ' ') AS bigram
+    FROM t, unnest(range(1, len(toks))) r(i)
+    """,
+)
+def udtf_split_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row → many output rows
+    with arbitrary Python logic — the extension point for custom
+    flatteners/parsers. (This one deliberately mirrors a pure-Spark
+    explode so the oracle can verify the UDTF machinery exactly; the
+    explode formulation in text_ngram_top50 remains the perf path.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, bigram_idx bigint, bigram string")
+    class BigramUDTF:
+        def eval(self, doc_id: int, text: str):
+            toks = text.strip().split()
+            for i in range(len(toks) - 1):
+                yield doc_id, i, f"{toks[i]} {toks[i + 1]}"
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    d.createOrReplaceTempView("_udtf_docs_in")
+    spark.udtf.register("split_bigrams", BigramUDTF)
+    return spark.sql(
+        "SELECT t.* FROM _udtf_docs_in, "
+        "LATERAL split_bigrams(doc_id, text) t"
+    )
+
+
+@CAT.query(
     "generate_date_spine",
     oracle="""
     WITH spine AS (

@@ -200,6 +200,53 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "stream_stream_join_purchase_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks within the preceding 10 minutes. Both sides are watermarked
+    and the join condition time-bounds the state, so Spark can evict
+    buffered rows — the production shape for attribution joins; an
+    unbounded-condition stream-stream join would grow state forever.
+    availableNow drains both sides, so the result equals the batch
+    interval join (the oracle)."""
+    ev = _events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    return _run_to_memory(joined, mode="append")
+
+
+@CAT.query(
     "stream_stateful_user_counters",
     oracle="""
     SELECT user_id,
