@@ -551,6 +551,85 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "string_funcs2_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name[1:1]) || lower(p_name[2:]) AS name_title,
+           translate(p_brand, '#', '_') AS brand_tr,
+           repeat(p_brand[1:1], 3) AS b3,
+           reverse(p_type) AS type_rev,
+           CAST(instr(p_type, 'AN') AS BIGINT) AS an_pos,
+           left(p_name, 5) AS name_l5,
+           right(p_type, 4) AS type_r4,
+           CAST(starts_with(p_type, 'PROMO') AS BOOLEAN) AS is_promo,
+           CAST(contains(p_name, 'red') AS BOOLEAN) AS has_red
+    FROM part
+    """,
+)
+def string_funcs2_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function suite: title-case composition/translate/
+    repeat/reverse/instr/left/right/startswith/contains."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)),
+            F.lower(F.expr("substring(p_name, 2)")),
+        ).alias("name_title"),
+        F.translate("p_brand", "#", "_").alias("brand_tr"),
+        F.repeat(F.substring("p_brand", 1, 1), 3).alias("b3"),
+        F.reverse("p_type").alias("type_rev"),
+        F.instr("p_type", "AN").cast("bigint").alias("an_pos"),
+        F.substring("p_name", 1, 5).alias("name_l5"),
+        F.substring(F.col("p_type"), -4, 4).alias("type_r4"),
+        F.startswith(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
+        F.contains(F.col("p_name"), F.lit("red")).alias("has_red"),
+    )
+
+
+@CAT.query(
+    "array_funcs_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(list_contains(toks, 'hash') AS BOOLEAN) AS has_hash,
+           CAST(list_position(toks, 'table') AS BIGINT) AS table_pos,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted
+    FROM t
+    """,
+)
+def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function suite over token arrays: size/distinct/contains/
+    position/indexing/sort+slice — all JVM-side array ops.
+    (array_position returns 0 for missing in both engines.)"""
+    from csv_to_parquet_spark.functions import tokenize
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", tokenize("text").alias("toks"))
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.array_contains("toks", "hash").alias("has_hash"),
+        F.array_position("toks", "table").cast("bigint").alias("table_pos"),
+        F.col("toks")[0].alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("toks")), 1, 3), ","
+        ).alias("first3_sorted"),
+    )
+
+
+@CAT.query(
     "profile_table_stats",
     oracle="""
     SELECT COUNT(*) AS n_rows,
