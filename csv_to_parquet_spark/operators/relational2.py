@@ -551,6 +551,41 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "set_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM (
+      SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k, COUNT(*) AS n FROM (
+      SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+    """,
+)
+def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL keep
+    duplicate multiplicities, unlike the distinct set ops in wave 1."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return ia.unionByName(ea)
+
+
+@CAT.query(
     "string_funcs2_part",
     oracle="""
     SELECT p_partkey,
