@@ -551,6 +551,95 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "regexp_funcs_docs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '[a-z]+') AS first_word,
+           CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS BIGINT) AS n_ta_words,
+           CAST(regexp_matches(text, 'hash') AS BOOLEAN) AS mentions_hash,
+           regexp_replace(text, '[aeiou]+', '-', 'g')[1:20] AS devoweled_20
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def regexp_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp suite: extract / extract_all count / match test / replace.
+    Patterns stay in the common subset of Java regex (Spark) and RE2
+    (DuckDB) so both engines agree."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit("ta[a-z]+"), 0))
+        .cast("bigint")
+        .alias("n_ta_words"),
+        F.col("text").rlike("hash").alias("mentions_hash"),
+        F.substring(F.regexp_replace("text", "[aeiou]+", "-"), 1, 20).alias(
+            "devoweled_20"
+        ),
+    )
+
+
+@CAT.query(
+    "filtered_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents,
+           CAST(MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'P') AS TIMESTAMP)
+             AS last_pending
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates — per-aggregate predicates in one pass
+    (one scan, one exchange) instead of N filtered subqueries."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                   FILTER (WHERE o_orderstatus = 'O') AS open_cents,
+               CAST(MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'P')
+                    AS TIMESTAMP_NTZ) AS last_pending
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@CAT.query(
+    "bitwise_funcs_keys",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 15 AS or15,
+           xor(l_orderkey, l_linenumber) AS xored,
+           l_orderkey << 2 AS shl2,
+           l_orderkey >> 3 AS shr3,
+           CAST(bit_count(l_orderkey) AS BIGINT) AS popcount
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def bitwise_funcs_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function suite: and/or/xor/shifts/popcount."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).alias("or15"),
+        k.bitwiseXOR(F.col("l_linenumber")).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+    )
+
+
+@CAT.query(
     "set_multiset_ops",
     oracle="""
     WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
