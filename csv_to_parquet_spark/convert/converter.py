@@ -33,7 +33,6 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.convert.headers import clean_headers
 from csv_to_parquet_spark.convert.inference import (
@@ -41,7 +40,6 @@ from csv_to_parquet_spark.convert.inference import (
     cast_column,
     format_schema,
     infer_column_kinds,
-    to_struct_type,
 )
 
 log = logging.getLogger("csv_to_parquet_spark")
@@ -129,52 +127,24 @@ def read_csv_typed(
 ) -> DataFrame:
     """Pass 2: the conversion scan.
 
-    Fast path (parity mode): hand the inferred schema straight to the
-    CSV reader — ONE codegen'd parse per cell, and PERMISSIVE mode
-    already implements the reference's silent-NULL cast semantics
-    (converter.go:393-399): an unparseable cell nulls that cell, short
-    rows pad, extra cells drop. ~2× the throughput of reading
-    all-string and re-casting (which parses every cell twice).
-    Whitespace options reproduce the reference's per-cell TrimSpace
-    (converter.go:385); ``nullValue=""`` makes empty ⇒ NULL in every
-    type.
+    All-string CSV scan plus ONE codegen'd trim/try_cast projection —
+    exactly the reference's parse order (CSV-parse, then TrimSpace,
+    then per-type parse, converter.go:380-412). This order matters: a
+    typed CSV read looks faster (the parser casts in place) but its
+    whitespace handling never reaches inside quoted fields, so a
+    quoted padded numeric like ``"  5  "`` would silently null where
+    the reference stores 5. The projection reproduces silent-NULL cast
+    semantics: unparseable ⇒ NULL, empty/whitespace-only ⇒ NULL in
+    every type, short rows pad, extra cells drop (PERMISSIVE).
 
-    Enhanced-dates mode keeps the all-string + try_cast projection:
-    typed CSV reads accept only one date/timestamp layout, while the
-    reference probes six (converter.go:264-271).
+    Enhanced-dates mode changes nothing here — ``cast_column`` probes
+    the reference's six date/timestamp layouts when inference typed the
+    column date/timestamp (converter.go:264-271).
     """
-    if enhanced_dates and any(c.kind in ("date", "timestamp") for c in cols):
-        raw = read_csv_raw(spark, path, delimiter, len(cols))
-        return raw.select(
-            *[cast_column(c.kind, f"_raw{i}").alias(c.name) for i, c in enumerate(cols)]
-        )
-    df = (
-        spark.read.option("header", True)
-        .option("sep", delimiter)
-        .option("mode", "PERMISSIVE")
-        .option("unescapedQuoteHandling", "STOP_AT_DELIMITER")
-        .option("escape", '"')
-        .option("nullValue", "")
-        .option("ignoreLeadingWhiteSpace", True)
-        .option("ignoreTrailingWhiteSpace", True)
-        .option("enforceSchema", True)
-        .schema(to_struct_type(cols))
-        .csv(path)
+    raw = read_csv_raw(spark, path, delimiter, len(cols))
+    return raw.select(
+        *[cast_column(c.kind, f"_raw{i}").alias(c.name) for i, c in enumerate(cols)]
     )
-    # the whitespace options do not reach inside quoted fields; the
-    # reference trims AFTER csv parsing (converter.go:385), so quoted
-    # "  x  " must store as "x" and quoted whitespace as NULL — one
-    # cheap projection on string columns only, no reparse.
-    if any(c.kind == "string" for c in cols):
-        df = df.select(
-            *[
-                F.nullif(F.trim(F.col(c.name)), F.lit("")).alias(c.name)
-                if c.kind == "string"
-                else F.col(c.name)
-                for c in cols
-            ]
-        )
-    return df
 
 
 def infer_file_schema(

@@ -4,7 +4,9 @@ The reference (converter/converter.go:185-303) samples the first
 ``sample_rows`` data rows and folds per-column types through a widening
 lattice, starting optimistically at INT64:
 
-- empty/whitespace-only cells are skipped (never widen) — :231-233
+- truly empty cells are skipped (never widen) — :231-233; a
+  whitespace-only cell is NOT skipped: inferType trims it to "" and
+  returns typeString, so it votes string and widens the column
 - bool = case-insensitive literal true/false — :248-251
 - int  = Go ``strconv.ParseInt`` (so ``+5`` ok, ``1e3`` not) — :254-256
 - float = ``ParseFloat`` (so ``1e3``, ``NaN``, ``Inf``) — :259-261
@@ -89,8 +91,13 @@ def infer_column_kinds(
     """One aggregation pass over an all-string sample → column kinds."""
     aggs = []
     for idx, name in enumerate(sample.columns):
-        v = F.trim(F.col(name))
-        ne = v != ""
+        raw = F.col(name)
+        v = F.trim(raw)
+        # reference skips only truly EMPTY cells (converter.go:231-233);
+        # a whitespace-only cell trims to "" inside inferType and votes
+        # string — so it counts toward n but matches no type class.
+        ne = raw.isNotNull() & (raw != "")
+        cls = ne & (v != "")
         is_bool = F.lower(v).isin("true", "false")
         is_int = v.try_cast("bigint").isNotNull()
         is_float = v.try_cast("double").isNotNull()
@@ -103,11 +110,11 @@ def infer_column_kinds(
         aggs.extend(
             [
                 _count(ne).alias(f"c{idx}_n"),
-                _count(ne & is_bool).alias(f"c{idx}_b"),
-                _count(ne & is_int).alias(f"c{idx}_i"),
-                _count(ne & is_float).alias(f"c{idx}_f"),
-                _count(ne & date_probe).alias(f"c{idx}_d"),
-                _count(ne & ts_probe).alias(f"c{idx}_t"),
+                _count(cls & is_bool).alias(f"c{idx}_b"),
+                _count(cls & is_int).alias(f"c{idx}_i"),
+                _count(cls & is_float).alias(f"c{idx}_f"),
+                _count(cls & date_probe).alias(f"c{idx}_d"),
+                _count(cls & ts_probe).alias(f"c{idx}_t"),
             ]
         )
     row = sample.agg(*aggs).collect()[0]

@@ -884,7 +884,12 @@ def udtf_split_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def generate_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated date spine (sequence + explode) left-joined to facts —
     the calendar-table pattern that reports zero-activity days. The
-    spine is generated, not stored; it broadcasts to the fact side."""
+    fact side is aggregated to day granularity FIRST (map-side partial
+    agg collapses 100 TB of orders to one row per day), then the spine
+    left-joins the tiny day-level aggregate with a broadcast on the
+    non-preserved side — Spark cannot broadcast the preserved side of
+    an outer join, so joining raw facts with a spine-side hint would
+    silently fall back to a shuffle join over the whole fact table."""
     spine = spark.range(1).select(
         F.explode(
             F.sequence(
@@ -894,15 +899,16 @@ def generate_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("day")
     ).select(F.col("day").cast("timestamp_ntz").alias("order_day"))
-    o = _t(spark, sf_dir, "orders").select(
-        F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("order_day"),
-        "o_orderkey",
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("order_day")
+        )
+        .agg(F.count("o_orderkey").alias("cnt"))
     )
-    return (
-        F.broadcast(spine)
-        .join(o, "order_day", "left")
-        .groupBy("order_day")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+    return spine.join(F.broadcast(daily), "order_day", "left").select(
+        "order_day",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_orders"),
     )
 
 

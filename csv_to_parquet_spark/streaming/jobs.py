@@ -148,7 +148,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       FROM events),
     s AS (
       SELECT user_id,
@@ -274,9 +274,14 @@ def stream_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame
         n, cents_total, last_us = (
             state.get if state.exists else (0, 0, 0)
         )
+        import numpy as np
+
         for pdf in batches:
             n += len(pdf)
-            cents_total += int(round(pdf["value"] * 100).sum())
+            # half-away-from-zero to match Spark/DuckDB ROUND (cents());
+            # pandas/numpy .round is half-even and would diverge on
+            # exact .5 fractions of a cent
+            cents_total += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
             last_us = max(
                 last_us, int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
             )
@@ -302,11 +307,18 @@ def stream_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     res = _run_to_memory(out, mode="update")
-    # update-mode emits one row per (user, batch); keep the final state
+    # update-mode emits one row per (user, batch); keep the final state.
+    # n_events is strictly increasing across emissions, so max over the
+    # whole struct selects the last emission ATOMICALLY — independent
+    # per-column maxes would mix states if any counter ever regressed
+    # (e.g. negative event values).
     latest = res.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max("value_cents").alias("value_cents"),
-        F.max("last_us").alias("last_us"),
+        F.max(F.struct("n_events", "value_cents", "last_us")).alias("s")
+    ).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.value_cents").alias("value_cents"),
+        F.col("s.last_us").alias("last_us"),
     )
     return latest.select(
         "user_id",
