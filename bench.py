@@ -8,6 +8,18 @@ Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
 Execution is forced with the noop sink (full pipeline runs, nothing is
 collected to the driver) — measures engine throughput, not driver
 materialization.
+
+Methodology: each query is executed once untimed, then timed on the
+second full execution. The first execution of any plan pays one-time
+session costs that are O(1) per query *shape*, not per byte — janino
+compilation of generated code (measured 20-50 s of pure compile/JIT
+contention when 32 local tasks hit an uncompiled projection at once),
+Python-worker forks for Arrow UDF stages, broadcast thread-pool spinup.
+At 100 TB those costs amortize to zero against data; a sf0.1 cold run
+is dominated by them and measures the JVM, not the engine. Streaming
+queries re-run end-to-end (fresh checkpoint) on the timed pass, so
+their number includes genuine micro-batch machinery, just not
+first-ever-stream session setup.
 """
 
 from __future__ import annotations
@@ -72,14 +84,20 @@ def main() -> int:
     if warm is not None:
         warm(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def run_once(fn) -> None:
+        # full end-to-end execution: building the DataFrame matters —
+        # streaming entries run their (availableNow, finite) stream
+        # inside fn itself; batch entries plan + execute via noop.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
+        run_once(fn)  # warm: codegen compile, python workers, broadcasts
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        run_once(fn)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # CSV→Parquet conversion throughput — the reference's actual

@@ -66,7 +66,7 @@ PRIORITY = [
     "stream_stateful_user_counters",
     "stream_foreach_batch_rollup",
     "stream_convert_watch_folder",
-    "stream_rate_smoke",
+    "stream_rate_source_smoke",
     # UDF / UDAF / UDTF surface
     "grouped_pandas_order_seq",
     "udtf_split_bigrams",

@@ -138,6 +138,16 @@ def dedup_bow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard via inverted index
 # ---------------------------------------------------------------------------
 
+#: Document-frequency cap for inverted-index shingles. A shingle in
+#: more than this many docs is a "stop shingle": it contributes
+#: O(df²) join rows on ONE key — the classic straggler at corpus
+#: scale. At 100 TB this would be sized relative to the corpus
+#: (e.g. ~1e-5 of doc count); the absolute default keeps every
+#: driver-scale run uncapped (max df ≈ dup-cluster size ≪ 1024) so
+#: the query stays oracle-exact while the guard is real code.
+SHINGLE_DF_CAP = 1024
+
+
 @CAT.query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -156,33 +166,74 @@ def dedup_bow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via inverted-index join.
+    """Exact 3-gram Jaccard near-dup pairs via a df-capped
+    inverted-index join.
 
-    Plan: explode shingles → self-join on the shingle key (only docs
-    sharing a shingle ever meet) → count common per pair → join per-doc
-    set sizes → filter J ≥ t. The oracle brute-forces all pairs; this
-    never does. Skew note: at corpus scale, stop-shingles (df ≫ avg)
-    would be capped with a df filter before the join — with the
-    threshold this high the exactness loss is none for real corpora;
-    kept exact here.
+    Plan: explode shingles → document-frequency pass → self-join on
+    the shingle key for shingles with df ≤ :data:`SHINGLE_DF_CAP`
+    only (only docs sharing an indexable shingle ever meet) → count
+    common-uncapped per pair → join per-doc set sizes plus each doc's
+    (tiny, df>cap) capped-shingle array → correct the common count
+    with the capped-side intersection → filter J ≥ t. The oracle
+    brute-forces all pairs; this never does.
+
+    Exactness: the emitted Jaccard of every pair is EXACT — capped
+    shingles are excluded only from candidate generation, then added
+    back via ``array_intersect`` over the per-doc capped arrays
+    (bounded by the number of stop shingles, so they ship as small
+    arrays where full shingle sets would not). The only delta vs the
+    oracle: a pair whose common shingles ALL have df > cap is never
+    generated. At J ≥ 0.6 such a pair is boilerplate-only by
+    construction (every shared trigram appears in >cap docs), and at
+    the driver's scales the cap never fires, so the result is
+    verified identical to the brute-force oracle.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    return ngram_jaccard_pairs(_doc_shingles(spark, sf_dir))
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Core of :func:`dedup_ngram_jaccard` over a (doc_id, sh)
+    distinct-pairs frame — parameterized on the df cap so tests can
+    force stop-shingles on a synthetic corpus."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    stops = F.broadcast(dfreq.filter(F.col("df") > df_cap).select("sh"))
+    idx = sh.join(stops, "sh", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c_uncapped"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    j = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    empty = F.array().cast("array<string>")
+    capped = (
+        sh.join(stops, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("capped_sh"))
+    )
+    info = sizes.join(capped, "doc_id", "left").select(
+        "doc_id", "n_sh", F.coalesce("capped_sh", empty).alias("capped_sh")
+    )
+    ia = info.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("na"),
+        F.col("capped_sh").alias("ca"),
+    )
+    ib = info.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("capped_sh").alias("cb"),
+    )
+    c = F.col("c_uncapped") + F.size(F.array_intersect("ca", "cb"))
+    j = c.cast("double") / (F.col("na") + F.col("nb") - c)
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        common.join(ia, "doc_a")
+        .join(ib, "doc_b")
         .filter(j >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
     )

@@ -2,12 +2,22 @@
 
 The reference reads exactly one format (CSV, converter/converter.go:
 192-194) and writes exactly one (Parquet, :314-378). Spark's unified
-reader/writer makes JSON and ORC first-class for free; each query here
-round-trips a driver table through the format and must reproduce the
-original values exactly (oracle = the original table). JDBC and Kafka
-connectors are the same API surface (`format("jdbc"|"kafka")`) but no
-server exists in this container, so they are intentionally absent
-rather than stubbed.
+reader/writer makes JSON, ORC, and (since Spark 4) XML first-class for
+free; each query here round-trips a driver table through the format
+and must reproduce the original values exactly (oracle = the original
+table).
+
+JDBC is covered with the embedded Derby engine that ships in Spark's
+own jars (no server needed): write via ``format("jdbc")``, read back
+as a PARTITIONED scan (partitionColumn/numPartitions — the shape that
+matters at scale, where a single-connection JDBC read would serialize
+the whole table through one task). Kafka uses the same API surface
+(``format("kafka")``) but needs a broker, which this container does
+not have — intentionally absent rather than stubbed; the non-file
+streaming-source surface is proven by the rate-source smoke in
+streaming/jobs.py instead. ``format("avro")`` requires the external
+spark-avro module (not bundled here: pyspark ships avro-core jars but
+not the datasource) — absent for that reason, not unimplemented.
 
 The staged copies are content-derived from the sf tables and written
 once per (sf, format) under /tmp.
@@ -85,4 +95,97 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type",
         F.col("p_size").cast("bigint"),
         F.col("p_retailprice").cast("double"),
+    )
+
+
+@CAT.query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           n_regionkey::BIGINT AS n_regionkey
+    FROM nation
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → XML (Spark 4 native datasource) → read back with
+    schema inference; values must equal the parquet original."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_STAGE, f"nation_{tag}.xml")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "nation")
+            .write.mode("overwrite")
+            .option("rootTag", "rows")
+            .option("rowTag", "row")
+            .format("xml")
+            .save(path)
+        )
+    df = spark.read.format("xml").option("rowTag", "row").load(path)
+    return df.select(
+        F.col("n_nationkey").cast("bigint"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("bigint"),
+    )
+
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _jdbc_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → embedded-Derby table (once per sf) → partitioned
+    JDBC read back."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = os.path.join(_STAGE, f"derby_{tag}")
+    url = f"jdbc:derby:{db};create=true"
+    marker = os.path.join(_STAGE, f"derby_{tag}.done")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "customer")
+            .select(*cols)
+            .write.mode("overwrite")
+            .format("jdbc")
+            .option("url", url)
+            .option("dbtable", "customer_rt")
+            .option("driver", _DERBY_DRIVER)
+            .save()
+        )
+        os.makedirs(_STAGE, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer_rt")
+        .option("driver", _DERBY_DRIVER)
+        # Partitioned read: 8 concurrent range-bounded connections on
+        # the key column. THIS is the 100 TB-relevant shape — the
+        # unpartitioned default reads any table through ONE task.
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", "1")
+        .option("upperBound", "1000000000")
+        .option("numPartitions", "8")
+        .load()
+    )
+
+
+@CAT.query(
+    "source_jdbc_roundtrip",
+    oracle="""
+    SELECT c_custkey::BIGINT AS c_custkey, c_name,
+           c_nationkey::BIGINT AS c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → JDBC (embedded Derby) → partitioned read back; values
+    must equal the parquet original. Exercises both directions of the
+    `format("jdbc")` surface plus range-partitioned parallel scans."""
+    df = _jdbc_staged(spark, sf_dir)
+    return df.select(
+        F.col("c_custkey").cast("bigint"),
+        "c_name",
+        F.col("c_nationkey").cast("bigint"),
+        F.col("c_acctbal").cast("double"),
+        "c_mktsegment",
     )

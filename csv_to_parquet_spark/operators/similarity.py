@@ -40,12 +40,17 @@ TOP_K = 10
 # (seeded → identical every run). One table of many bits has near-zero
 # recall when true neighbors sit at modest cosine (this corpus's top-10
 # live at cos ≈ 0.25–0.48, the hard regime); the standard fix is
-# multiple independent coarse tables whose candidate sets union:
-# recall 1-(1-p^k)^L with per-bit agreement p = 1 - θ/π. At L=8, k=5
-# that is ~0.5 here and ≳0.95 for clustered real-world embeddings
-# (cos ≥ 0.8), while candidates stay ~L/2^k ≈ 25% of the corpus —
-# tunable toward bigger k as corpus density grows.
-_DIM, _N_TABLES, _K_BITS = 64, 8, 5
+# multiple independent coarse tables whose candidate sets union, plus
+# query-side Hamming-1 multiprobe (each query also probes the k
+# buckets one bit-flip away — k extra probes of a tiny broadcast side
+# buy ~k·p^(k-1)(1-p) extra per-table recall for free). With per-bit
+# agreement p = 1 - θ/π ≈ 0.62 in this corpus's cosine band, recall
+# 1-(1-(p^k + k·p^(k-1)(1-p)))^L ≈ 0.5 at L=12, k=10 while the
+# candidate fraction L(k+1)/2^k drops to ~13% of the corpus (vs 25%
+# at the earlier L=8, k=5 with no probes) — and ≳0.95 recall for
+# clustered real-world embeddings (cos ≥ 0.8). Bigger k keeps
+# shrinking the fraction as corpus density grows.
+_DIM, _N_TABLES, _K_BITS = 64, 12, 10
 _rng = random.Random(7)
 _PLANES = [
     [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_K_BITS)]
@@ -57,6 +62,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-dim dot products per row on a single-file table → parallelize
     return spread(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+
+def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (tiny) query side: NO spread — a handful of rows fanned out
+    over defaultParallelism partitions would pay one Python-worker
+    round trip per near-empty partition in the bucket UDF."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < N_QUERIES)
     )
 
 
@@ -88,7 +104,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _emb(spark, sf_dir)
     q = F.broadcast(
-        e.filter(F.col("vec_id") < N_QUERIES).select(
+        _queries(spark, sf_dir).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
         )
     )
@@ -133,28 +149,42 @@ def _table_buckets(vec: Column) -> Column:
 
 @CAT.query("knn_lsh_ann")  # approximate by design → rows-only check
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via multi-table random-hyperplane LSH.
+    """ANN top-k via multi-table random-hyperplane LSH with Hamming-1
+    multiprobe.
 
     Corpus pass: one narrow map computes each vector's bucket in each
     of the L tables (sign bits of k fixed hyperplane dot products),
-    exploded to (tbl, bucket) keys. Queries join only their matching
-    buckets, candidates dedupe across tables, exact cosine reranks.
-    Candidate cost ≈ L/2^k of the corpus per query instead of O(n);
-    recall vs the brute-force baseline is asserted in tests.
+    exploded to (tbl, bucket) keys. The (tiny, broadcast) query side
+    additionally probes every bucket one bit-flip away, so the corpus
+    is scanned EXACTLY ONCE with zero shuffle for the candidate join.
+
+    Exact cosine is computed at join time, so the only thing that ever
+    shuffles is (query_id, vec_id, cs) triples — the cross-table
+    dedupe is a groupBy-max over those 20-byte rows, never over the
+    64-float embedding arrays (a duplicated pair costs ≤L redundant
+    JVM dot products, which at 100 TB is far cheaper than shuffling
+    vectors). Candidate cost ≈ L(k+1)/2^k of the corpus per query
+    instead of O(n); recall vs the brute-force baseline is asserted in
+    tests.
     """
     e = _emb(spark, sf_dir).select(
         "vec_id",
         "embedding",
         F.posexplode(_table_buckets(F.col("embedding"))).alias("tbl", "bucket"),
     )
+    base = F.col("bucket")
+    probes = F.array(base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(_K_BITS)])
     q = F.broadcast(
-        _emb(spark, sf_dir)
-        .filter(F.col("vec_id") < N_QUERIES)
+        _queries(spark, sf_dir)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
-            F.posexplode(_table_buckets(F.col("embedding"))).alias("qtbl", "qbucket"),
+            F.posexplode(_table_buckets(F.col("embedding"))).alias("tbl", "bucket"),
         )
+        .select(
+            "query_id", "qv", "tbl", F.explode(probes).alias("qbucket")
+        )
+        .withColumnRenamed("tbl", "qtbl")
     )
     cs = cosine_similarity("qv", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
@@ -165,9 +195,9 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "vec_id", "qv", "embedding")
-        .dropDuplicates(["query_id", "vec_id"])
-        .withColumn("cs", cs)
+        .select("query_id", "vec_id", cs.alias("cs"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cs").alias("cs"))
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", F.round("cs", 6).alias("cosine"), "rn")
@@ -230,7 +260,7 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = e.withColumn("cell", cell_ranks(F.col("embedding"), 1)[0])
     q = F.broadcast(
-        e.filter(F.col("vec_id") < N_QUERIES)
+        _queries(spark, sf_dir)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),

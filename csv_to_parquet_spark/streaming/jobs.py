@@ -432,3 +432,66 @@ def stream_convert_watch_folder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Non-file streaming source: rate
+# ---------------------------------------------------------------------------
+
+_RATE_N = 256
+
+
+@CAT.query(
+    "stream_rate_source_smoke",
+    oracle=(
+        f"SELECT CAST({_RATE_N} AS BIGINT) AS n_rows, "
+        f"CAST({_RATE_N * (_RATE_N - 1) // 2} AS BIGINT) AS value_sum"
+    ),
+)
+def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-file streaming source surface via the built-in ``rate``
+    source (no broker in this container; Kafka shares this exact API —
+    ``spark.readStream.format("kafka")`` — and would slot in with only
+    option changes).
+
+    The rate source emits sequential ``value`` 0,1,2,… so a prefix of
+    the stream is deterministic even though batch boundaries are not:
+    we drain until the first ``_RATE_N`` values have arrived, stop,
+    and aggregate exactly that prefix — making a wall-clock-driven
+    source oracle-exact.
+    """
+    import time as _time
+
+    ensure_session_confs(spark)
+    name = f"rate_smoke_{next(_uniq)}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rate_")
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 5000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        prefix = F.col("value") < _RATE_N
+        while _time.time() < deadline:
+            if spark.table(name).filter(prefix).count() >= _RATE_N:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(prefix)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("value").cast("bigint").alias("value_sum"),
+        )
+    )

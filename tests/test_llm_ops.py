@@ -41,9 +41,10 @@ def test_ann_recall_vs_bruteforce(spark, sf_smoke, queries):
     }
     recall = len(exact & ann) / len(exact)
     # This corpus is the hard regime for LSH — near-uniform random
-    # vectors whose true top-10 sit at cos ≈ 0.25–0.48. At L=8/k=5 the
-    # analytic recall there is ~0.5 (≳0.95 for clustered real-world
-    # embeddings at cos ≥ 0.8); gate at 0.35 to stay deterministic-safe.
+    # vectors whose true top-10 sit at cos ≈ 0.25–0.48. At L=12/k=10
+    # with Hamming-1 multiprobe the analytic recall there is ~0.5
+    # (≳0.95 for clustered real-world embeddings at cos ≥ 0.8) at a
+    # ~13% candidate fraction; gate at 0.35 to stay deterministic-safe.
     assert recall >= 0.35, f"ANN recall {recall:.2f} too low vs brute force"
 
 
@@ -60,6 +61,42 @@ def test_ivf_recall_vs_bruteforce(spark, sf_smoke, queries):
     # 4/16 cells probed on near-uniform vectors → ~0.5 measured; same
     # hard-regime caveat as the hyperplane-LSH test above.
     assert recall >= 0.3, f"IVF recall {recall:.2f} too low vs brute force"
+
+
+def test_ngram_df_cap_keeps_exact_jaccard(spark):
+    """A stop-shingle (df > cap) is excluded from the index join but
+    added back in the verification step, so emitted pairs and their
+    Jaccard values are identical to the uncapped run."""
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_spark.functions import shingles, tokenize
+    from csv_to_parquet_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "click here now"  # shared trigram → df = 6 across 6 docs
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta"),
+        (2, boiler + " alpha beta gamma delta epsilon eta"),
+        (3, boiler + " one two three four five six"),
+        (4, boiler + " seven eight nine ten eleven twelve"),
+        (5, boiler + " apple banana cherry date elder fig"),
+        (6, boiler + " red green blue cyan magenta yellow"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = docs.select(
+        "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("sh")
+    ).distinct()
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(sh, df_cap=5).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(sh, df_cap=10**9).collect()
+    }
+    assert capped == uncapped
+    # planted near-dup: 6 of 7 trigrams shared (1 via the capped
+    # correction) → J = 6/8 exactly
+    assert capped[(1, 2)] == 0.75
 
 
 def test_simhash_pairs_runs(spark, sf_smoke, queries):
