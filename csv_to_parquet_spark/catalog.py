@@ -31,6 +31,7 @@ PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh",
+    "dedup_connected_components",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",
     # Similarity / ANN
@@ -38,12 +39,14 @@ PRIORITY = [
     "knn_lsh_ann",
     "knn_ivf_ann",
     "similarity_label_centroids",
-    # Text analysis
+    # Text analysis + corpus ops
     "text_token_counts",
     "text_quality_scores",
     "text_language_id",
     "text_fingerprints",
-    "text_ngram_top50",
+    "text_tfidf_top_terms",
+    "text_pii_scan",
+    "split_train_test_hash",
     # Multimodal plumbing
     "mm_binary_metadata",
     "mm_image_features_stub",
@@ -70,15 +73,13 @@ PRIORITY = [
     # UDF / UDAF / UDTF surface
     "grouped_pandas_order_seq",
     "udtf_split_bigrams",
-    # Relational sample (one per family; all r1-green already)
+    # Relational sample (one per family; q1/asof/window/rollup were
+    # r1-green, the rest rotate through the window round by round)
     "q1_pricing_summary",
-    "q18_large_volume_customers",
     "join_asof_purchase_signup",
     "window_rank_top3_orders",
     "rollup_region_nation",
-    "set_multiset_ops",
-    "regexp_funcs_docs",
-    "generate_date_spine",
+    "q17_small_quantity_revenue",
 ]
 
 
@@ -91,6 +92,7 @@ def build_catalog() -> Catalog:
 
     for modname in (
         "relational2",
+        "relational3",
         "conversion",
         "dedup",
         "similarity",

@@ -437,6 +437,103 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster formation: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 15
+
+
+@CAT.query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS c,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM t a, t b WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+    SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    MinHash-LSH near-dup pair graph — the step that turns pairwise
+    near-dups into "keep one doc per cluster" decisions in a real
+    corpus-dedup pipeline.
+
+    Algorithm: hash-to-min label propagation (Rastogi et al., "Finding
+    Connected Components in Map-Reduce in Logarithmic Rounds", ICDE
+    2013): every node starts labeled with its own id and repeatedly
+    takes the min label over itself and its neighbors, until a
+    fixpoint. Each iteration is one shuffle-bounded join + groupBy
+    over (node, label) LONG pairs — never over document payloads —
+    and labels are monotonically non-increasing, so convergence is
+    detected by comparing ``sum(label)`` between iterations (one
+    tiny aggregate per round, no extra join). Near-dup clusters at
+    J ≥ 0.6 are clique-dense with diameter ~2-3, so 3-4 rounds
+    suffice; the loop is capped at ``_CC_MAX_ITERS``.
+
+    The oracle computes the same components with a recursive CTE
+    (min reachable doc_id == cluster id). Output: one row per doc
+    that appears in at least one near-dup pair; singletons are
+    implicitly their own cluster and are not emitted.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # monotone ⇒ equal sums ⇔ fixpoint
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

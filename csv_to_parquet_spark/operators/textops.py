@@ -239,3 +239,171 @@ def text_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: TF-IDF
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+
+@CAT.query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+    SELECT doc_id, term, tfidf, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM s) t
+    WHERE rn <= {_TFIDF_K}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{k} TF-IDF terms — the classic corpus-level
+    keyword extraction.
+
+    Plan: explode tokens → (doc, term) counts with map-side partial
+    agg → document-frequency agg on the term key → join tf⋈df on term
+    → broadcast the 1-row corpus count → per-doc top-k window. Two
+    aggregations and one join, all on (term, long) pairs; ranking is
+    on the ROUNDED score so sub-ulp ln() differences between engines
+    cannot flip ranks (term asc breaks exact ties).
+    """
+    toks = tokenize(F.lower(F.col("text")))
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scanning and deterministic splits/sampling
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no lookaround) so the DuckDB oracle runs the
+# *identical* regex; Java's engine is a superset for these constructs.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+@CAT.query(
+    "text_pii_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phoneish,
+           (len(regexp_extract_all(text, '{_PII_EMAIL}')) > 0
+            OR len(regexp_extract_all(text, '{_PII_IPV4}')) > 0
+            OR len(regexp_extract_all(text, '{_PII_PHONE}')) > 0) AS has_pii
+    FROM documents
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection pass: count email / IPv4 / phone-shaped spans per
+    document — the filter gate a pre-training pipeline runs before
+    publishing a corpus. Pure codegen'd regexp_count projections, one
+    narrow map at any scale."""
+    n_em = F.regexp_count("text", F.lit(_PII_EMAIL)).cast("bigint")
+    n_ip = F.regexp_count("text", F.lit(_PII_IPV4)).cast("bigint")
+    n_ph = F.regexp_count("text", F.lit(_PII_PHONE)).cast("bigint")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ip.alias("n_ipv4"),
+        n_ph.alias("n_phoneish"),
+        ((n_em > 0) | (n_ip > 0) | (n_ph > 0)).alias("has_pii"),
+    )
+
+
+@CAT.query(
+    "split_train_test_hash",
+    oracle=f"""
+    SELECT doc_id,
+           {md5_60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+           CASE WHEN {md5_60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by hash bucket — the
+    reproducible alternative to randomSplit: stable across runs,
+    engines, partitionings, and corpus growth (a doc's split never
+    changes when other docs are added). One narrow map, no shuffle."""
+    bucket = F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(100))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket < 90, "train").otherwise("test").alias("split"),
+    )
+
+
+# per-mille keep rates per language band — EN-heavy corpora downsample
+# the dominant language, keep the tail
+_STRATA_PERMILLE = {"en": 300, "de": 700, "fr": 700}
+_STRATA_DEFAULT = 1000
+
+
+@CAT.query(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             {md5_60_sql("CAST(doc_id AS VARCHAR)")} % 1000 AS h
+      FROM documents)
+    SELECT doc_id, lang FROM r
+    WHERE h < CASE lang
+        {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_PERMILLE.items())}
+        ELSE {_STRATA_DEFAULT} END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language keep rates, decided by a
+    deterministic hash bucket instead of an RNG — exactly reproducible
+    (same membership in every engine and run), unlike ``sampleBy``
+    whose membership is seed- and partitioning-dependent. One narrow
+    map; the rate table is a literal CASE, no join."""
+    h = F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(1000))
+    expr = F.lit(_STRATA_DEFAULT)
+    for k, v in reversed(_STRATA_PERMILLE.items()):
+        expr = F.when(F.col("lang") == k, F.lit(v)).otherwise(expr)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", h.alias("h"), expr.alias("rate"))
+        .filter(F.col("h") < F.col("rate"))
+        .select("doc_id", "lang")
+    )
