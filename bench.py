@@ -52,12 +52,19 @@ HEADLINE = [
     # LLM-pipeline headliners
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_connected_components",
     "dedup_simhash_signatures",
     "knn_bruteforce_cosine",
     "knn_lsh_ann",
     "text_quality_scores",
+    "text_tfidf_top_terms",
     "text_ngram_top50",
+    "pipeline_corpus_clean",
     "mm_image_features_stub",
+    # relational wave 3
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
     # streaming
     "stream_tumbling_counts",
 ]

@@ -97,6 +97,7 @@ def build_catalog() -> Catalog:
         "dedup",
         "similarity",
         "textops",
+        "pipelines",
         "multimodal",
         "layout",
         "formats",

@@ -1,0 +1,86 @@
+"""Composite pipelines — several LLM-data operators fused in one DAG.
+
+The individual operators (textops.py, dedup.py) are each a catalog
+query; a real training-data job chains them. This module proves the
+composition works as ONE Catalyst plan — quality gate → language gate
+→ exact dedup → deterministic split — with a single end-to-end oracle,
+rather than materializing intermediates between steps.
+
+Scale shape: one scan of ``documents``, a narrow projection computing
+all gate signals, one shuffle on the content hash for the dedup
+keep-list, one narrow split projection. Filters run BEFORE the dedup
+shuffle, so rejected docs never shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_to_parquet_spark.functions import md5_60, md5_60_sql, tokenize
+from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.operators.textops import _STOP_SQL, _STOPWORDS
+from csv_to_parquet_spark.sources.tables import load_table, spread
+
+CAT = Catalog()
+
+_MIN_TOKENS = 20
+_MIN_ALPHA = 0.5
+_MIN_STOP = 0.03
+
+
+@CAT.query(
+    "pipeline_corpus_clean",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, md5(text) AS m,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents),
+    q AS (
+      SELECT doc_id, m FROM t
+      WHERE len(toks) >= {_MIN_TOKENS}
+        AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / nc >= {_MIN_ALPHA}
+        AND CAST(len(list_filter(toks, x -> lower(x) IN ({_STOP_SQL}))) AS DOUBLE)
+            / len(toks) >= {_MIN_STOP}),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY m)
+    SELECT doc_id,
+           CASE WHEN {md5_60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM keep
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality gate (length + alpha ratio)
+    → English gate (stopword-hit ratio) → exact dedup keeping the
+    lowest doc_id per content hash → deterministic 90/10 split.
+
+    All three gates are codegen'd expressions over one scan; only the
+    surviving (md5, doc_id) pairs reach the dedup shuffle. The whole
+    pipeline is one lazy plan — Catalyst fuses the gates into the
+    scan's filter and prunes every unused column.
+    """
+    toks = tokenize("text")
+    n_chars = F.length("text").cast("bigint")
+    stop_re = r"\s(?:" + "|".join(_STOPWORDS) + r")(?=\s)"
+    stop_hits = F.regexp_count(
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")), F.lit(stop_re)
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / n_chars
+    )
+    gated = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .filter(
+            (F.size(toks) >= _MIN_TOKENS)
+            & (alpha_ratio >= _MIN_ALPHA)
+            & (stop_hits.cast("double") / F.size(toks) >= _MIN_STOP)
+        )
+        .select("doc_id", F.md5("text").alias("m"))
+    )
+    keep = gated.groupBy("m").agg(F.min("doc_id").alias("doc_id"))
+    bucket = F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(100))
+    return keep.select(
+        "doc_id", F.when(bucket < 90, "train").otherwise("test").alias("split")
+    )

@@ -81,3 +81,40 @@ def test_whole_stage_codegen_in_scalar_suites(spark, sf_smoke, queries):
     # pre-execution plan hides codegen ids — still must be Python-free
     plan = _plan(queries["text_quality_scores"](spark, sf_smoke))
     assert "EvalPython" not in plan, "text_quality_scores fell back to Python UDFs"
+
+
+def test_q8_broadcasts_all_dimensions(spark, sf_smoke, queries):
+    """Q8's five dimension joins must all be broadcast: the only
+    exchanges allowed are the two fact-fact join shuffles and the
+    final year agg/sort."""
+    plan = _plan(queries["q8_market_share"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_q22_anti_join_shape(spark, sf_smoke, queries):
+    """The NOT EXISTS must plan as an anti-join (never a cross/outer
+    emulation), and the scalar average must broadcast."""
+    plan = _plan(queries["q22_idle_customers"](spark, sf_smoke))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q20_aggregates_before_semi_join(spark, sf_smoke, queries):
+    """The grouped-HAVING subquery must aggregate below the semi-join,
+    so the join's build side is one row per qualifying supplier."""
+    plan = _plan(queries["q20_heavy_shippers"](spark, sf_smoke))
+    assert "LeftSemi" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_tfidf_is_python_free(spark, sf_smoke, queries):
+    plan = _plan(queries["text_tfidf_top_terms"](spark, sf_smoke))
+    assert "EvalPython" not in plan, "tfidf fell back to Python UDFs"
+
+
+def test_pii_scan_single_narrow_map(spark, sf_smoke, queries):
+    """PII scanning is a pure projection: no shuffle beyond the one
+    deliberate spread() repartition, no Python."""
+    plan = _plan(queries["text_pii_scan"](spark, sf_smoke))
+    assert "EvalPython" not in plan
+    assert _n_ops(plan, "Exchange") <= 1, plan  # only the spread()
