@@ -495,3 +495,16 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").cast("bigint").alias("value_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API): NOT exposed here.
+# The API exists in this pyspark build (GroupedData.transformWithState/
+# transformWithStateInPandas, RocksDB state-store jar bundled), but its
+# driver<->worker control channel is protobuf-based and the container
+# has no google.protobuf package (verified: the schema-validation worker
+# dies with ImportError in StateMessage_pb2) — and installs are not
+# permitted. The arbitrary-stateful-operator surface is covered by
+# stream_stateful_user_counters (applyInPandasWithState) above; a
+# transformWithState port is a mechanical swap once protobuf exists.
+# ---------------------------------------------------------------------------
