@@ -150,3 +150,77 @@ def partition_pruned_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (the OPTIMIZE maintenance operator)
+# ---------------------------------------------------------------------------
+
+_FRAGMENT_PARTS = 64
+_COMPACT_TARGET_BYTES = 96 * 1024 * 1024
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    target_bytes: int = _COMPACT_TARGET_BYTES,
+) -> int:
+    """Rewrite a parquet directory into ceil(total/target) files.
+
+    The small-files problem is the dominant operational tax of
+    streaming/incremental ingest at scale: a 100 TB table accreted in
+    per-minute micro-batches ends up with millions of KB-sized files
+    whose open/footer costs dwarf the data scan. Compaction = one
+    narrow-ish job: scan → round-robin repartition to the target file
+    count → rewrite. Returns the file count written."""
+    import glob as _glob
+    import math
+
+    total = sum(
+        os.path.getsize(p) for p in _glob.glob(os.path.join(src_dir, "*.parquet"))
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    (
+        spark.read.parquet(src_dir)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return len(_glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
+@CAT.query(
+    "layout_compact_small_files",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: a deliberately fragmented copy
+    of ``orders`` (64 part-files) is compacted to the byte-target file
+    count, and the compacted table must be content-identical to the
+    original — compaction changes layout, never data. File-count
+    assertions live in tests/test_llm_ops.py."""
+    tag = _sf_tag(sf_dir)
+    frag = os.path.join(_WAREHOUSE, f"orders_frag_{tag}")
+    compact = os.path.join(_WAREHOUSE, f"orders_compact_{tag}")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .repartition(_FRAGMENT_PARTS)
+            .write.mode("overwrite")
+            .parquet(frag)
+        )
+    if not os.path.exists(os.path.join(compact, "_SUCCESS")):
+        compact_parquet_dir(spark, frag, compact)
+    return spark.read.parquet(compact).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )

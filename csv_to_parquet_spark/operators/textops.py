@@ -4,12 +4,15 @@ The reference has no text operators at all (its only string handling is
 the fixed header/cell-cleaning pipeline, converter/converter.go:201-211,
 380-412); these are the SURVEY §7 M5 extensions over the ``documents``
 table: token counting (whitespace + BPE-ish regex), quality scoring,
-language ID (stopword-hit heuristic), and document fingerprinting.
+language ID (stopword-hit heuristic), document fingerprinting, TF-IDF
+keyword extraction, PII scanning, and deterministic hash-based
+train/test splitting and stratified sampling.
 
-Scale posture: every operator is a single narrow projection or one
-groupBy — no joins, no collects, no Python UDFs. All expressions are
-whole-stage-codegen'd `pyspark.sql.functions`; at 100 TB these run as
-pure map tasks over parquet splits (plus one shuffle where grouped).
+Scale posture: no collects, no Python UDFs anywhere. Most operators
+are a single narrow codegen'd projection; TF-IDF adds the minimal
+two aggregations + one term join its semantics require, and n-gram
+stats one explode + grouped count. At 100 TB these run as map tasks
+over parquet splits plus one shuffle per declared aggregation.
 """
 
 from __future__ import annotations

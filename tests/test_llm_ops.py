@@ -103,3 +103,26 @@ def test_simhash_pairs_runs(spark, sf_smoke, queries):
     df = queries["dedup_simhash_pairs"](spark, sf_smoke)
     assert {f.name for f in df.schema.fields} == {"doc_a", "doc_b", "hamming"}
     df.collect()  # must execute without error; pair count is data-dependent
+
+
+def test_compaction_reduces_file_count(spark, sf_smoke):
+    """Compaction must produce strictly fewer files than the fragmented
+    input (and at this sf, exactly one) while the oracle-parity test
+    separately proves content identity."""
+    import glob
+    import os
+
+    from csv_to_parquet_spark.operators.layout import (
+        _WAREHOUSE,
+        _sf_tag,
+        layout_compact_small_files,
+    )
+
+    layout_compact_small_files(spark, sf_smoke).count()
+    tag = _sf_tag(sf_smoke)
+    n_frag = len(glob.glob(os.path.join(_WAREHOUSE, f"orders_frag_{tag}", "*.parquet")))
+    n_compact = len(
+        glob.glob(os.path.join(_WAREHOUSE, f"orders_compact_{tag}", "*.parquet"))
+    )
+    assert n_frag == 64
+    assert n_compact == 1
