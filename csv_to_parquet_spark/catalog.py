@@ -93,6 +93,7 @@ def build_catalog() -> Catalog:
     for modname in (
         "relational2",
         "relational3",
+        "relational4",
         "conversion",
         "dedup",
         "similarity",

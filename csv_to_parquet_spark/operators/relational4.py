@@ -1,0 +1,319 @@
+"""TPC-H wave 4 — the last four classic shapes (Q2, Q11, Q12, Q21),
+completing all 22 TPC-H query topologies in the catalog.
+
+The reference tool has no relational surface at all (SURVEY.md §2
+Part B; converter/converter.go is a single-table pipeline); these are
+engine extensions. The driver schema has no ``partsupp`` table and no
+``l_shipmode``/``l_commitdate``/``l_receiptdate`` columns, so as in
+relational3.py each query keeps the *plan shape* that makes it
+interesting — the decorrelated min-subquery (Q2), the scalar-subquery
+threshold over a grouped sum (Q11), the conditional two-way count
+(Q12), the EXISTS + NOT EXISTS double self-join (Q21) — and derives
+the missing inputs from ``lineitem``; each docstring notes the
+adaptation.
+
+Scale posture follows relational.py: dimensions broadcast, fact joins
+shuffle once on their keys, money in exact integer cents so the
+DuckDB oracle hashes bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_to_parquet_spark.functions import cents
+from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.sources.tables import load_table
+
+CAT = Catalog()
+
+_REV_CENTS_SQL = "CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@CAT.query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS price_cents
+      FROM lineitem GROUP BY 1, 2),
+    eu AS (
+      SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT)
+               AS s_acctbal_cents, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    offers AS (
+      SELECT p_partkey, s_name, s_acctbal_cents, n_name, price_cents
+      FROM part
+      JOIN ps ON p_partkey = partkey
+      JOIN eu ON suppkey = s_suppkey
+      WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'),
+    best AS (
+      SELECT p_partkey AS best_pk, MIN(price_cents) AS best_cents
+      FROM offers GROUP BY 1)
+    SELECT s_acctbal_cents, s_name, n_name, p_partkey
+    FROM offers JOIN best
+      ON p_partkey = best_pk AND price_cents = best_cents
+    ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region offering it at the region-wide minimum price — the classic
+    correlated MIN subquery, decorrelated into a per-part minimum
+    joined back on (part, price), exactly how Catalyst rewrites the
+    subquery form. (Adaptation: no ``partsupp``, so the part-supplier
+    offer list is the distinct (l_partkey, l_suppkey) pairs from
+    ``lineitem`` with MIN(l_extendedprice) as the offer price.)
+
+    Plan shape at scale: the offer list aggregates lineitem once on
+    (partkey, suppkey) — map-side partial agg, one shuffle; the
+    region-filtered supplier dimension broadcasts into it; the
+    per-part minimum reuses the same shuffle key (partkey), so AQE
+    plans the min + self-join without a second full exchange of the
+    fact data. Output rows are (part, supplier) pairs; the final
+    ORDER BY ... LIMIT plans as TakeOrderedAndProject."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min(cents("l_extendedprice")).alias("price_cents"))
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            cents("s_acctbal").alias("s_acctbal_cents"),
+            "n_name",
+        )
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+        )
+    )
+    offers = (
+        p.join(ps, p.p_partkey == ps.partkey)
+        .join(eu, ps.suppkey == eu.s_suppkey)
+        .select("p_partkey", "s_name", "s_acctbal_cents", "n_name", "price_cents")
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("best_pk")).agg(
+        F.min("price_cents").alias("best_cents")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.p_partkey == best.best_pk)
+            & (offers.price_cents == best.best_cents),
+        )
+        .select("s_acctbal_cents", "s_name", "n_name", "p_partkey")
+        .orderBy(F.desc("s_acctbal_cents"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@CAT.query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l_partkey, CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS value_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey),
+    total AS (SELECT SUM(value_cents) AS t FROM vals)
+    SELECT l_partkey, value_cents
+    FROM vals CROSS JOIN total
+    WHERE CAST(value_cents AS DOUBLE) > 0.001 * t
+    ORDER BY value_cents DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's traded value — a grouped sum filtered against a scalar
+    subquery over the *same* aggregate (HAVING value > fraction *
+    SUM(value)). (Adaptation: no ``partsupp``, so value is lineitem
+    revenue for suppliers of the nation instead of supplycost *
+    availqty.)
+
+    The per-part aggregate is computed once and reused for both the
+    total and the filter: the scalar total is a one-row broadcast
+    cross-joined into the grouped rows, so the fact table is read and
+    shuffled exactly once. Threshold compares double(cents) >
+    0.001 * total_cents — both engines derive the double from the
+    same exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "value_cents"
+            )
+        )
+        .persist()
+    )
+    total = F.broadcast(vals.agg(F.sum("value_cents").alias("t")))
+    return (
+        vals.crossJoin(total)
+        .filter(F.col("value_cents").cast("double") > 0.001 * F.col("t"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "l_partkey")
+    )
+
+
+@CAT.query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(l_shipdate) = 1996
+      AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: did slow shipments delay high-priority orders —
+    a fact-fact join under a date-arithmetic predicate with two
+    complementary conditional counts per group. (Adaptation: no
+    ``l_shipmode``/``l_commitdate``/``l_receiptdate``; the group key is
+    ``l_linestatus`` and "slow" is shipped ≥ 30 days after the order
+    date.)
+
+    The ship-year filter prunes lineitem at the scan; the date
+    predicate runs post-join since it needs both sides. Conditional
+    counts compile to a single hash aggregate pass — no second join
+    or union of two filtered branches."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.date_add("o_orderdate", 30))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@CAT.query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH lif AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F')
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lif l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lif l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lif l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *sole* late shipper on a
+    finished multi-supplier order — the hardest classic topology: a
+    fact self-join three ways, one EXISTS (another supplier shipped on
+    the order) and one NOT EXISTS (no *other* supplier was late),
+    consumed as a left-semi and a left-anti join. (Adaptation: "late"
+    is shipped > 60 days after o_orderdate in place of
+    l_receiptdate > l_commitdate.)
+
+    The F-order lineitem projection is computed once, checkpointed,
+    and reused for all three roles (l1/l2/l3) — the two self-joins
+    then shuffle only (orderkey, suppkey, late) triples, never the
+    full fact row. Both existence joins share the same orderkey
+    shuffle key. The supplier dimension broadcasts; the final
+    count-per-supplier is a tiny aggregate planned as
+    TakeOrderedAndProject."""
+    o_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lif = (
+        _t(spark, sf_dir, "lineitem")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add("o_orderdate", 60)).alias("late"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    s1 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        lif.filter(F.col("late"))
+        .join(F.broadcast(s1), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = lif.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = lif.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
