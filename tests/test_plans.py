@@ -118,3 +118,34 @@ def test_pii_scan_single_narrow_map(spark, sf_smoke, queries):
     plan = _plan(queries["text_pii_scan"](spark, sf_smoke))
     assert "EvalPython" not in plan
     assert _n_ops(plan, "Exchange") <= 1, plan  # only the spread()
+
+
+def test_q21_semi_and_anti_self_joins(spark, sf_smoke, queries):
+    """Q21's EXISTS must plan as a left-semi and the NOT EXISTS as a
+    left-anti join; the nation-filtered supplier dimension must
+    broadcast rather than shuffle the fact side."""
+    plan = _plan(queries["q21_waiting_suppliers"](spark, sf_smoke))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q2_broadcasts_dims_and_takes_ordered(spark, sf_smoke, queries):
+    """Q2's part and region-supplier dimensions broadcast into the
+    offer aggregate; the final top-100 plans as TakeOrderedAndProject,
+    not a global sort."""
+    plan = _plan(queries["q2_min_cost_supplier"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q11_single_fact_shuffle(spark, sf_smoke, queries):
+    """Q11 reads and shuffles lineitem exactly once: the supplier
+    semi-filter broadcasts, the scalar total is a broadcast one-row
+    join back onto the persisted grouped frame."""
+    plan = _plan(queries["q11_important_parts"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # one agg exchange (partkey groupBy); the total reuses the cached
+    # aggregate, so no second scan-side exchange appears
+    assert "InMemoryTableScan" in plan, plan
