@@ -99,6 +99,7 @@ def build_catalog() -> Catalog:
         "similarity",
         "textops",
         "pipelines",
+        "packing",
         "multimodal",
         "layout",
         "formats",

@@ -128,6 +128,74 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@CAT.query(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey::BIGINT AS c_custkey, c_name,
+           c_nationkey::BIGINT AS c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV sink (header, quoted as needed) → typed read
+    back — the reference's pipeline run in reverse (its only sink is
+    parquet, converter/converter.go:314-378; Spark's unified writer
+    gives the CSV direction for free). Explicit schema on read-back
+    pins exact types; default quoting round-trips embedded commas."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_STAGE, f"customer_{tag}.csvdir")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "customer").write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+    return spark.read.schema(
+        "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    ).option("header", True).csv(path)
+
+
+@CAT.query(
+    "source_binaryfile_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``format("binaryFile")`` — the opaque-blob ingestion path every
+    multimodal pipeline starts from (images/audio land as files, not
+    rows). Stages the first 50 documents as individual UTF-8 .txt
+    files (driver-side fixture setup, once per sf), then scans them as
+    (path, length, content) rows; doc identity is recovered from the
+    filename and content integrity proven by md5 over the raw bytes."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_STAGE, f"docs_bin_{tag}")
+    marker = os.path.join(path, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "text")
+            .collect()  # fixture staging only (50 rows), not the operator
+        )
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r.doc_id:05d}.txt"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    df = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(path)
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 

@@ -149,3 +149,23 @@ def test_q11_single_fact_shuffle(spark, sf_smoke, queries):
     # one agg exchange (partkey groupBy); the total reuses the cached
     # aggregate, so no second scan-side exchange appears
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_chunk_overlap_narrow_single_map(spark, sf_smoke, queries):
+    """Overlapping chunking must stay a narrow codegen'd map: no
+    Python eval, and the only exchange is the spread() repartition."""
+    plan = _plan(queries["text_chunk_overlap"](spark, sf_smoke))
+    assert "EvalPython" not in plan
+    assert _n_ops(plan, "Exchange") <= 1, plan
+
+
+def test_pack_token_budget_bounded_exchanges(spark, sf_smoke, queries):
+    """Two-phase prefix sum: the per-bucket offset table must join back
+    via broadcast (no fact-side shuffle for the join), and the global
+    single-task window must only ever see the tiny offset table."""
+    plan = _plan(queries["pack_token_budget"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: spread, bucket-window hash partitioning, offset agg +
+    # its single-partition window, final bin groupBy — but never a
+    # SortMergeJoin shuffle of the document side
+    assert "SortMergeJoin" not in plan, plan
