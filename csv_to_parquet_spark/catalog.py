@@ -100,6 +100,7 @@ def build_catalog() -> Catalog:
         "textops",
         "pipelines",
         "packing",
+        "maintenance",
         "multimodal",
         "layout",
         "formats",

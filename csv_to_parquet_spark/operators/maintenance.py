@@ -1,0 +1,157 @@
+"""Warehouse-maintenance patterns: MERGE-style upsert and SCD2 builds.
+
+The reference rewrites whole files per run (converter/converter.go:
+153-158 — no incremental path of any kind); real pipelines at 100 TB
+cannot. These two operators cover the canonical incremental shapes a
+reference user upgrading to a lakehouse workflow needs:
+
+- **MERGE upsert** (``merge_upsert_orders``): apply an updates batch
+  to a base snapshot — update matched keys, insert new keys — without
+  Delta/Iceberg: ``base ⟕anti updates ∪ updates``. The updates batch
+  is small relative to the snapshot by definition, so the anti join
+  broadcasts it and the base table is NEVER shuffled — the whole merge
+  is a map over base splits plus a union. (A join-on-key formulation
+  would shuffle all 100 TB of base on the merge key.)
+
+- **SCD2 / run-length history** (``scd2_event_type_runs``): collapse
+  an event stream into validity intervals per entity — the
+  gaps-and-islands pattern: a lag-change flag, a running sum to number
+  runs, then interval bounds via min/lead. Two shuffles by necessity
+  (one hash partition on the entity for the windows, one for the
+  per-run aggregate); group cardinality is per-entity so skew follows
+  entity activity — salt hot entities if needed (see agg_salted_skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.sources.tables import load_table
+
+CAT = Catalog()
+
+
+@CAT.query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             CAST(ROUND(o_totalprice * 1.05 * 100) AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N',
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 1000 = 0)
+    SELECT b.o_orderkey, b.o_orderstatus,
+           CAST(ROUND(b.o_totalprice * 100) AS BIGINT) AS total_cents,
+           'base' AS src
+    FROM orders b
+    WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, total_cents, 'merged' AS src
+    FROM upd
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO base USING updates: matched keys take the update row,
+    unmatched update keys insert. The updates batch (1% changed + 0.1%
+    new, derived deterministically from orders so the oracle can
+    reproduce it) broadcasts into a left-anti join against base — zero
+    base-side shuffle."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    src = load_table(spark, sf_dir, "orders")
+    updates = (
+        src.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.05 * 100)
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .unionAll(
+            src.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .alias("total_cents"),
+            )
+        )
+    )
+    survivors = base.join(
+        F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).withColumn("src", F.lit("base"))
+    return survivors.unionByName(updates.withColumn("src", F.lit("merged")))
+
+
+@CAT.query(
+    "scd2_event_type_runs",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type IS DISTINCT FROM
+                       LAG(event_type) OVER w THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    intervals AS (
+      SELECT user_id, run_id, event_type,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type)
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+           valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY run_id) AS valid_to,
+           n_events,
+           (LEAD(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY run_id) IS NULL) AS is_current
+    FROM intervals
+    """,
+)
+def scd2_event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build via gaps-and-islands: consecutive runs of
+    the same event_type per user become [valid_from, valid_to)
+    intervals, open-ended (is_current) on the last run."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_id")
+    return intervals.select(
+        "user_id",
+        F.col("run_id").cast("bigint").alias("run_id"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w_run).isNull().alias("is_current"),
+    )

@@ -169,3 +169,12 @@ def test_pack_token_budget_bounded_exchanges(spark, sf_smoke, queries):
     # its single-partition window, final bin groupBy — but never a
     # SortMergeJoin shuffle of the document side
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_merge_upsert_no_base_shuffle(spark, sf_smoke, queries):
+    """MERGE upsert must broadcast the updates batch into a left-anti
+    join — the base snapshot is never hash-partitioned on the key."""
+    plan = _plan(queries["merge_upsert_orders"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_ops(plan, "Exchange") == 0, plan  # union+broadcast only
