@@ -42,20 +42,37 @@ _uniq = count()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream (ns timestamps handled
-    exactly like the batch loader in sources/tables.py)."""
+    """events.parquet as a file-source stream.
+
+    A streaming file source needs a declared schema, so the stored
+    timestamp unit is detected from the parquet footer (the batch
+    loader in sources/tables.py does the same conditionally on the
+    inferred dtype): TIMESTAMP(NANOS) columns must be declared BIGINT
+    (under ``nanosAsLong``) and narrowed ns → µs with integer division;
+    TIMESTAMP(MICROS) columns are declared TIMESTAMP directly.
+    """
     ensure_session_confs(spark)
+    import pyarrow.parquet as pq
+
+    ts_is_nanos = str(
+        pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    ).startswith("timestamp[ns")
     d = tempfile.mkdtemp(prefix="events_stream_src_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    ts_decl = "BIGINT" if ts_is_nanos else "TIMESTAMP"
     schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        f"event_id BIGINT, ts {ts_decl}, user_id BIGINT, "
         "event_type STRING, value DOUBLE, props STRING"
     )
     src = spark.readStream.schema(schema).parquet(d)
     # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC,
     # so instants equal the oracle's naive timestamps — outputs cast
     # window bounds back to NTZ for the comparison.
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        # ns → µs with *integer* division (float division loses
+        # precision above 2^53 ns)
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
 
 
 def _run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
