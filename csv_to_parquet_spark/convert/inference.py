@@ -101,22 +101,32 @@ def infer_column_kinds(
         is_bool = F.lower(v).isin("true", "false")
         is_int = v.try_cast("bigint").isNotNull()
         is_float = v.try_cast("double").isNotNull()
-        date_probe = F.coalesce(
-            *[F.try_to_timestamp(v, F.lit(p)) for p in DATE_PATTERNS]
-        ).isNotNull()
-        ts_probe = F.coalesce(
-            *[F.try_to_timestamp(v, F.lit(p)) for p in TIMESTAMP_PATTERNS]
-        ).isNotNull()
         aggs.extend(
             [
                 _count(ne).alias(f"c{idx}_n"),
                 _count(cls & is_bool).alias(f"c{idx}_b"),
                 _count(cls & is_int).alias(f"c{idx}_i"),
                 _count(cls & is_float).alias(f"c{idx}_f"),
-                _count(cls & date_probe).alias(f"c{idx}_d"),
-                _count(cls & ts_probe).alias(f"c{idx}_t"),
             ]
         )
+        if enhanced_dates:
+            # the 6-layout probes are only consulted in enhanced mode;
+            # in parity mode dates demote to string anyway
+            # (converter.go:272-275), and the 12 try_to_timestamp
+            # expressions per column dominate the agg's plan/codegen
+            # cost (measured ~2× the whole inference pass)
+            date_probe = F.coalesce(
+                *[F.try_to_timestamp(v, F.lit(p)) for p in DATE_PATTERNS]
+            ).isNotNull()
+            ts_probe = F.coalesce(
+                *[F.try_to_timestamp(v, F.lit(p)) for p in TIMESTAMP_PATTERNS]
+            ).isNotNull()
+            aggs.extend(
+                [
+                    _count(cls & date_probe).alias(f"c{idx}_d"),
+                    _count(cls & ts_probe).alias(f"c{idx}_t"),
+                ]
+            )
     row = sample.agg(*aggs).collect()[0]
 
     kinds: dict[str, str] = {}
@@ -125,8 +135,8 @@ def infer_column_kinds(
         b = row[f"c{idx}_b"]
         i = row[f"c{idx}_i"]
         fl = row[f"c{idx}_f"]
-        d = row[f"c{idx}_d"]
-        t = row[f"c{idx}_t"]
+        d = row[f"c{idx}_d"] if enhanced_dates else 0
+        t = row[f"c{idx}_t"] if enhanced_dates else 0
         if n == 0:
             kinds[name] = "int64"  # optimistic default, converter.go:214-217
         elif b == n:

@@ -45,6 +45,27 @@ from csv_to_parquet_spark.sources.tables import load_table, spread
 
 CAT = Catalog()
 
+# Persisted DataFrames live here until released. Queries in this module
+# return LAZY plans over a persisted intermediate (the MinHash shingle
+# cache), so they cannot unpersist before the caller materializes;
+# sweep harnesses (bench.py, the oracle-parity tests, connected
+# components once its edges are checkpointed) call ``release_caches()``
+# so nothing stays memory-resident across a long session.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every cache a dedup query left behind (idempotent)."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+
+
 JACCARD_THRESHOLD = 0.6  # planted near-dups sit at J≈0.99, noise at ≈0.05
 
 # 64 universal hash functions h_j(x) = (a_j*x + b_j) mod p over the
@@ -385,7 +406,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached arrays. Deriving them before the persist boundary makes
     # CollapseProject evaluate the shingle pipeline once per reference
     # (measured 2-3× slower cache population).
-    base = _docs(spark, sf_dir).select("doc_id", h63.alias("h63")).persist()
+    base = _persist(_docs(spark, sf_dir).select("doc_id", h63.alias("h63")))
     sets = base.withColumn("n_sh", F.size("h63")).filter(F.col("n_sh") > 0)
     sig = sets.withColumn(
         "hs", F.transform("h63", lambda h: F.pmod(h, F.lit(_P31)))
@@ -443,6 +464,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 15
 
 
+def _lineage_truncate(df: DataFrame, reliable: bool) -> DataFrame:
+    """Cut the logical-plan lineage between CC iterations.
+
+    ``reliable=False`` → ``localCheckpoint`` (executor-local blocks:
+    fastest, right for local mode and short jobs, but a lost executor
+    loses blocks with no recompute path). ``reliable=True`` →
+    ``DataFrame.checkpoint`` to the SparkContext checkpoint dir
+    (HDFS/object store on a cluster), which survives executor churn —
+    the hardening a 1000-executor run wants. A default dir under the
+    local filesystem is installed if the caller never set one.
+    """
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc_ckpt_"))
+    return df.checkpoint(eager=True)
+
+
 @CAT.query(
     "dedup_connected_components",
     oracle=f"""
@@ -467,7 +509,9 @@ _CC_MAX_ITERS = 15
     SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
     """,
 )
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_connected_components(
+    spark: SparkSession, sf_dir: str, *, reliable_checkpoint: bool = False
+) -> DataFrame:
     """Duplicate-cluster formation: connected components over the
     MinHash-LSH near-dup pair graph — the step that turns pairwise
     near-dups into "keep one doc per cluster" decisions in a real
@@ -486,16 +530,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with diameter ~2-3, so 3-4 rounds suffice; the loop is capped at
     ``_CC_MAX_ITERS``.
 
-    Iterative-plan hygiene: every round ends in
-    ``localCheckpoint(eager=True)`` rather than ``persist`` — the
-    checkpoint truncates lineage so Catalyst re-analyzes a leaf
-    relation each round instead of the whole upstream LSH DAG
-    (measured 4x per-iteration speedup at sf0.1; without truncation
-    the logical plan doubles every round and optimizer time, not
-    the shuffle, dominates). Same pattern GraphFrames uses for its
-    iterative algorithms. On a cluster with executor churn,
-    ``spark.sparkContext.setCheckpointDir`` + reliable
-    ``checkpoint`` is the drop-in hardening.
+    Iterative-plan hygiene: every round ends in a lineage truncation
+    (``_lineage_truncate``) rather than ``persist`` — the checkpoint
+    truncates lineage so Catalyst re-analyzes a leaf relation each
+    round instead of the whole upstream LSH DAG (measured 4x
+    per-iteration speedup at sf0.1; without truncation the logical
+    plan doubles every round and optimizer time, not the shuffle,
+    dominates). Same pattern GraphFrames uses for its iterative
+    algorithms. ``reliable_checkpoint=True`` switches every truncation
+    to a reliable ``DataFrame.checkpoint`` (checkpoint-dir backed) so
+    a cluster run survives executor churn; the default stays
+    ``localCheckpoint`` for local/short-lived jobs.
 
     The oracle computes the same components with a recursive CTE
     (min reachable doc_id == cluster id). Output: one row per doc
@@ -503,16 +548,19 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     implicitly their own cluster and are not emitted.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    edges = _lineage_truncate(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .localCheckpoint(eager=True)
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))),
+        reliable_checkpoint,
     )
-    labels = (
+    # edges are materialized now — the upstream MinHash shingle cache
+    # is no longer referenced by anything this function returns
+    release_caches()
+    labels = _lineage_truncate(
         edges.select(F.col("u").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        reliable_checkpoint,
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(_CC_MAX_ITERS):
@@ -520,11 +568,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(labels.select(F.col("node").alias("v"), "label"), "v")
             .select(F.col("u").alias("node"), "label")
         )
-        new_labels = (
+        new_labels = _lineage_truncate(
             msgs.union(labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            reliable_checkpoint,
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
@@ -542,11 +590,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_BITS = 60
 
-
-@CAT.query(
-    "dedup_simhash_signatures",
-    oracle=f"""
-    WITH tok AS (
+# Shared CTE body producing (doc_id, simhash) — used by the signature
+# oracle and (self-joined) by the banded-pairs oracle.
+_SIMHASH_SIG_CTES = f"""
+    tok AS (
       SELECT DISTINCT doc_id,
              unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
       FROM documents),
@@ -554,9 +601,18 @@ _SIMHASH_BITS = 60
     bits AS (
       SELECT doc_id,
              {", ".join(f"CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::BIGINT << {b}) ELSE 0 END AS bit{b}" for b in range(_SIMHASH_BITS))}
-      FROM h GROUP BY doc_id)
-    SELECT doc_id, {" + ".join(f"bit{b}" for b in range(_SIMHASH_BITS))} AS simhash
-    FROM bits
+      FROM h GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, {" + ".join(f"bit{b}" for b in range(_SIMHASH_BITS))} AS simhash
+      FROM bits)
+"""
+
+
+@CAT.query(
+    "dedup_simhash_signatures",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTES}
+    SELECT doc_id, simhash FROM sig
     """,
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,12 +650,25 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @CAT.query(
     "dedup_simhash_pairs",
-    oracle=None,  # banded-LSH candidate recall is probabilistic → rows-only
+    # The banding is deterministic given the md5-derived signature, so
+    # the emitted pair set (band collision AND hamming ≤ 12) is exactly
+    # reproducible in SQL — approximation is only relative to "true"
+    # near-dups, not to this query's defined output.
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({" OR ".join(f"((a.simhash >> {i * 15}) & 32767) = ((b.simhash >> {i * 15}) & 32767)" for i in range(4))})
+      AND bit_count(xor(a.simhash, b.simhash)) <= 12
+    """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 12 via 4×15-bit banding
     (pigeonhole: distance ≤ 3 guarantees a clean band; beyond that the
-    bands are a high-recall heuristic — hence rows-only)."""
+    bands are a high-recall heuristic relative to true near-dups — but
+    the emitted set itself is deterministic, so the oracle reproduces
+    the banding exactly with an O(n²) reference join)."""
     sig = dedup_simhash_signatures(spark, sf_dir)
     mask = (1 << 15) - 1
     bands = sig.select(

@@ -206,65 +206,109 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CELLS = 16
 _IVF_PROBES = 4
+_IVF_KMEANS_ITERS = 2
+
+
+def _ivf_train_centroids(e: DataFrame) -> list[list[float]]:
+    """Lloyd's k-means over the corpus → ``_IVF_CELLS`` centroids.
+
+    Init: deterministic seed vectors (vec_id 100..115). Each iteration
+    is the canonical distributed k-means step — assign every vector to
+    its nearest centroid with a JVM-side argmax over a centroid
+    literal (narrow map, no shuffle of vectors), then
+    ``groupBy(cell).agg(avg(dim_i) …)``: 64 avg columns partial-
+    aggregate map-side, so the exchange carries ≤ cells × dims doubles
+    per map task regardless of corpus size. The only driver collect is
+    the ``_IVF_CELLS``-row model table — bytes-sized parameters, the
+    artifact any IVF trainer produces. Empty cells keep their previous
+    centroid.
+    """
+    dim = _DIM
+    cents = [
+        [float(v) for v in r.embedding]
+        for r in e.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_CELLS)
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+    for _ in range(_IVF_KMEANS_ITERS):
+        cent_lit = F.array(
+            *[F.array(*[F.lit(v) for v in c]) for c in cents]
+        )
+        assigned = e.withColumn(
+            "cell", _cell_ranks(cent_lit, F.col("embedding"), 1)[0]
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col("embedding")[i].cast("double")).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        updated = {int(r["cell"]): [float(r[f"d{i}"]) for i in range(dim)] for r in rows}
+        cents = [updated.get(c, cents[c]) for c in range(_IVF_CELLS)]
+    return cents
+
+
+def _cell_ranks(cent_lit: Column, vec: Column, n: int) -> Column:
+    """indices of the n nearest centroids (cosine argmax order)."""
+    sims = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.sqrt(
+            F.aggregate(
+                F.zip_with(c, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    ranked = F.slice(
+        F.reverse(F.array_sort(F.arrays_zip(sims.alias("s"),
+            F.sequence(F.lit(0), F.lit(_IVF_CELLS - 1)).alias("cell")))),
+        1,
+        n,
+    )
+    return F.transform(ranked, lambda r: r["cell"])
 
 
 @CAT.query("knn_ivf_ann")  # approximate by design → rows-only check
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization.
 
-    "Training": 16 deterministic seed vectors (vec_id 100..115) are
-    collected to the driver as the coarse centroids — model parameters,
-    bytes-sized, the one legitimate driver-side collect in the module
-    (real IVF k-means training is itself an aggregation producing
-    exactly this artifact). Assignment is then a PURE MAP: each corpus
-    vector's nearest-centroid cell comes from an argmax over a centroid
-    array literal — no shuffle, no UDF. Queries probe their
-    ``_IVF_PROBES`` nearest cells and rerank candidates with exact
-    cosine, touching ~probes/cells of the corpus per query at scale.
-    Recall vs brute force asserted in tests.
+    Training is a real (mini) k-means: ``_ivf_train_centroids`` runs
+    ``_IVF_KMEANS_ITERS`` Lloyd iterations over the corpus — assign is
+    a narrow JVM argmax map, update is a 64-avg-column groupBy whose
+    partial aggregation keeps the exchange at cells × dims doubles —
+    and collects only the 16-row centroid model. Assignment of the
+    corpus is then a PURE MAP against the trained-centroid literal —
+    no shuffle, no UDF. Queries probe their ``_IVF_PROBES`` nearest
+    cells and rerank candidates with exact cosine, touching
+    ~probes/cells of the corpus per query at scale. Recall vs brute
+    force asserted in tests (trained centroids beat raw seeds: cells
+    move toward actual density, balancing the inverted lists).
     """
     e = _emb(spark, sf_dir)
-    cents = (
-        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_CELLS))
-        .orderBy("vec_id")
-        .collect()
-    )
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in r.embedding]) for r in cents]
-    )
+    cents = _ivf_train_centroids(e)
+    cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
 
-    def cell_ranks(vec: Column, n: int) -> Column:
-        """indices of the n nearest centroids (cosine argmax order)."""
-        sims = F.transform(
-            cent_lit,
-            lambda c: F.aggregate(
-                F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.sqrt(
-                F.aggregate(
-                    F.zip_with(c, c, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-        )
-        ranked = F.slice(
-            F.reverse(F.array_sort(F.arrays_zip(sims.alias("s"),
-                F.sequence(F.lit(0), F.lit(_IVF_CELLS - 1)).alias("cell")))),
-            1,
-            n,
-        )
-        return F.transform(ranked, lambda r: r["cell"])
-
-    corpus = e.withColumn("cell", cell_ranks(F.col("embedding"), 1)[0])
+    corpus = e.withColumn("cell", _cell_ranks(cent_lit, F.col("embedding"), 1)[0])
     q = F.broadcast(
         _queries(spark, sf_dir)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
-            F.explode(cell_ranks(F.col("embedding"), _IVF_PROBES)).alias("probe"),
+            F.explode(
+                _cell_ranks(cent_lit, F.col("embedding"), _IVF_PROBES)
+            ).alias("probe"),
         )
     )
     cs = cosine_similarity("qv", "embedding")

@@ -55,18 +55,30 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+def ns_to_us(col: str) -> F.Column:
+    """Exact int64 ns → µs narrowing with FLOOR semantics.
+
+    Integer arithmetic only (a double division loses precision above
+    2^53 ns), and floor rather than ``div``'s truncate-toward-zero so
+    pre-epoch (negative) nanosecond instants narrow identically to
+    DuckDB's floor-based conversion — `div` alone would round a
+    -1.5 µs instant the other way by 1 µs.
+    """
+    return F.expr(
+        f"({col} div 1000) - (CASE WHEN {col} % 1000 < 0 THEN 1 ELSE 0 END)"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as raw int64 under nanosAsLong; convert
-        # ns → µs with *integer* division (float division would lose
-        # precision above 2^53 ns) — same floor semantics DuckDB uses
-        # when narrowing ns → µs.
+        # TIMESTAMP(NANOS) read as raw int64 under nanosAsLong; narrow
+        # ns → µs (see ns_to_us for the floor/precision reasoning)
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            "ts", F.timestamp_micros(ns_to_us("ts")).cast("timestamp_ntz")
         )
     return df
 

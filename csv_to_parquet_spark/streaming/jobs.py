@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.functions import cents
 from csv_to_parquet_spark.operators import Catalog
-from csv_to_parquet_spark.sources.tables import ensure_session_confs
+from csv_to_parquet_spark.sources.tables import ensure_session_confs, ns_to_us
 
 CAT = Catalog()
 
@@ -50,13 +50,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     inferred dtype): TIMESTAMP(NANOS) columns must be declared BIGINT
     (under ``nanosAsLong``) and narrowed ns → µs with integer division;
     TIMESTAMP(MICROS) columns are declared TIMESTAMP directly.
+
+    The BIGINT declaration applies only to INT64-encoded nanos:
+    ``nanosAsLong`` does not cover legacy INT96 timestamps, which
+    pyarrow ALSO reports as timestamp[ns] — so the sniff checks the
+    parquet physical type, not just the arrow logical type, and lets
+    Spark read INT96 natively as TIMESTAMP.
     """
     ensure_session_confs(spark)
     import pyarrow.parquet as pq
 
-    ts_is_nanos = str(
-        pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    ).startswith("timestamp[ns")
+    pf = pq.ParquetFile(f"{sf_dir}/events.parquet")
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    ts_is_nanos = str(pf.schema_arrow.field(ts_idx).type).startswith(
+        "timestamp[ns"
+    ) and pf.metadata.schema.column(ts_idx).physical_type == "INT64"
     d = tempfile.mkdtemp(prefix="events_stream_src_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
     ts_decl = "BIGINT" if ts_is_nanos else "TIMESTAMP"
@@ -69,9 +77,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so instants equal the oracle's naive timestamps — outputs cast
     # window bounds back to NTZ for the comparison.
     if ts_is_nanos:
-        # ns → µs with *integer* division (float division loses
-        # precision above 2^53 ns)
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ns → µs: integer floor division (see sources.tables.ns_to_us)
+        src = src.withColumn("ts", F.timestamp_micros(ns_to_us("ts")))
     return src
 
 
