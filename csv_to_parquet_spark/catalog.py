@@ -96,6 +96,7 @@ def build_catalog() -> Catalog:
         "conversion",
         "dedup",
         "similarity",
+        "clustering",
         "textops",
         "pipelines",
         "packing",

@@ -67,6 +67,7 @@ def release_caches() -> None:
 
 
 JACCARD_THRESHOLD = 0.6  # planted near-dups sit at J≈0.99, noise at ≈0.05
+CONTAINMENT_THRESHOLD = 0.8  # directed |A∩B|/|A| gate for subset dups
 
 # 64 universal hash functions h_j(x) = (a_j*x + b_j) mod p over the
 # 31-bit md5-derived shingle hash; p = 2^31-1 keeps every product
@@ -257,6 +258,82 @@ def ngram_jaccard_pairs(
         .join(ib, "doc_b")
         .filter(j >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+@CAT.query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS c,
+             len(a.sh) AS na
+      FROM t a JOIN t b ON a.doc_id != b.doc_id
+      WHERE len(a.sh) > 0)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / na, 6) AS containment
+    FROM p
+    WHERE CAST(c AS DOUBLE) / na >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ 0.8.
+
+    Jaccard misses subset duplicates — a document embedded verbatim
+    inside a much longer one scores J = |A|/|B| ≈ 0 however exact the
+    inclusion — so corpus-dedup pipelines (e.g. the RefinedWeb /
+    Gopher recipes) additionally test containment. Asymmetric by
+    definition: both directions are emitted when both clear the
+    threshold.
+
+    Same inverted-index + df-cap machinery as
+    :func:`dedup_ngram_jaccard` (explode → df-capped index self-join →
+    per-pair common count → exact add-back of capped stop-shingles),
+    with the ``!=`` join emitting each unordered candidate once per
+    direction. Never O(n²): only docs sharing an indexable shingle
+    meet. The oracle brute-forces all directed pairs.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    stops = F.broadcast(dfreq.filter(F.col("df") > SHINGLE_DF_CAP).select("sh"))
+    idx = sh.join(stops, "sh", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c_uncapped"))
+    )
+    empty = F.array().cast("array<string>")
+    capped = (
+        sh.join(stops, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("capped_sh"))
+    )
+    info = sizes.join(capped, "doc_id", "left").select(
+        "doc_id", "n_sh", F.coalesce("capped_sh", empty).alias("capped_sh")
+    )
+    ia = info.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("na"),
+        F.col("capped_sh").alias("ca"),
+    )
+    ib = info.select(F.col("doc_id").alias("doc_b"), F.col("capped_sh").alias("cb"))
+    c = F.col("c_uncapped") + F.size(F.array_intersect("ca", "cb"))
+    cont = c.cast("double") / F.col("na")
+    return (
+        common.join(ia, "doc_a")
+        .join(ib, "doc_b")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
 
 

@@ -126,3 +126,40 @@ def test_ivf_trained_centroids_shape(spark, sf_smoke):
         .collect()
     ]
     assert cents != seeds
+
+
+def test_embedding_lsh_pairs_recall_vs_exact(spark, sf_smoke, sf_oracle):
+    """The LSH scale path must recover the high-cosine (planted) pairs
+    of the exact all-pairs baseline; boundary-band misses are the
+    documented trade."""
+    from csv_to_parquet_spark.catalog import build_catalog
+
+    cat = build_catalog()
+    for sf in {sf_smoke, sf_oracle}:
+        exact = {
+            (r.vec_a, r.vec_b): r.cosine
+            for r in cat.queries["dedup_embedding_cosine"](spark, sf).collect()
+        }
+        lsh = {
+            (r.vec_a, r.vec_b)
+            for r in cat.queries["dedup_embedding_lsh_pairs"](spark, sf).collect()
+        }
+        assert lsh <= set(exact)  # LSH emits only verified-true pairs
+        high = {p for p, cs in exact.items() if cs >= 0.9}
+        if high:
+            got = len(high & lsh) / len(high)
+            assert got >= 0.9, f"{sf}: high-cos recall {got:.2f}"
+
+
+def test_kmeans_assign_covers_corpus_and_converges(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.clustering import (
+        _KM_CELLS,
+        cluster_kmeans_assign,
+    )
+
+    rows = cluster_kmeans_assign(spark, sf_smoke).collect()
+    n_vecs = len({r.vec_id for r in rows})
+    assert len(rows) == n_vecs  # exactly one cluster per vector
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(_KM_CELLS))
+    assert len(clusters) > 1  # corpus spreads over multiple cells
