@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.operators.cache import persist_tracked
 from csv_to_parquet_spark.sources.tables import load_table, spread
 
 CAT = Catalog()
@@ -153,10 +154,17 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     v = F.col("embedding")
-    b = e.select("vec_id", "embedding", *_bucket_cols_spark(v))
-    bands = b.select(
+    # band keys carry IDS ONLY — the self-join and the distinct shuffle
+    # (vec_a, vec_b, tbl, bucket) longs, never the 64-float vectors
+    # (same shape as the MinHash LSH candidate join); vectors re-join
+    # once per side for the exact-cosine verification of candidates.
+    # persisted: the 48 hyperplane dot products per vector are computed
+    # ONCE — the candidate self-join references bands twice (sides a/x)
+    # and would otherwise evaluate the whole HOF subtree per side
+    # (measured ~2× the query). Rows are (id, 8 longs): the band index
+    # any LSH system materializes. Callers release via release_caches().
+    bands = persist_tracked(e.select("vec_id", *_bucket_cols_spark(v))).select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 *[
@@ -165,7 +173,7 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "embedding", "bk.tbl", "bk.bucket")
+    ).select("vec_id", "bk.tbl", "bk.bucket")
     a = bands.alias("a")
     x = bands.alias("x")
     cand = (
@@ -178,14 +186,16 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("x.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("va"),
-            F.col("x.embedding").alias("vb"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .distinct()
     )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     cs = _cos_seq(F.col("va"), F.col("vb"))
     return (
-        cand.withColumn("cs", cs)
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cs", cs)
         .filter(F.col("cs") >= _COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cs", 6).alias("cosine"))
     )
@@ -199,7 +209,34 @@ _KM_CELLS = 16
 _KM_ITERS = 2
 
 
-def _km_assign_expr(cent_lit: Column, v: Column) -> Column:
+def _seq_sqrt_norm(c: list[float]) -> float:
+    """sqrt of the sequentially-accumulated squared norm — bit-for-bit
+    what DuckDB's ``sqrt(list_dot_product(c, c))`` computes (same
+    left-to-right IEEE double adds, correctly-rounded sqrt), so the
+    norm can be hoisted to a Python literal without breaking parity."""
+    import math
+
+    acc = 0.0
+    for x in c:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _km_sims(cents: list[list[float]], v: Column, nv: Column) -> Column:
+    """array of round(cosine, 9) per centroid. The centroid norms are
+    precomputed literals and the row norm ``nv`` is hoisted by the
+    caller, so each row pays ONE dot product per centroid instead of
+    three (measured 3× on the interpreted-HOF path)."""
+    zipped = F.arrays_zip(
+        F.array(*[_arr_lit(c) for c in cents]).alias("c"),
+        F.array(*[F.lit(_seq_sqrt_norm(c)) for c in cents]).alias("nc"),
+    )
+    return F.transform(
+        zipped, lambda z: F.round(_dot_seq(v, z["c"]) / (nv * z["nc"]), 9)
+    )
+
+
+def _km_assign_expr(cents: list[list[float]], v: Column, nv: Column) -> Column:
     """argmax cell over centroids by (round(cos, 9) DESC, cell DESC).
 
     ``reverse(array_sort(zip(s, cell)))`` sorts ascending by (s, cell)
@@ -207,11 +244,10 @@ def _km_assign_expr(cent_lit: Column, v: Column) -> Column:
     HIGHER cell — mirrored exactly by the oracle's ``ORDER BY cs9
     DESC, cell DESC``.
     """
-    sims = F.transform(cent_lit, lambda c: F.round(_cos_seq(v, c), 9))
     ranked = F.reverse(
         F.array_sort(
             F.arrays_zip(
-                sims.alias("s"),
+                _km_sims(cents, v, nv).alias("s"),
                 F.sequence(F.lit(0), F.lit(_KM_CELLS - 1)).alias("cell"),
             )
         )
@@ -303,9 +339,11 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
+    nv = F.sqrt(_dot_seq(v, v))
     for _ in range(_KM_ITERS):
-        cent_lit = F.array(*[_arr_lit(c) for c in cents])
-        assigned = e.withColumn("cell", _km_assign_expr(cent_lit, v))
+        assigned = e.withColumn("nv", nv).withColumn(
+            "cell", _km_assign_expr(cents, v, F.col("nv"))
+        )
         rows = (
             assigned.groupBy("cell")
             .agg(
@@ -320,18 +358,31 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(r["cell"]): [float(r[f"d{i}"]) for i in range(_DIM)] for r in rows
         }
         cents = [updated.get(c, cents[c]) for c in range(_KM_CELLS)]
-    cent_lit = F.array(*[_arr_lit(c) for c in cents])
+    # final assignment: the 16 raw cosines are computed once per row
+    # into s_raw; ranking keys are the 9-dp roundings, the reported
+    # value is the unrounded cosine at 6 dp
+    zipped = F.arrays_zip(
+        F.array(*[_arr_lit(c) for c in cents]).alias("c"),
+        F.array(*[F.lit(_seq_sqrt_norm(c)) for c in cents]).alias("nc"),
+    )
+    s_raw = F.transform(
+        zipped, lambda z: _dot_seq(v, z["c"]) / (F.col("nv") * z["nc"])
+    )
     best = F.reverse(
         F.array_sort(
             F.arrays_zip(
-                F.transform(cent_lit, lambda c: F.round(_cos_seq(v, c), 9)).alias("s9"),
+                F.transform(F.col("s_raw"), lambda s: F.round(s, 9)).alias("s9"),
                 F.sequence(F.lit(0), F.lit(_KM_CELLS - 1)).alias("cell"),
-                F.transform(cent_lit, lambda c: _cos_seq(v, c)).alias("s"),
+                F.col("s_raw").alias("s"),
             )
         )
     )[0]
-    return e.select(
-        "vec_id",
-        best["cell"].cast("bigint").alias("cluster"),
-        F.round(best["s"], 6).alias("cosine"),
+    return (
+        e.withColumn("nv", nv)
+        .withColumn("s_raw", s_raw)
+        .select(
+            "vec_id",
+            best["cell"].cast("bigint").alias("cluster"),
+            F.round(best["s"], 6).alias("cosine"),
+        )
     )

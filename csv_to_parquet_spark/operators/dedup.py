@@ -45,25 +45,16 @@ from csv_to_parquet_spark.sources.tables import load_table, spread
 
 CAT = Catalog()
 
-# Persisted DataFrames live here until released. Queries in this module
-# return LAZY plans over a persisted intermediate (the MinHash shingle
-# cache), so they cannot unpersist before the caller materializes;
-# sweep harnesses (bench.py, the oracle-parity tests, connected
-# components once its edges are checkpointed) call ``release_caches()``
-# so nothing stays memory-resident across a long session.
-_ACTIVE_CACHES: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _ACTIVE_CACHES.append(df)
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every cache a dedup query left behind (idempotent)."""
-    while _ACTIVE_CACHES:
-        _ACTIVE_CACHES.pop().unpersist()
+# Tracked-persist registry (shared; see operators/cache.py): queries
+# here return LAZY plans over a persisted intermediate (the MinHash
+# shingle cache), so they cannot unpersist before the caller
+# materializes; sweep harnesses call ``release_caches()`` between
+# queries. Re-exported under the historical names.
+from csv_to_parquet_spark.operators.cache import (  # noqa: E402
+    _ACTIVE_CACHES,
+    persist_tracked as _persist,
+    release_caches,
+)
 
 
 JACCARD_THRESHOLD = 0.6  # planted near-dups sit at J≈0.99, noise at ≈0.05

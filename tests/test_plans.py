@@ -178,3 +178,23 @@ def test_merge_upsert_no_base_shuffle(spark, sf_smoke, queries):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert _n_ops(plan, "Exchange") == 0, plan  # union+broadcast only
+
+
+def test_embedding_lsh_pairs_candidate_join_ships_ids_only(spark, sf_smoke, queries):
+    """The band self-join and candidate distinct must exchange id/band
+    longs, never the 64-float embedding arrays (vectors re-join only
+    for the exact-cosine verification of surviving candidates)."""
+    plan = _plan(queries["dedup_embedding_lsh_pairs"](spark, sf_smoke))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line and "va" not in line and "vb" not in line, line
+
+
+def test_kmeans_assignment_is_narrow(spark, sf_smoke):
+    """The final k-means assignment (after training collects the 16-row
+    model) must be a pure map over the scan: its only exchange is the
+    local spread() repartition, never a hash/range exchange."""
+    from csv_to_parquet_spark.operators.clustering import cluster_kmeans_assign
+
+    plan = _plan(cluster_kmeans_assign(spark, sf_smoke))
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
