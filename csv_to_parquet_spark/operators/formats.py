@@ -196,6 +196,47 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@CAT.query(
+    "source_merge_schema_scan",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           NULL::BIGINT AS n_regionkey
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey::BIGINT, n_name, n_regionkey::BIGINT
+    FROM nation WHERE n_nationkey >= 10
+    """,
+)
+def source_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: one directory whose parquet files carry
+    DIFFERENT schemas (an old write without ``n_regionkey``, a newer
+    one with it), scanned with ``mergeSchema=true`` — the union schema
+    comes back and the old files' missing column reads as NULL. This
+    is the long-lived-dataset reality (columns get added) the
+    reference's one-schema-per-file model never meets; at scale the
+    same option handles heterogeneous partitions of a 100 TB table
+    without a rewrite."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_STAGE, f"nation_evolved_{tag}.parquet")
+    marker = path + ".done"
+    if not os.path.exists(marker):
+        n = load_table(spark, sf_dir, "nation")
+        old = n.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_name")
+        new = n.filter(F.col("n_nationkey") >= 10).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        old.write.mode("overwrite").parquet(path)
+        new.write.mode("append").parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return df.select(
+        F.col("n_nationkey").cast("bigint"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint"),
+    )
+
+
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
