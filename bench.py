@@ -74,6 +74,8 @@ HEADLINE = [
     "dedup_containment_pairs",
     "dedup_embedding_lsh_pairs",
     "cluster_kmeans_assign",
+    "text_repetition_filter",
+    "decontam_train_eval",
     # streaming
     "stream_tumbling_counts",
 ]

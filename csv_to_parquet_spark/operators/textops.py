@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csv_to_parquet_spark.functions import md5_60, md5_60_sql, tokenize
+from csv_to_parquet_spark.functions import (
+    md5_60,
+    md5_60_sql,
+    shingles,
+    shingles_sql,
+    tokenize,
+)
 from csv_to_parquet_spark.operators import Catalog
 from csv_to_parquet_spark.sources.tables import load_table, spread
 
@@ -409,4 +415,152 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", h.alias("h"), expr.alias("rate"))
         .filter(F.col("h") < F.col("rate"))
         .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, §A1.1): drop
+# documents dominated by repeated n-grams. The corpus has no newlines,
+# so the line/paragraph variants are degenerate here; the token-level
+# family (top-unigram fraction, duplicate 2/3-gram fractions) carries
+# the same signal. Thresholds are parameterized module constants.
+# ---------------------------------------------------------------------------
+
+_REP_TOP1_MAX = 0.20  # most-frequent token may cover ≤20% of tokens
+_REP_DUP2_MAX = 0.20  # ≤20% of word 2-grams may be repeats
+_REP_DUP3_MAX = 0.15  # ≤15% of word 3-grams may be repeats
+_TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@CAT.query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             {shingles_sql("toks", 2)} AS g2,
+             {shingles_sql("toks", 3)} AS g3
+      FROM t)
+    SELECT doc_id,
+           ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                   d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+                 / len(toks), 6) AS top_unigram_frac,
+           CASE WHEN len(g2) > 0
+                THEN ROUND(CAST(1.0 AS DOUBLE)
+                           - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0
+                THEN ROUND(CAST(1.0 AS DOUBLE)
+                           - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+                ELSE 0.0 END AS dup_3gram_frac,
+           (ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                    d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+                  / len(toks), 6) <= {_REP_TOP1_MAX}
+            AND (CASE WHEN len(g2) > 0
+                 THEN ROUND(CAST(1.0 AS DOUBLE)
+                            - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+                 ELSE 0.0 END) <= {_REP_DUP2_MAX}
+            AND (CASE WHEN len(g3) > 0
+                 THEN ROUND(CAST(1.0 AS DOUBLE)
+                            - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+                 ELSE 0.0 END) <= {_REP_DUP3_MAX}) AS keep
+    FROM g
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate: per doc, the fraction of tokens
+    covered by the single most frequent token, and the duplicate
+    fraction of word 2-grams / 3-grams, plus the resulting keep flag.
+
+    Scale posture: one narrow zero-shuffle projection — every metric
+    is an array HOF over the doc's own token array, so cost is
+    O(tokens x distinct-tokens) per row with NO data movement; at
+    100 TB this runs as map tasks over parquet splits. (For very long
+    documents the explode + groupBy formulation bounds per-row cost;
+    at this corpus' ~56 tokens/doc the in-row form wins by avoiding a
+    shuffle entirely.) Ratios are ROUND(·, 6) before the threshold
+    compare, so the keep flag cannot flip on cross-engine float drift.
+    """
+    toks = tokenize("text")
+    df = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    counts = F.transform(
+        F.array_distinct("toks"),
+        lambda d: F.size(F.filter(F.col("toks"), lambda x: x == d)),
+    )
+    top1 = F.round(F.array_max(counts).cast("double") / n, 6)
+
+    def dup_frac(g):
+        return F.when(
+            F.size(g) > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g), 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    dup2 = dup_frac(shingles(F.col("toks"), 2))
+    dup3 = dup_frac(shingles(F.col("toks"), 3))
+    return df.select(
+        "doc_id",
+        top1.alias("top_unigram_frac"),
+        dup2.alias("dup_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+        (
+            (top1 <= _REP_TOP1_MAX)
+            & (dup2 <= _REP_DUP2_MAX)
+            & (dup3 <= _REP_DUP3_MAX)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination: flag training documents that share any
+# word n-gram with a held-out evaluation split — the standard guard
+# against benchmark leakage into pre-training corpora. Production
+# windows are 8-13 tokens; with this corpus' ~30-word vocabulary a
+# 4-token window produces the same sparse-overlap statistics.
+# ---------------------------------------------------------------------------
+
+_DECON_MOD = 20  # doc_id % 20 == 0 → the held-out "benchmark" split
+_DECON_N = 4
+
+
+@CAT.query(
+    "decontam_train_eval",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({shingles_sql("toks", _DECON_N)})) AS s
+      FROM t),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {_DECON_MOD} <> 0)
+    SELECT tr.doc_id, COUNT(*) AS n_hit_shingles
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id
+    """,
+)
+def decontam_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: training docs that contain any
+    4-token shingle also present in the eval split, with the count of
+    distinct contaminated shingles per doc.
+
+    Scale posture: the eval side of the join is a benchmark set —
+    tiny and fixed-size relative to a 100 TB training corpus — so its
+    distinct shingles are BROADCAST and the train side never shuffles
+    for the join; the only exchange is the final per-doc count. Both
+    sides deduplicate shingles inside the row (array_distinct before
+    explode), so a doc repeating one contaminated shingle counts it
+    once and the exploded volume is bounded by distinct shingles.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokenize("text"), _DECON_N))).alias("s"),
+    )
+    ev = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("s").distinct()
+    tr = sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_shingles"))
     )
