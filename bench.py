@@ -76,6 +76,7 @@ HEADLINE = [
     "cluster_kmeans_assign",
     "text_repetition_filter",
     "decontam_train_eval",
+    "layout_zorder_events",
     # streaming
     "stream_tumbling_counts",
 ]

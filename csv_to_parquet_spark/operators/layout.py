@@ -224,3 +224,101 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton-curve) clustering — multi-column data skipping
+# ---------------------------------------------------------------------------
+
+_Z_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_bits(c):
+    """Interleave-ready spread: 16-bit int -> its bits at even
+    positions of a 32-bit int (magic-mask technique, 4 shift+mask
+    rounds instead of a 16-term OR chain). JVM-side only."""
+    for shift, mask in _Z_MASKS:
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def zorder_value(a, b):
+    """Morton z-value of two 16-bit coordinates (a gets odd bits)."""
+    return F.shiftleft(_spread_bits(a), 1).bitwiseOR(_spread_bits(b))
+
+
+def _spread_sql(expr: str) -> str:
+    for shift, mask in _Z_MASKS:
+        expr = f"((({expr}) | (({expr}) << {shift})) & {mask})"
+    return expr
+
+
+def _zorder_sql(a: str, b: str) -> str:
+    return f"(({_spread_sql(a)} << 1) | {_spread_sql(b)})"
+
+
+_Z_A = "(user_id & 65535)"
+_Z_B = "(CAST(ROUND(value * 100) AS BIGINT) & 65535)"
+
+
+@CAT.query(
+    "layout_zorder_events",
+    oracle=f"""
+    WITH z AS (
+      SELECT ({_zorder_sql(_Z_A, _Z_B)}) AS z_value, user_id
+      FROM events)
+    SELECT (z_value >> 20) AS z_bucket,
+           COUNT(*) AS n_events,
+           CAST(MIN(z_value) AS BIGINT) AS min_z,
+           CAST(MAX(z_value) AS BIGINT) AS max_z,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM z GROUP BY 1
+    """,
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering: events rewritten range-partitioned + sorted
+    by the Morton interleave of (user_id, value-cents), then profiled
+    per z-bucket from the REWRITTEN files.
+
+    Why this layout at 100 TB: a table sorted by one column skips row
+    groups only for predicates on that column; sorting by the Morton
+    z-value keeps BOTH dimensions locally clustered, so parquet
+    min/max stats prune scans for predicates on user_id, on value, or
+    on both — the standard multi-dimensional clustering trick
+    (Delta/Iceberg OPTIMIZE ZORDER BY) built from two narrow bitwise
+    expressions, repartitionByRange, and sortWithinPartitions; no
+    engine extension needed. The z-value itself is exact integer math,
+    so the per-bucket profile has an exact oracle over the flat table
+    (roundtrip invariance: rewriting changed layout, not data)."""
+    tag = _sf_tag(sf_dir)
+    path = os.path.join(_WAREHOUSE, f"events_zorder_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        z = ev.select(
+            "*",
+            zorder_value(
+                F.col("user_id").bitwiseAND(F.lit(65535)),
+                cents("value").bitwiseAND(F.lit(65535)),
+            ).alias("z_value"),
+        )
+        (
+            z.repartitionByRange(8, "z_value")
+            .sortWithinPartitions("z_value")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.shiftright("z_value", 20).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("z_value").cast("bigint").alias("min_z"),
+            F.max("z_value").cast("bigint").alias("max_z"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
