@@ -209,7 +209,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Core of :func:`dedup_ngram_jaccard` over a (doc_id, sh)
     distinct-pairs frame — parameterized on the df cap so tests can
-    force stop-shingles on a synthetic corpus."""
+    force stop-shingles on a synthetic corpus.
+
+    The frame is persisted (tracked; see cache.release_caches): four
+    consumers reference it (sizes, document frequencies, the index
+    self-join, the capped add-back) and would otherwise re-run the
+    scan→explode→distinct shuffle each — this is the inverted index
+    any shingle-dedup system materializes once."""
+    sh = _persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     stops = F.broadcast(dfreq.filter(F.col("df") > df_cap).select("sh"))
@@ -287,7 +294,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction. Never O(n²): only docs sharing an indexable shingle
     meet. The oracle brute-forces all directed pairs.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    # persisted for the same four-consumer reason as ngram_jaccard_pairs
+    sh = _persist(_doc_shingles(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     stops = F.broadcast(dfreq.filter(F.col("df") > SHINGLE_DF_CAP).select("sh"))

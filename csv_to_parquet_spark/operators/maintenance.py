@@ -155,3 +155,77 @@ def scd2_event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lead("valid_from").over(w_run).isNull().alias("is_current"),
     )
+
+
+@CAT.query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 10 <> 0),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(ROUND(o_totalprice*1.10*100) AS BIGINT)
+                  ELSE CAST(ROUND(o_totalprice*100) AS BIGINT) END AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           o.cents AS old_cents, n.cents AS new_cents
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.cents <> n.cents OR o.o_orderstatus <> n.o_orderstatus
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: emit one row
+    per inserted ('I'), deleted ('D'), or value-changed ('U') key —
+    the diff feed a downstream incremental consumer replays. Both
+    snapshots are derived deterministically from ``orders`` (old drops
+    keys %10=0; new drops %7=0 and bumps %3=0 prices 10%) so the
+    oracle reproduces them exactly.
+
+    Scale posture: a single full-outer sort-merge join on the key —
+    the one unavoidable shuffle; unchanged rows are filtered BEFORE
+    the result materializes, so the emitted diff is proportional to
+    the churn, not the table. At 100 TB, snapshots bucketed on the
+    key make this join exchange-free (see
+    ``bucketed_join_order_revenue``)."""
+    src = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = src.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("old_status"),
+        cents.alias("old_cents"),
+    )
+    new = src.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("new_status"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice") * 1.10 * 100))
+        .otherwise(F.round(F.col("o_totalprice") * 100))
+        .cast("bigint")
+        .alias("new_cents"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_cents").isNull() & F.col("old_status").isNull(), "I")
+        .when(F.col("new_cents").isNull() & F.col("new_status").isNull(), "D")
+        .otherwise("U")
+    )
+    return (
+        j.filter(
+            F.col("old_status").isNull()
+            | F.col("new_status").isNull()
+            | (F.col("old_cents") != F.col("new_cents"))
+            | (F.col("old_status") != F.col("new_status"))
+        )
+        .select(
+            "o_orderkey",
+            change.alias("change_type"),
+            "old_cents",
+            "new_cents",
+        )
+    )

@@ -11,7 +11,7 @@ column aliased identically in Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.functions import cents
@@ -790,6 +790,70 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("disc_violations"),
+    )
+
+
+_Z_THRESH = 2.5
+
+
+@CAT.query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ROUND(value*100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, c,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             SUM(c) OVER (PARTITION BY user_id) AS s,
+             SUM(c*c) OVER (PARTITION BY user_id) AS ss
+      FROM e),
+    z AS (
+      SELECT event_id, user_id, c,
+             (CAST(c AS DOUBLE) - CAST(s AS DOUBLE)/n)
+               / sqrt(CAST(ss AS DOUBLE)/n
+                      - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)) AS zs
+      FROM w)
+    SELECT event_id, user_id, c AS value_cents, ROUND(zs, 6) AS z
+    FROM z WHERE abs(zs) > {_Z_THRESH}
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity outlier detection: events whose value sits more than
+    2.5 standard deviations from the user's own mean — the monitoring
+    / data-QA scan that catches bad meters and corrupt loads before
+    training data is promoted.
+
+    Cross-engine exactness despite float statistics: the per-user
+    moments are EXACT integer sums (count, sum of cents, sum of
+    squared cents — all bigint, associative in any partition order);
+    mean/variance/z are then derived with an identical double
+    expression tree on both engines, so no accumulation-order drift
+    exists anywhere. One shuffle (the per-user window partition);
+    the flagged subset is filtered before materialization.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("user_id")
+    n = F.count(F.lit(1)).over(w)
+    sm = F.sum("c").over(w)
+    ss = F.sum(F.col("c") * F.col("c")).over(w)
+    mean = sm.cast("double") / n
+    zs = (F.col("c").cast("double") - mean) / F.sqrt(
+        ss.cast("double") / n - mean * mean
+    )
+    return (
+        e.withColumn("zs", zs)
+        .filter(F.abs(F.col("zs")) > _Z_THRESH)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c").alias("value_cents"),
+            F.round("zs", 6).alias("z"),
+        )
     )
 
 
