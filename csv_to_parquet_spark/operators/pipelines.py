@@ -14,6 +14,9 @@ shuffle, so rejected docs never shuffle at all.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,3 +87,51 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select(
         "doc_id", F.when(bucket < 90, "train").otherwise("test").alias("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned corpus export — the "publish" step
+# ---------------------------------------------------------------------------
+
+_EXPORT_STAGE = os.path.join(tempfile.gettempdir(), "csv2pq_corpus_export")
+
+
+@CAT.query(
+    "sink_partitioned_corpus",
+    oracle=f"""
+    SELECT doc_id, n_chars, lang,
+           CASE WHEN {md5_60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sink_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish the corpus partitioned by (lang, split) and read it
+    back — the final step of a training-data pipeline: downstream
+    trainers read exactly one language/split directory, so the layout
+    IS the access path (directory pruning instead of a filter scan;
+    same mechanism as ``partition_pruned_year_revenue``).
+
+    The split is the deterministic md5 bucket (never ``randomSplit``),
+    so the published layout is reproducible run-over-run and the
+    oracle recomputes membership from the raw table. Roundtrip
+    invariance: partitioned rewrite changes layout, never content —
+    the returned frame is read FROM the published files."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_EXPORT_STAGE, f"corpus_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        bucket = F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(100))
+        (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "n_chars",
+                "lang",
+                F.when(bucket < 90, "train").otherwise("test").alias("split"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("lang", "split")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path)
+    return back.select("doc_id", "n_chars", "lang", "split")
