@@ -132,10 +132,11 @@ def _bucket_cols_sql() -> list[str]:
     return out
 
 
-@CAT.query(
-    "dedup_embedding_lsh_pairs",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# Shared oracle CTE body producing near-dup candidate cosines `s` —
+# used by the pairs oracle and (extended with a recursive reach) by
+# the semantic-clusters oracle.
+_PAIR_ORACLE_CTES = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     b AS (SELECT vec_id, v, {", ".join(_bucket_cols_sql())} FROM e),
     cand AS (
       SELECT a.vec_id AS vec_a, x.vec_id AS vec_b, a.v AS va, x.v AS vb
@@ -147,6 +148,13 @@ def _bucket_cols_sql() -> list[str]:
              list_dot_product(va, vb)
                / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cs
       FROM cand)
+"""
+
+
+@CAT.query(
+    "dedup_embedding_lsh_pairs",
+    oracle=f"""
+    WITH {_PAIR_ORACLE_CTES}
     SELECT vec_a, vec_b, ROUND(cs, 6) AS cosine
     FROM s WHERE cs >= {_COS_THRESHOLD}
     """,
@@ -447,4 +455,46 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         best["cell"].cast("bigint").alias("cluster"),
         F.round(best["s"], 6).alias("cosine"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup clusters: LSH near-dup pair graph -> connected components
+# --------------------------------------------------------------------------
+
+
+@CAT.query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_ORACLE_CTES},
+    pairs AS (SELECT vec_a, vec_b FROM s WHERE cs >= {_COS_THRESHOLD}),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) s2
+      UNION
+      SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v)
+    SELECT u AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: hyperplane-LSH near-dup pairs
+    (``dedup_embedding_lsh_pairs``, cosine ≥ 0.4) fed into hash-to-min
+    connected components (``dedup.connected_components``) — the full
+    "embed → bucket → verify → cluster → keep one per cluster"
+    pipeline modern corpus dedup runs alongside lexical MinHash.
+
+    Both stages are the scale paths: banded candidates (never O(n²))
+    and logarithmic-round label propagation over (long, long) pairs
+    with lineage truncation per round. The oracle replays the exact
+    banding + a recursive reach CTE, so cluster MEMBERSHIP is verified
+    cross-engine, not just counts. Singletons (vectors in no pair)
+    are implicitly their own cluster and not emitted."""
+    from csv_to_parquet_spark.operators.dedup import connected_components
+
+    pairs = dedup_embedding_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
     )

@@ -624,13 +624,30 @@ def dedup_connected_components(
     implicitly their own cluster and are not emitted.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, reliable_checkpoint=reliable_checkpoint)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def connected_components(
+    pairs: DataFrame, *, reliable_checkpoint: bool = False
+) -> DataFrame:
+    """Hash-to-min connected components over an undirected pair list
+    (first two columns = the two node ids, any long type) → (node,
+    label) with label = min reachable node id. The reusable core of
+    :func:`dedup_connected_components` — also drives the embedding
+    semantic-cluster op in ``clustering.py``; see that docstring for
+    the algorithm/scale discussion."""
+    u, v = pairs.columns[:2]
     edges = _lineage_truncate(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))),
+        pairs.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .union(pairs.select(F.col(v).alias("u"), F.col(u).alias("v"))),
         reliable_checkpoint,
     )
-    # edges are materialized now — the upstream MinHash shingle cache
-    # is no longer referenced by anything this function returns
+    # edges are materialized now — upstream caches (MinHash shingles,
+    # LSH band signatures) are no longer referenced by anything the
+    # caller's returned plan needs
     release_caches()
     labels = _lineage_truncate(
         edges.select(F.col("u").alias("node"))
@@ -655,9 +672,7 @@ def dedup_connected_components(
         if new_sum == prev_sum:  # monotone ⇒ equal sums ⇔ fixpoint
             break
         prev_sum = new_sum
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return labels
 
 
 # ---------------------------------------------------------------------------

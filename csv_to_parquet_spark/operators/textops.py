@@ -564,3 +564,39 @@ def decontam_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_shingles"))
     )
+
+
+@CAT.query(
+    "profile_corpus_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS med_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+    FROM documents GROUP BY lang
+    """,
+)
+def profile_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report, one scan: per language — doc count,
+    source cardinality, median length, and exact-duplicate count
+    (docs minus distinct content hashes). The dashboard numbers a
+    data curator checks before/after each pipeline stage.
+
+    Both engines interpolate the median with the same (n-1)*q rank
+    convention, and integer inputs make the interpolation arithmetic
+    exact, so even the percentile is oracle-exact. One shuffle on
+    lang (tiny key space); the distinct aggregates expand map-side
+    like any multi-distinct hash aggregation."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("med_chars"),
+            (F.count(F.lit(1)) - F.count_distinct(F.md5("text")))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+        )
+    )
