@@ -185,6 +185,29 @@ def main() -> int:
     convert_mbps = round(csv_mb / convert_s, 2) if res.ok else 0.0
     timings["convert_lineitem_csv"] = round(convert_s, 3)
 
+    # ANN quality: the two approximate top-k queries are rows-only in
+    # the driver's correctness gate BY DESIGN — attach measured
+    # recall@10 vs the exact brute-force baseline at this sf so the
+    # rows-only rows carry a quantitative signal (tests assert the
+    # same property at smoke scale; this measures it at bench scale).
+    def _topk_sets(df) -> dict:
+        sets: dict = {}
+        for r in df.collect():
+            sets.setdefault(r.query_id, set()).add(r.vec_id)
+        return sets
+
+    recall: dict[str, float] = {}
+    exact = _topk_sets(queries["knn_bruteforce_cosine"](spark, sf_dir))
+    for ann_name in ("knn_lsh_ann", "knn_ivf_ann"):
+        if ann_name not in queries:
+            continue
+        got = _topk_sets(queries[ann_name](spark, sf_dir))
+        per_q = [
+            len(got.get(q, set()) & s) / len(s) for q, s in exact.items() if s
+        ]
+        recall[ann_name] = round(sum(per_q) / len(per_q), 4) if per_q else 0.0
+        release_caches()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -196,6 +219,7 @@ def main() -> int:
                 "sf": sf,
                 "convert_csv_mb": round(csv_mb, 2),
                 "convert_mbps": convert_mbps,
+                "recall_at_10": recall,
             }
         )
     )

@@ -49,8 +49,25 @@ def l2_norm_sq(a: Column | str) -> Column:
     )
 
 
+def nonzero_norm(a: Column | str) -> Column:
+    """Predicate: the vector has a strictly positive L2 norm.
+
+    Callers of :func:`cosine_similarity` MUST filter their inputs with
+    this (mirrored by ``WHERE list_dot_product(v, v) > 0`` in oracle
+    SQL): an all-zero embedding makes the cosine denominator 0 and
+    Spark 4's default ANSI mode throws DIVIDE_BY_ZERO — even for
+    doubles — while DuckDB NULLs, a crash plus cross-engine
+    divergence. Filtering (rather than try_divide) keeps the division
+    expression itself untouched on both engines, so float parity is
+    preserved bit-for-bit."""
+    return l2_norm_sq(a) > 0
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """cos(a,b) = dot/(sqrt(|a|^2)*sqrt(|b|^2)), all double math."""
+    """cos(a,b) = dot/(sqrt(|a|^2)*sqrt(|b|^2)), all double math.
+
+    Precondition: both sides must satisfy :func:`nonzero_norm` (ANSI
+    DIVIDE_BY_ZERO otherwise) — filter at the source, not here."""
     return dot_double(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
 
 

@@ -136,7 +136,8 @@ def _bucket_cols_sql() -> list[str]:
 # used by the pairs oracle and (extended with a recursive reach) by
 # the semantic-clusters oracle.
 _PAIR_ORACLE_CTES = f"""
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE list_dot_product(v, v) > 0),
     b AS (SELECT vec_id, v, {", ".join(_bucket_cols_sql())} FROM e),
     cand AS (
       SELECT a.vec_id AS vec_a, x.vec_id AS vec_b, a.v AS va, x.v AS vb
@@ -219,7 +220,12 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    bands = sig.select(
+    # zero-norm vectors are unscoreable (cosine denominator 0 → ANSI
+    # DIVIDE_BY_ZERO); excluded from banding AND verification, mirrored
+    # by the oracle's list_dot_product(v, v) > 0 filter. nv comes free
+    # off the persisted signature pass, so this costs no extra scan.
+    nz = sig.filter(F.col("nv") > 0)
+    bands = nz.select(
         "vec_id",
         F.explode(
             F.array(
@@ -245,7 +251,7 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    norms = sig.select("vec_id", "nv")
+    norms = nz.select("vec_id", "nv")
     va = e.join(norms, "vec_id").select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
@@ -311,7 +317,13 @@ def _km_cos_arrays(cents: list[list[float]]):
     dots — raw and 9-dp-rounded ranking keys. Centroid norms are
     Python-float literals (``_seq_sqrt_norm``); the division shape
     dot/(nv*nc) is exactly the oracle's."""
-    ncs = F.array(*[F.lit(_seq_sqrt_norm(c)) for c in cents])
+    norms = [_seq_sqrt_norm(c) for c in cents]
+    # centroids are averages of nonzero-norm data vectors (the input is
+    # filtered), so a zero centroid needs every coordinate to cancel
+    # exactly — assert rather than guard so an impossible-by-invariant
+    # zero fails loudly instead of as an opaque ANSI DIVIDE_BY_ZERO
+    assert all(n > 0 for n in norms), "k-means centroid collapsed to zero vector"
+    ncs = F.array(*[F.lit(n) for n in norms])
     zipped = F.arrays_zip(F.col("s.dots").alias("d"), ncs.alias("nc"))
     s_raw = F.transform(zipped, lambda z: z["d"] / (F.col("s.nv") * z["nc"]))
     s9 = F.transform(s_raw, lambda x: F.round(x, 9))
@@ -367,7 +379,8 @@ def _km_sql_iteration(prev_cent: str, idx: int) -> str:
 
 
 _KM_ORACLE = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE list_dot_product(v, v) > 0),
     s0 AS (SELECT vec_id - 100 AS cell, v AS c FROM e
            WHERE vec_id >= 100 AND vec_id < {100 + _KM_CELLS}),
     {_km_sql_iteration("s0", 1)},
@@ -413,8 +426,14 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     list rebuild), so the cluster assignment — not merely the row
     count — is verified cross-engine.
     """
+    from csv_to_parquet_spark.functions import nonzero_norm
+
+    # zero-norm vectors cannot be cosine-assigned (ANSI DIVIDE_BY_ZERO);
+    # filtered identically in the oracle's e CTE
     e = spread(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(nonzero_norm("embedding"))
     )
     v = F.col("embedding")
     cents = [
@@ -496,10 +515,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding + a recursive reach CTE, so cluster MEMBERSHIP is verified
     cross-engine, not just counts. Singletons (vectors in no pair)
     are implicitly their own cluster and not emitted."""
+    from csv_to_parquet_spark.operators.cache import scope_token
     from csv_to_parquet_spark.operators.dedup import connected_components
 
+    token = scope_token()  # release only the LSH caches built below
     pairs = dedup_embedding_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, release_token=token)
     return labels.select(
         F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
     )

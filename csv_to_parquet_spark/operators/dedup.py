@@ -54,6 +54,7 @@ from csv_to_parquet_spark.operators.cache import (  # noqa: E402
     _ACTIVE_CACHES,
     persist_tracked as _persist,
     release_caches,
+    scope_token,
 )
 
 
@@ -293,12 +294,35 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the ``!=`` join emitting each unordered candidate once per
     direction. Never O(n²): only docs sharing an indexable shingle
     meet. The oracle brute-forces all directed pairs.
+
+    Unlike Jaccard — where a pair whose every common shingle is capped
+    is boilerplate-only by construction at J ≥ 0.6 — directed
+    containment CAN clear 0.8 through stop-shingles alone (a short doc
+    made of boilerplate contained in a longer one), so the cap gets a
+    supplemental candidate path making the result fully exact: a pair
+    missed by the uncapped index shares ONLY capped shingles, which
+    bounds C(A→B) ≤ |capped(A)|/|A|; therefore only docs whose capped
+    fraction alone could reach the threshold need candidates generated
+    from their (few) stop shingles, and every above-threshold pair is
+    provably produced by one path or the other. The extra join fans
+    out as (capped-heavy docs) × df — the bounded, honest price of
+    exactness for that small boilerplate subset, never the O(df²)
+    all-stop-shingle blowup the cap exists to prevent.
     """
+    return containment_pairs(_doc_shingles(spark, sf_dir))
+
+
+def containment_pairs(
+    sh: DataFrame, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Core of :func:`dedup_containment_pairs` over a (doc_id, sh)
+    distinct-pairs frame — parameterized on the df cap so tests can
+    force the supplemental stop-shingle path on a synthetic corpus."""
     # persisted for the same four-consumer reason as ngram_jaccard_pairs
-    sh = _persist(_doc_shingles(spark, sf_dir))
+    sh = _persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    stops = F.broadcast(dfreq.filter(F.col("df") > SHINGLE_DF_CAP).select("sh"))
+    stops = F.broadcast(dfreq.filter(F.col("df") > df_cap).select("sh"))
     idx = sh.join(stops, "sh", "left_anti")
     a = idx.alias("a")
     b = idx.alias("b")
@@ -320,6 +344,31 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     info = sizes.join(capped, "doc_id", "left").select(
         "doc_id", "n_sh", F.coalesce("capped_sh", empty).alias("capped_sh")
     )
+    # Supplemental candidates (see dedup_containment_pairs docstring):
+    # a pair the uncapped index misses has C(A→B) ≤ |capped(A)|/|A|,
+    # so only capped-heavy A-sides need their stop shingles probed
+    # against the full index. Such pairs share no uncapped shingle by
+    # definition, hence c_uncapped = 0; the anti-join keeps the two
+    # candidate sets disjoint. Empty when the cap never fires.
+    heavy = info.filter(
+        F.size("capped_sh").cast("double")
+        >= F.lit(CONTAINMENT_THRESHOLD) * F.col("n_sh")
+    ).select("doc_id", F.explode("capped_sh").alias("sh"))
+    supp = (
+        heavy.alias("ha")
+        .join(
+            sh.alias("hb"),
+            (F.col("ha.sh") == F.col("hb.sh"))
+            & (F.col("ha.doc_id") != F.col("hb.doc_id")),
+        )
+        .select(
+            F.col("ha.doc_id").alias("doc_a"), F.col("hb.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .join(common.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .withColumn("c_uncapped", F.lit(0).cast("bigint"))
+    )
+    cand = common.unionByName(supp)
     ia = info.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_sh").alias("na"),
@@ -329,7 +378,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("c_uncapped") + F.size(F.array_intersect("ca", "cb"))
     cont = c.cast("double") / F.col("na")
     return (
-        common.join(ia, "doc_a")
+        cand.join(ia, "doc_a")
         .join(ib, "doc_b")
         .filter(cont >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
@@ -623,32 +672,52 @@ def dedup_connected_components(
     that appears in at least one near-dup pair; singletons are
     implicitly their own cluster and are not emitted.
     """
+    token = scope_token()  # caches built below are ours to release
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, reliable_checkpoint=reliable_checkpoint)
+    labels = connected_components(
+        pairs, reliable_checkpoint=reliable_checkpoint, release_token=token
+    )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 
 def connected_components(
-    pairs: DataFrame, *, reliable_checkpoint: bool = False
+    pairs: DataFrame,
+    *,
+    reliable_checkpoint: bool = False,
+    release_token: int | None = None,
 ) -> DataFrame:
     """Hash-to-min connected components over an undirected pair list
     (first two columns = the two node ids, any long type) → (node,
     label) with label = min reachable node id. The reusable core of
     :func:`dedup_connected_components` — also drives the embedding
     semantic-cluster op in ``clustering.py``; see that docstring for
-    the algorithm/scale discussion."""
+    the algorithm/scale discussion.
+
+    ``release_token``: a :func:`cache.scope_token` taken by the caller
+    BEFORE building the pair pipeline. Once the edge materialization
+    below completes, the caches that pipeline registered (shingle
+    index, LSH signatures) are dead weight and are unpersisted — but
+    ONLY those: draining the global registry here would silently evict
+    caches other operators' still-unmaterialized plans reference.
+    ``None`` (the default for library callers) releases nothing."""
     u, v = pairs.columns[:2]
-    edges = _lineage_truncate(
-        pairs.select(F.col(u).alias("u"), F.col(v).alias("v"))
-        .union(pairs.select(F.col(v).alias("u"), F.col(u).alias("v"))),
+    # materialize the (expensive) pair DAG exactly ONCE, then derive
+    # the symmetric edge list from the checkpointed leaf — a
+    # union-of-swapped-projections over the raw `pairs` plan would
+    # evaluate the whole upstream LSH candidate+verify pipeline twice
+    # inside one eager checkpoint (measured +26% on the sf0.1 bench)
+    plist = _lineage_truncate(
+        pairs.select(F.col(u).alias("u"), F.col(v).alias("v")),
         reliable_checkpoint,
     )
-    # edges are materialized now — upstream caches (MinHash shingles,
-    # LSH band signatures) are no longer referenced by anything the
-    # caller's returned plan needs
-    release_caches()
+    edges = plist.union(plist.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # the pair list is materialized now — the caller's upstream caches
+    # (MinHash shingles, LSH band signatures) are no longer referenced
+    # by anything the returned plan needs
+    if release_token is not None:
+        release_caches(release_token)
     labels = _lineage_truncate(
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -809,7 +878,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings
+               WHERE list_dot_product(v, v) > 0),
     p AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_dot_product(a.v, b.v)
@@ -822,10 +892,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ 0.4) — the brute-force
     baseline the ANN path is measured against. All-double sequential
-    accumulation matches DuckDB's list_dot_product bit-for-bit."""
-    from csv_to_parquet_spark.functions import cosine_similarity
+    accumulation matches DuckDB's list_dot_product bit-for-bit.
+    Zero-norm vectors are filtered on both engines before scoring —
+    see :func:`csv_to_parquet_spark.functions.nonzero_norm`."""
+    from csv_to_parquet_spark.functions import cosine_similarity, nonzero_norm
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(nonzero_norm("embedding"))
+    )
     # stream side spread across cores: the theta join is a broadcast
     # nested loop, so its parallelism equals the streamed side's
     # partition count — a single-file scan would run the whole O(n²)

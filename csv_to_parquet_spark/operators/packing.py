@@ -70,7 +70,7 @@ STRIDE = 48
              SUM(n_tokens) OVER (ORDER BY doc_id
                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
       FROM toks)
-    SELECT (cum_tokens - 1) // {BUDGET} AS bin_id,
+    SELECT CAST((cum_tokens - 1) // {BUDGET} AS BIGINT) AS bin_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
            MIN(doc_id) AS first_doc,

@@ -810,9 +810,12 @@ _Z_THRESH = 2.5
       FROM e),
     z AS (
       SELECT event_id, user_id, c,
-             (CAST(c AS DOUBLE) - CAST(s AS DOUBLE)/n)
-               / sqrt(CAST(ss AS DOUBLE)/n
-                      - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)) AS zs
+             CASE WHEN CAST(ss AS DOUBLE)/n
+                       - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n) > 0
+                  THEN (CAST(c AS DOUBLE) - CAST(s AS DOUBLE)/n)
+                       / sqrt(CAST(ss AS DOUBLE)/n
+                              - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))
+             END AS zs
       FROM w)
     SELECT event_id, user_id, c AS value_cents, ROUND(zs, 6) AS z
     FROM z WHERE abs(zs) > {_Z_THRESH}
@@ -831,6 +834,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree on both engines, so no accumulation-order drift
     exists anywhere. One shuffle (the per-user window partition);
     the flagged subset is filtered before materialization.
+
+    Zero-variance guard: a user whose events all share one value (a
+    single-event user suffices) has variance exactly 0; an unguarded
+    divide would throw DIVIDE_BY_ZERO under Spark's ANSI mode while
+    DuckDB silently NULLs. Both engines gate the z-score behind
+    ``variance > 0`` with the same CASE shape, so constant-valued
+    users are dropped identically — a near-certainty in any 100 TB
+    corpus even though the driver fixtures happen not to contain one.
     """
     e = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -842,9 +853,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = F.sum("c").over(w)
     ss = F.sum(F.col("c") * F.col("c")).over(w)
     mean = sm.cast("double") / n
-    zs = (F.col("c").cast("double") - mean) / F.sqrt(
-        ss.cast("double") / n - mean * mean
-    )
+    var = ss.cast("double") / n - mean * mean
+    # CASE branches evaluate lazily per-row, so the division never runs
+    # when var == 0 (ANSI-safe); NULL zs rows fail the threshold filter
+    # exactly as the oracle's NULL does.
+    zs = F.when(var > 0, (F.col("c").cast("double") - mean) / F.sqrt(var))
     return (
         e.withColumn("zs", zs)
         .filter(F.abs(F.col("zs")) > _Z_THRESH)

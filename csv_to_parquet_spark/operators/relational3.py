@@ -128,10 +128,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-aggregation ratio. All five dimensions broadcast; the
     share divides exact cent sums so the double is engine-identical.
     (Adaptation: p_type filter stands in for the 'ECONOMY ANODIZED
-    STEEL' literal; schema has no multi-word types.)"""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    STEEL' literal; schema has no multi-word types.)
+
+    Join order is chosen for shuffle volume, not prose order: the
+    selective PROMO part broadcast prunes lineitem ~6× BEFORE its
+    orderkey exchange, and the nation→region broadcasts prune customer
+    to the EUROPE ~fifth before its custkey exchange — Catalyst keeps
+    written shuffle-join order absent CBO stats, so pruning ahead of
+    the two fact-fact exchanges is our job, and at 100 TB those
+    exchanges are the whole query."""
     s = F.broadcast(_t(spark, sf_dir, "supplier"))
     p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"))
     cn = F.broadcast(
@@ -148,14 +153,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
         )
     )
-    sales = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(p, li.l_partkey == p.p_partkey)
-        .join(cn, c.c_nationkey == F.col("cn_key"))
-        .join(r, F.col("cn_region") == r.r_regionkey)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(sn, s.s_nationkey == F.col("sn_key"))
+    )
+    c_eur = (
+        _t(spark, sf_dir, "customer")
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("cn_region") == r.r_regionkey)
+    )
+    o = _t(spark, sf_dir, "orders")
+    sales = (
+        li.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c_eur, o.o_custkey == F.col("c_custkey"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             _rev_cents().alias("rev_cents"),

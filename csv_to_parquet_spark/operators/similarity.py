@@ -59,27 +59,40 @@ _PLANES = [
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 64-dim dot products per row on a single-file table → parallelize
+    # 64-dim dot products per row on a single-file table → parallelize.
+    # Zero-norm vectors are unscoreable (cosine denominator 0 is an
+    # ANSI DIVIDE_BY_ZERO crash) — filtered here and in the oracles'
+    # matching list_dot_product(v, v) > 0 predicate.
+    from csv_to_parquet_spark.functions import nonzero_norm
+
     return spread(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(nonzero_norm("embedding"))
     )
 
 
 def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (tiny) query side: NO spread — a handful of rows fanned out
     over defaultParallelism partitions would pay one Python-worker
-    round trip per near-empty partition in the bucket UDF."""
+    round trip per near-empty partition in the bucket UDF. Same
+    zero-norm filter as :func:`_emb` (the oracle's q CTE selects from
+    the already-filtered e)."""
+    from csv_to_parquet_spark.functions import nonzero_norm
+
     return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .filter(F.col("vec_id") < N_QUERIES)
+        .filter(nonzero_norm("embedding"))
     )
 
 
 @CAT.query(
     "knn_bruteforce_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE list_dot_product(v, v) > 0),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
     s AS (
       SELECT q.query_id, e.vec_id,
@@ -251,6 +264,12 @@ def _ivf_train_centroids(e: DataFrame) -> list[list[float]]:
         )
         updated = {int(r["cell"]): [float(r[f"d{i}"]) for i in range(dim)] for r in rows}
         cents = [updated.get(c, cents[c]) for c in range(_IVF_CELLS)]
+    # centroids average nonzero-norm vectors (_emb filters), so a zero
+    # centroid is impossible-by-invariant; assert so it can never reach
+    # _cell_ranks' division as an opaque ANSI DIVIDE_BY_ZERO
+    assert all(
+        any(x != 0.0 for x in c) for c in cents
+    ), "IVF centroid collapsed to zero vector"
     return cents
 
 

@@ -68,6 +68,16 @@ def _values_equal(a: Any, b: Any) -> bool:
     return a == b
 
 
+def _dtype_class(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def compare_frames(
     spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, max_report: int = 5
 ) -> list[str]:
@@ -78,6 +88,26 @@ def compare_frames(
     sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if sc != dc:
         problems.append(f"columns: spark={sc} duck={dc}")
+    if problems:
+        return problems
+    # Driver-hash tripwire: the driver's value hash renders 387 and
+    # 387.0 differently, so an int column on one engine vs a float on
+    # the other (DuckDB HUGEINT → float64 is the classic case — a
+    # SUM(...) missing a CAST(... AS BIGINT)) is a red driver row even
+    # when the values compare numerically equal. Only null-free columns
+    # are checked: a nullable int legitimately arrives as float64+NaN.
+    for col in sc:
+        a_cls, b_cls = _dtype_class(spark_pdf[col]), _dtype_class(duck_pdf[col])
+        if (
+            {a_cls, b_cls} == {"int", "float"}
+            and not spark_pdf[col].isna().any()
+            and not duck_pdf[col].isna().any()
+        ):
+            problems.append(
+                f"dtype class [{col}]: spark={spark_pdf[col].dtype} "
+                f"duck={duck_pdf[col].dtype} — driver hash would mismatch; "
+                f"add CAST(... AS BIGINT) to the oracle or align the Spark type"
+            )
     if problems:
         return problems
     s = _normalize(spark_pdf)

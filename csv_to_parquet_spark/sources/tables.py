@@ -88,17 +88,30 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+    """Widen a narrow scan to the session's default parallelism — but
+    only when it is actually narrow.
 
-    The driver tables are single parquet files, so a narrow
-    (zero-shuffle) pipeline inherits ONE scan task and runs
-    single-threaded no matter how expensive the per-row work is — a
-    measured 8× wall-clock loss on the hash-heavy dedup pipelines. On a
-    real cluster a 100 TB table has thousands of splits and this is a
-    no-op by construction; locally the one small exchange of raw rows
-    buys full-width parallelism for everything downstream. Use ONLY in
-    front of compute-heavy per-row stages — plain scans/filters/aggs
-    are better off letting Catalyst size the partitions.
+    The driver tables are single small parquet files, so a zero-shuffle
+    pipeline inherits ONE scan task and runs single-threaded no matter
+    how expensive the per-row work is — a measured 8× wall-clock loss on
+    the hash-heavy dedup pipelines. ``repartition()`` is never a no-op:
+    it always inserts a round-robin exchange, so calling it
+    unconditionally would full-shuffle a 100 TB corpus before any
+    reduction. We therefore check the planned partitioning first and
+    pass the input through untouched whenever the scan is already at
+    least as wide as the session's parallelism — the production case,
+    where thousands of splits are sized by
+    ``spark.sql.files.maxPartitionBytes`` and per-row work is already
+    spread across every core. Only the degenerate few-splits case (the
+    local single-file fixture) pays the one small exchange of raw rows.
+    Use ONLY in front of compute-heavy per-row stages — plain
+    scans/filters/aggs are better off letting Catalyst size the
+    partitions.
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    # Planning-only inspection: .rdd materializes the physical plan's
+    # partitioning without running a job.
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -99,6 +99,45 @@ def test_ngram_df_cap_keeps_exact_jaccard(spark):
     assert capped[(1, 2)] == 0.75
 
 
+def test_containment_supplemental_path_catches_capped_subset(spark):
+    """A doc whose EVERY shingle is a stop-shingle (df > cap) is the
+    case the plain df-capped index misses entirely — a boilerplate-only
+    doc contained verbatim in longer docs. The supplemental candidate
+    path (capped-heavy A-sides probe their stop shingles against the
+    full index) must emit those pairs with containment identical to an
+    uncapped run."""
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_spark.functions import shingles, tokenize
+    from csv_to_parquet_spark.operators.dedup import containment_pairs
+
+    phrase = "click here now buy this"  # 3 trigrams, df = 4 across 4 docs
+    rows = [
+        (1, phrase),  # all 3 shingles capped at df_cap=3 → capped-heavy
+        (2, phrase + " alpha beta gamma delta epsilon zeta"),
+        (3, phrase + " one two three four five six"),
+        (4, phrase + " seven eight nine ten eleven twelve"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = docs.select(
+        "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("sh")
+    ).distinct()
+    capped = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(sh, df_cap=3).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(sh, df_cap=10**9).collect()
+    }
+    assert capped == uncapped
+    # doc 1 is fully contained in each longer doc: C = 3/3 exactly,
+    # emitted ONLY via the supplemental path in the capped run
+    assert capped[(1, 2)] == 1.0
+    assert capped[(1, 3)] == 1.0
+    assert capped[(1, 4)] == 1.0
+
+
 def test_simhash_pairs_runs(spark, sf_smoke, queries):
     df = queries["dedup_simhash_pairs"](spark, sf_smoke)
     assert {f.name for f in df.schema.fields} == {"doc_a", "doc_b", "hamming"}

@@ -190,6 +190,29 @@ def test_embedding_lsh_pairs_candidate_join_ships_ids_only(spark, sf_smoke, quer
             assert "embedding" not in line and "va" not in line and "vb" not in line, line
 
 
+def test_spread_is_conditional(spark, sf_smoke, tmp_path):
+    """spread() must NOT insert an exchange when the input is already
+    at least as wide as the session parallelism — at 100 TB the scan
+    has thousands of splits and an unconditional round-robin
+    repartition would full-shuffle the raw corpus. Only the degenerate
+    narrow case (the local single-file fixture) pays the exchange."""
+    from csv_to_parquet_spark.sources.tables import spread
+
+    # already-wide input → identity, no Exchange in the plan
+    wide = spark.range(100_000).repartition(64)
+    assert spread(wide) is wide
+    # on-disk multi-file parquet wide enough for every core → pass-through
+    path = str(tmp_path / "wide_parquet")
+    spark.range(1_000_000).repartition(64).write.parquet(path)
+    scan = spark.read.parquet(path)
+    if scan.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
+        assert "Exchange" not in _plan(spread(scan)), "spread() shuffled a wide scan"
+    # narrow single-file scan → exactly one round-robin exchange
+    narrow = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    plan = _plan(spread(narrow))
+    assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan, plan
+
+
 def test_kmeans_assignment_is_narrow(spark, sf_smoke):
     """The final k-means assignment (after training collects the 16-row
     model) must be a pure map over the scan: its only exchange is the

@@ -13,47 +13,45 @@ import os
 
 from pyspark.sql import functions as F
 
-SF = "/root/testdata/sf0.001"
-
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_decontam_broadcasts_eval_side(spark):
+def test_decontam_broadcasts_eval_side(spark, sf_smoke):
     from csv_to_parquet_spark.operators.textops import decontam_train_eval
 
-    plan = _plan(decontam_train_eval(spark, SF))
+    plan = _plan(decontam_train_eval(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
     # the train side must NOT shuffle for the join itself
     assert "SortMergeJoin" not in plan
 
 
-def test_repetition_filter_is_narrow(spark):
+def test_repetition_filter_is_narrow(spark, sf_smoke):
     from csv_to_parquet_spark.operators.textops import text_repetition_filter
 
-    plan = _plan(text_repetition_filter(spark, SF))
+    plan = _plan(text_repetition_filter(spark, sf_smoke))
     # only the local-parallelism spread() round-robin; no hash exchange
     assert plan.count("Exchange hashpartitioning") == 0
 
 
-def test_cdc_diff_is_single_full_outer_join(spark):
+def test_cdc_diff_is_single_full_outer_join(spark, sf_smoke):
     from csv_to_parquet_spark.operators.maintenance import cdc_snapshot_diff
 
-    plan = _plan(cdc_snapshot_diff(spark, SF))
+    plan = _plan(cdc_snapshot_diff(spark, sf_smoke))
     assert "FullOuter" in plan
     assert plan.count("Join") == 1
 
 
-def test_anomaly_zscore_single_window_shuffle(spark):
+def test_anomaly_zscore_single_window_shuffle(spark, sf_smoke):
     from csv_to_parquet_spark.operators.relational2 import events_anomaly_zscore
 
-    plan = _plan(events_anomaly_zscore(spark, SF))
+    plan = _plan(events_anomaly_zscore(spark, sf_smoke))
     assert plan.count("Exchange hashpartitioning") == 1  # the window partition
     assert "Window" in plan
 
 
-def test_zorder_files_are_clustered(spark):
+def test_zorder_files_are_clustered(spark, sf_smoke):
     """The rewritten files must be disjoint in z-range (repartitionByRange
     + sortWithinPartitions), which is what makes min/max row-group
     pruning effective on BOTH z-dimensions."""
@@ -65,8 +63,8 @@ def test_zorder_files_are_clustered(spark):
         layout_zorder_events,
     )
 
-    layout_zorder_events(spark, SF).count()  # ensure written
-    path = os.path.join(_WAREHOUSE, f"events_zorder_{_sf_tag(SF)}")
+    layout_zorder_events(spark, sf_smoke).count()  # ensure written
+    path = os.path.join(_WAREHOUSE, f"events_zorder_{_sf_tag(sf_smoke)}")
     ranges = []
     for f in glob.glob(os.path.join(path, "*.parquet")):
         md = pq.ParquetFile(f).metadata
@@ -84,22 +82,22 @@ def test_zorder_files_are_clustered(spark):
         assert hi1 <= lo2, "file z-ranges overlap — not range-clustered"
 
 
-def test_zorder_filter_pushdown(spark):
+def test_zorder_filter_pushdown(spark, sf_smoke):
     from csv_to_parquet_spark.operators.layout import (
         _WAREHOUSE,
         _sf_tag,
         layout_zorder_events,
     )
 
-    layout_zorder_events(spark, SF).count()
-    path = os.path.join(_WAREHOUSE, f"events_zorder_{_sf_tag(SF)}")
+    layout_zorder_events(spark, sf_smoke).count()
+    path = os.path.join(_WAREHOUSE, f"events_zorder_{_sf_tag(sf_smoke)}")
     df = spark.read.parquet(path).filter(F.col("z_value") < 1000)
     assert "PushedFilters: [IsNotNull(z_value), LessThan(z_value,1000)]" in _plan(
         df
     ) or "LessThan(z_value,1000)" in _plan(df)
 
 
-def test_seq_dots_udf_matches_interpreted(spark):
+def test_seq_dots_udf_matches_interpreted(spark, sf_smoke):
     """The numpy dimension-loop accumulation must be bit-identical to
     the interpreted F.aggregate sequential dot product."""
     from csv_to_parquet_spark.operators.clustering import (
@@ -110,7 +108,7 @@ def test_seq_dots_udf_matches_interpreted(spark):
     )
     from csv_to_parquet_spark.sources.tables import load_table
 
-    e = load_table(spark, SF, "embeddings").limit(50)
+    e = load_table(spark, sf_smoke, "embeddings").limit(50)
     planes = [_PAIR_PLANES[0][j] for j in range(3)]
     udf = _seq_dots_udf(planes)
     got = e.select("vec_id", udf("embedding").alias("s")).select(
