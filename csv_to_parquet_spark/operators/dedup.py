@@ -386,6 +386,129 @@ def containment_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Incremental ingestion dedup: a new batch screened against the corpus
+# ---------------------------------------------------------------------------
+
+#: Batch split: doc_id % mod == 0 simulates the "newly arrived" 20%
+#: screened against the already-ingested 80% — the shape of every
+#: production incremental crawl ingest.
+_INC_BATCH_MOD = 5
+
+
+@CAT.query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS h, list_distinct({_SHINGLES_SQL}) AS sh
+      FROM documents),
+    b AS (SELECT * FROM t WHERE doc_id % {_INC_BATCH_MOD} = 0),
+    c AS (SELECT * FROM t WHERE doc_id % {_INC_BATCH_MOD} <> 0),
+    ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.h = c.h),
+    near AS (
+      SELECT b.doc_id, COUNT(*) AS n_near
+      FROM b JOIN c
+        ON len(b.sh) + len(c.sh) > 0
+       AND CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+           / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))
+           >= {JACCARD_THRESHOLD}
+      GROUP BY b.doc_id),
+    flagged AS (SELECT doc_id FROM ex UNION SELECT doc_id FROM near)
+    SELECT f.doc_id,
+           CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS exact_dup,
+           CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near
+    FROM flagged f
+    LEFT JOIN ex e ON f.doc_id = e.doc_id
+    LEFT JOIN near n ON f.doc_id = n.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: screen a newly arrived batch
+    (``doc_id % _INC_BATCH_MOD == 0``) against the already-ingested
+    corpus and
+    flag each batch doc that is an exact copy (content md5 match) or a
+    near-dup (3-gram Jaccard ≥ threshold with ≥1 corpus doc) — the
+    admission gate a production crawl pipeline runs per ingest, where
+    re-deduplicating the whole corpus per batch is unaffordable.
+
+    Scale shape: the exact check is a semi-join of batch md5s against
+    corpus md5s (shuffles 16-byte hashes, never text). The near check
+    reuses the df-capped inverted-index machinery of
+    :func:`dedup_ngram_jaccard`, with candidates generated ONLY across
+    the batch×corpus boundary — corpus-internal pairs, the quadratic
+    bulk an incremental system must not recompute, are never joined.
+    Capped stop-shingles are added back exactly, and the same J ≥ 0.6
+    boilerplate-only argument covers pairs whose every common shingle
+    is capped.
+
+    Output: one row per flagged batch doc — (doc_id, exact_dup 0/1,
+    n_near = matching corpus docs)."""
+    is_batch = F.col("doc_id") % _INC_BATCH_MOD == 0
+    # exact: hash-only semi join (batch side tiny relative to corpus)
+    hashes = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("h"))
+    ex = (
+        hashes.filter(is_batch)
+        .join(hashes.filter(~is_batch).select("h"), "h", "left_semi")
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(1).cast("bigint"))
+    )
+    # near: cross-boundary inverted index with df cap + exact add-back
+    sh = _persist(_doc_shingles(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    stops = F.broadcast(dfreq.filter(F.col("df") > SHINGLE_DF_CAP).select("sh"))
+    idx = sh.join(stops, "sh", "left_anti")
+    common = (
+        idx.filter(is_batch)
+        .alias("b")
+        .join(
+            idx.filter(~is_batch).alias("c"),
+            F.col("b.sh") == F.col("c.sh"),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("doc_id"), F.col("c.doc_id").alias("c_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("c_uncapped"))
+    )
+    empty = F.array().cast("array<string>")
+    capped = (
+        sh.join(stops, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("capped_sh"))
+    )
+    info = sizes.join(capped, "doc_id", "left").select(
+        "doc_id", "n_sh", F.coalesce("capped_sh", empty).alias("capped_sh")
+    )
+    ib = info.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("n_sh").alias("nb"),
+        F.col("capped_sh").alias("cb"),
+    )
+    ic = info.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("n_sh").alias("nc"),
+        F.col("capped_sh").alias("cc"),
+    )
+    cnt = F.col("c_uncapped") + F.size(F.array_intersect("cb", "cc"))
+    j = cnt.cast("double") / (F.col("nb") + F.col("nc") - cnt)
+    near = (
+        common.join(ib, "doc_id")
+        .join(ic, "c_doc")
+        .filter(j >= JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        ex.join(near, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(0)).cast("bigint").alias("exact_dup"),
+            F.coalesce("n_near", F.lit(0)).cast("bigint").alias("n_near"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -482,6 +605,80 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(spark, sf_dir)
     return sig.select(
         "doc_id", *[sig.sig[j].alias(f"m{j}") for j in range(8)]
+    )
+
+
+_SIG64_SQL = ", ".join(
+    f"MIN(({a}::BIGINT * h31 + {b}) % {_P31}) AS m{j}"
+    for j, (a, b) in enumerate(_MINHASH_AB)
+)
+_EST_EQ_SQL = " + ".join(
+    f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(64)
+)
+
+
+@CAT.query(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH sh2 AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+      FROM documents),
+    h AS (SELECT doc_id, {md5_60_sql("s")} % {_P31} AS h31 FROM sh2),
+    sig AS (SELECT doc_id, {_SIG64_SQL} FROM h GROUP BY doc_id),
+    t AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS c,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM t a, t b WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+      FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {JACCARD_THRESHOLD})
+    SELECT doc_a, doc_b, jaccard,
+           ROUND(({_EST_EQ_SQL}) / 64.0, 6) AS est_jaccard
+    FROM pairs
+    JOIN sig sa ON doc_a = sa.doc_id
+    JOIN sig sb ON doc_b = sb.doc_id
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy report: for every verified near-dup pair
+    (exact 3-gram Jaccard ≥ threshold), the 64-permutation MinHash
+    ESTIMATE (fraction of equal signature components) next to the
+    exact value — the monitoring query a production dedup pipeline
+    runs to validate that its sketch parameters (here 64 permutations:
+    stderr ≈ sqrt(J(1-J)/64) ≈ 0.06 at J=0.6) still track reality
+    before trusting estimate-only shortcuts at full scale.
+
+    Both the exact pairs (df-capped inverted index, add-back exact)
+    and the md5-derived universal-hash signatures are oracle-exact, so
+    the ESTIMATES match DuckDB bit-for-bit too — the comparison is
+    signature-component equality, integer arithmetic end to end.
+    Scale shape: signatures are a narrow map; the pair list ships
+    (doc_a, doc_b) ids and joins the 512-byte signatures twice."""
+    pairs = ngram_jaccard_pairs(_doc_shingles(spark, sf_dir))
+    sig = minhash_signatures(spark, sf_dir, hash_fn="md5")
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    eq = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(eq.cast("double") / 64.0, 6).alias("est_jaccard"),
+        )
     )
 
 

@@ -366,8 +366,11 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     s = _t(spark, sf_dir, "supplier")
+    # the aggregated side is ≤ one row per supplier — broadcast it so
+    # the semi-join never shuffles the supplier dimension (aggregates
+    # have no stats, so Catalyst won't pick the broadcast on its own)
     return (
-        s.join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.functions import cents
 from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.operators.cache import persist_tracked
 from csv_to_parquet_spark.sources.tables import load_table
 
 CAT = Catalog()
@@ -75,12 +76,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lineitem`` with MIN(l_extendedprice) as the offer price.)
 
     Plan shape at scale: the offer list aggregates lineitem once on
-    (partkey, suppkey) — map-side partial agg, one shuffle; the
-    region-filtered supplier dimension broadcasts into it; the
-    per-part minimum reuses the same shuffle key (partkey), so AQE
-    plans the min + self-join without a second full exchange of the
-    fact data. Output rows are (part, supplier) pairs; the final
-    ORDER BY ... LIMIT plans as TakeOrderedAndProject."""
+    (partkey, suppkey) — map-side partial agg, one shuffle — and is
+    persisted (tracked) because the decorrelated MIN references it
+    twice; without the persist Catalyst inlines the whole lineitem
+    pipeline into BOTH sides of the final join and scans the fact
+    table twice. The per-part minimum is ≤ one row per qualifying
+    part, so it broadcasts back into the offers — no sort-merge
+    exchange of the offer rows at all. Output rows are (part,
+    supplier) pairs; the final ORDER BY ... LIMIT plans as
+    TakeOrderedAndProject."""
     ps = (
         _t(spark, sf_dir, "lineitem")
         .groupBy(
@@ -107,13 +111,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
         )
     )
-    offers = (
+    offers = persist_tracked(
         p.join(ps, p.p_partkey == ps.partkey)
         .join(eu, ps.suppkey == eu.s_suppkey)
         .select("p_partkey", "s_name", "s_acctbal_cents", "n_name", "price_cents")
     )
-    best = offers.groupBy(F.col("p_partkey").alias("best_pk")).agg(
-        F.min("price_cents").alias("best_cents")
+    best = F.broadcast(
+        offers.groupBy(F.col("p_partkey").alias("best_pk")).agg(
+            F.min("price_cents").alias("best_cents")
+        )
     )
     return (
         offers.join(
@@ -167,7 +173,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
-    vals = (
+    vals = persist_tracked(
         li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(
@@ -175,7 +181,6 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_cents"
             )
         )
-        .persist()
     )
     total = F.broadcast(vals.agg(F.sum("value_cents").alias("t")))
     return (

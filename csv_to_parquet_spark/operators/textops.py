@@ -418,6 +418,53 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hash-bucket resolution for the balanced-mix sampler (2^20 buckets —
+#: keep-rate granularity ~1e-6, plenty below any real mix tolerance).
+_MIX_BUCKETS = 1 << 20
+
+
+@CAT.query(
+    "sample_balanced_mix",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_s) AS mn FROM c),
+    r AS (
+      SELECT doc_id, source,
+             {md5_60_sql("CAST(doc_id AS VARCHAR)")} % {_MIX_BUCKETS} AS h
+      FROM documents)
+    SELECT doc_id, source
+    FROM r JOIN c USING (source) CROSS JOIN m
+    WHERE h * n_s < mn * {_MIX_BUCKETS}
+    """,
+)
+def sample_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven training-mix resampler: downsample every ``source``
+    to the size of the SMALLEST source, so the sampled corpus has a
+    uniform source mix — the "balance your data mixture" step of
+    training-set assembly, with rates computed FROM the data rather
+    than a hardcoded table (contrast :func:`sample_stratified_hash`).
+
+    Membership is deterministic (md5 hash bucket vs keep-rate), and the
+    rate comparison ``h·n_s < min·2^20`` is exact bigint arithmetic on
+    both engines — no float rate ever materializes, so the sample is
+    bit-identical cross-engine and run-to-run.
+
+    Scale shape: one map-side-combined count agg (rows = #sources),
+    broadcast back; the sampler itself is a narrow filter over the
+    scan. The 1-row global MIN broadcasts via a scalar cross join."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    mn = counts.agg(F.min("n_s").alias("mn"))
+    h = F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(_MIX_BUCKETS))
+    return (
+        d.select("doc_id", "source", h.alias("h"))
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(mn))
+        .filter(F.col("h") * F.col("n_s") < F.col("mn") * F.lit(_MIX_BUCKETS))
+        .select("doc_id", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition filters (Rae et al. 2021, §A1.1): drop
 # documents dominated by repeated n-grams. The corpus has no newlines,

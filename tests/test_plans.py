@@ -190,6 +190,58 @@ def test_embedding_lsh_pairs_candidate_join_ships_ids_only(spark, sf_smoke, quer
             assert "embedding" not in line and "va" not in line and "vb" not in line, line
 
 
+# Queries allowed to plan a BroadcastNestedLoopJoin. Everything here is
+# either a documented brute-force baseline (the ground truth the ANN /
+# LSH paths are measured against) or a 1-row scalar broadcast (a
+# cross-join against a single aggregate row — constant-size build side).
+_BNLJ_ALLOW = {
+    "dedup_embedding_cosine",  # exact O(n²) baseline, broadcast NLJ by design
+    "knn_bruteforce_cosine",  # exact top-k ground truth, broadcast NLJ by design
+    "text_tfidf_top_terms",  # 1-row corpus doc-count broadcast for IDF
+    "q22_idle_customers",  # 1-row scalar average threshold broadcast
+    "q11_important_parts",  # 1-row grouped-sum total broadcast
+    "sample_balanced_mix",  # 1-row global-min keep-rate broadcast
+}
+
+# Key columns of the always-broadcastable dimensions (nation/region are
+# fixed-size; supplier/part must broadcast into fact joins). A
+# hash-partitioning exchange carrying one of these names means a
+# dimension got shuffled for a join — the q20/q2 regression class.
+# Fact-side agg keys (l_suppkey, l_partkey, c_custkey, ...) are
+# distinct names, so legitimate groupBy exchanges never trip this.
+_DIM_KEY_EXCHANGE = ("n_nationkey", "n_regionkey", "r_regionkey",
+                     "s_suppkey", "p_partkey", "sn_key", "cn_key")
+
+
+def test_catalog_wide_plan_tripwire(spark, sf_smoke, queries):
+    """Build EVERY catalog query's physical plan and fail on the
+    plan-shape regressions that are silent at smoke scale but fatal at
+    100 TB: a CartesianProduct anywhere, a BroadcastNestedLoopJoin
+    outside the explicit allowlist, or a broadcast-dimension key being
+    hash-exchanged for a join. Plans only — cheap relative to the
+    parity suite — and locks in the current good shapes."""
+    from csv_to_parquet_spark.operators.cache import release_caches
+
+    problems = []
+    for name, fn in queries.items():
+        try:
+            plan = _plan(fn(spark, sf_smoke))
+        finally:
+            release_caches()
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOW:
+            problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                hit = [k for k in _DIM_KEY_EXCHANGE if k + "#" in ln]
+                if hit:
+                    problems.append(
+                        f"{name}: dimension key shuffled: {','.join(hit)}"
+                    )
+    assert not problems, "\n".join(problems)
+
+
 def test_spread_is_conditional(spark, sf_smoke, tmp_path):
     """spread() must NOT insert an exchange when the input is already
     at least as wide as the session parallelism — at 100 TB the scan
