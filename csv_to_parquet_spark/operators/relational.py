@@ -435,13 +435,32 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join. Facts shuffle on their keys;
-    nation/region/supplier are broadcast."""
-    c = _t(spark, sf_dir, "customer")
+    nation/region/supplier are broadcast.
+
+    The region prune is applied BEFORE the fact shuffles: the ASIA
+    nation list (nation⋈region, a handful of rows) broadcasts onto
+    customer ahead of the custkey exchange, so only the regional
+    ~fifth of customers — and therefore of the joined order rows —
+    ever shuffles; the supplier broadcast is semi-pruned by the same
+    list. Joining region last would shuffle every customer and order
+    on the planet first and discard 4/5 of the work."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        asia, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").join(
+            asia.select("n_nationkey"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+    )
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    s = F.broadcast(_t(spark, sf_dir, "supplier"))
-    n = F.broadcast(_t(spark, sf_dir, "nation"))
-    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
         "bigint"
     )
@@ -449,8 +468,6 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg((F.sum(rev_c) / 100.0).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
