@@ -203,6 +203,64 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CAT.query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           n_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer → nation) per micro-batch, then aggregates per
+    (hour window, nation) — the canonical "enrich events with the
+    reference table" pipeline every streaming deployment runs before
+    its first aggregation.
+
+    Stream-static inner joins are STATELESS (each micro-batch probes
+    the static side; nothing is buffered in the state store, no
+    watermark needed for the join itself), which is what makes them
+    the cheap default for enrichment vs a stream-stream join. The
+    static side here broadcasts (customer⋈nation projected to two
+    columns); a dimension too large to broadcast would shuffle each
+    micro-batch on the key instead — same API, Catalyst picks per
+    batch. The windowed agg after the join is the standard
+    watermark-bounded state-store aggregation."""
+    ev = _events_stream(spark, sf_dir)
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    agg = (
+        ev.join(dim, "user_id")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+        "n_name",
+        "n_events",
+        "value_cents",
+    )
+
+
+@CAT.query(
     "stream_dedup_counts",
     oracle="""
     SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
