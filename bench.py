@@ -77,8 +77,13 @@ HEADLINE = [
     "text_repetition_filter",
     "decontam_train_eval",
     "layout_zorder_events",
+    # round-4 operators
+    "dedup_incremental_batch",
+    "dedup_minhash_estimate",
+    "sample_balanced_mix",
     # streaming
     "stream_tumbling_counts",
+    "stream_static_enrich",
 ]
 
 
