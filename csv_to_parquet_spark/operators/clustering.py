@@ -436,14 +436,19 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(nonzero_norm("embedding"))
     )
     v = F.col("embedding")
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in e.filter(
-            (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _KM_CELLS)
-        )
+    seed_rows = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _KM_CELLS))
         .orderBy("vec_id")
         .collect()
-    ]
+    )
+    # the zero-norm filter above could silently DROP a seed and shift
+    # every later cell index against the oracle's vec_id-100 keying
+    # (then IndexError at the update step) — assert the invariant
+    # loudly instead: all 16 seed ids present means none was filtered
+    assert [int(r.vec_id) for r in seed_rows] == list(
+        range(100, 100 + _KM_CELLS)
+    ), "k-means seed vectors 100..115 must all exist with nonzero norm"
+    cents = [[float(x) for x in r.embedding] for r in seed_rows]
     for _ in range(_KM_ITERS):
         assigned = _km_scored(e, cents).withColumn(
             "cell", _km_assign_expr(cents)

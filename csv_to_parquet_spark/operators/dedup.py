@@ -27,6 +27,7 @@ not rows-only.
 from __future__ import annotations
 
 import random
+from typing import NamedTuple
 
 import pandas as pd
 
@@ -205,16 +206,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_doc_shingles(spark, sf_dir))
 
 
-def ngram_jaccard_pairs(
-    sh: DataFrame, df_cap: int = SHINGLE_DF_CAP
-) -> DataFrame:
-    """Core of :func:`dedup_ngram_jaccard` over a (doc_id, sh)
-    distinct-pairs frame — parameterized on the df cap so tests can
-    force stop-shingles on a synthetic corpus.
+class _CappedIndex(NamedTuple):
+    """Shared artifacts of the df-capped inverted-index dedup family
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`,
+    :func:`dedup_incremental_batch`). Built ONCE per query over the
+    persisted (doc_id, sh) frame so the cap/add-back logic lives in
+    one place."""
 
-    The frame is persisted (tracked; see cache.release_caches): four
-    consumers reference it (sizes, document frequencies, the index
-    self-join, the capped add-back) and would otherwise re-run the
+    sh: DataFrame  #: persisted (doc_id, sh) distinct pairs
+    dfreq: DataFrame  #: (sh, df) document frequencies
+    stops: DataFrame  #: broadcast stop-shingles (df > cap)
+    idx: DataFrame  #: sh minus stop-shingles — the joinable index
+    info: DataFrame  #: (doc_id, n_sh, capped_sh array) per doc
+
+
+def _capped_index(sh: DataFrame, df_cap: int) -> _CappedIndex:
+    """The preamble every capped-index dedup shares. ``sh`` is
+    persisted (tracked; see cache.release_caches): four consumers
+    reference it (sizes, document frequencies, the index join, the
+    capped add-back) and would otherwise re-run the
     scan→explode→distinct shuffle each — this is the inverted index
     any shingle-dedup system materializes once."""
     sh = _persist(sh)
@@ -222,15 +232,6 @@ def ngram_jaccard_pairs(
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     stops = F.broadcast(dfreq.filter(F.col("df") > df_cap).select("sh"))
     idx = sh.join(stops, "sh", "left_anti")
-    a = idx.alias("a")
-    b = idx.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("c_uncapped"))
-    )
     empty = F.array().cast("array<string>")
     capped = (
         sh.join(stops, "sh", "left_semi")
@@ -240,12 +241,31 @@ def ngram_jaccard_pairs(
     info = sizes.join(capped, "doc_id", "left").select(
         "doc_id", "n_sh", F.coalesce("capped_sh", empty).alias("capped_sh")
     )
-    ia = info.select(
+    return _CappedIndex(sh, dfreq, stops, idx, info)
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Core of :func:`dedup_ngram_jaccard` over a (doc_id, sh)
+    distinct-pairs frame — parameterized on the df cap so tests can
+    force stop-shingles on a synthetic corpus."""
+    ix = _capped_index(sh, df_cap)
+    a = ix.idx.alias("a")
+    b = ix.idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_uncapped"))
+    )
+    ia = ix.info.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_sh").alias("na"),
         F.col("capped_sh").alias("ca"),
     )
-    ib = info.select(
+    ib = ix.info.select(
         F.col("doc_id").alias("doc_b"),
         F.col("n_sh").alias("nb"),
         F.col("capped_sh").alias("cb"),
@@ -318,14 +338,9 @@ def containment_pairs(
     """Core of :func:`dedup_containment_pairs` over a (doc_id, sh)
     distinct-pairs frame — parameterized on the df cap so tests can
     force the supplemental stop-shingle path on a synthetic corpus."""
-    # persisted for the same four-consumer reason as ngram_jaccard_pairs
-    sh = _persist(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    stops = F.broadcast(dfreq.filter(F.col("df") > df_cap).select("sh"))
-    idx = sh.join(stops, "sh", "left_anti")
-    a = idx.alias("a")
-    b = idx.alias("b")
+    ix = _capped_index(sh, df_cap)
+    a = ix.idx.alias("a")
+    b = ix.idx.alias("b")
     common = (
         a.join(
             b,
@@ -334,15 +349,6 @@ def containment_pairs(
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("c_uncapped"))
-    )
-    empty = F.array().cast("array<string>")
-    capped = (
-        sh.join(stops, "sh", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("sh").alias("capped_sh"))
-    )
-    info = sizes.join(capped, "doc_id", "left").select(
-        "doc_id", "n_sh", F.coalesce("capped_sh", empty).alias("capped_sh")
     )
     # Supplemental candidates (see dedup_containment_pairs docstring):
     # a pair the uncapped index misses has C(A→B) ≤ |capped(A)|/|A|,
@@ -366,15 +372,15 @@ def containment_pairs(
     # two-level probe: no stop shingle at all (one agg over the cached
     # index — the driver-scale fast path) ⇒ no capped doc ⇒ no heavy
     # doc, without ever building the capped/info DAG for the probe
-    has_stops = dfreq.filter(F.col("df") > df_cap).limit(1).count() > 0
-    if has_stops and info.filter(heavy_pred).limit(1).count() > 0:
-        heavy = info.filter(heavy_pred).select(
+    has_stops = ix.dfreq.filter(F.col("df") > df_cap).limit(1).count() > 0
+    if has_stops and ix.info.filter(heavy_pred).limit(1).count() > 0:
+        heavy = ix.info.filter(heavy_pred).select(
             "doc_id", F.explode("capped_sh").alias("sh")
         )
         supp = (
             heavy.alias("ha")
             .join(
-                sh.alias("hb"),
+                ix.sh.alias("hb"),
                 (F.col("ha.sh") == F.col("hb.sh"))
                 & (F.col("ha.doc_id") != F.col("hb.doc_id")),
             )
@@ -392,12 +398,12 @@ def containment_pairs(
         )
     else:
         cand = common
-    ia = info.select(
+    ia = ix.info.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_sh").alias("na"),
         F.col("capped_sh").alias("ca"),
     )
-    ib = info.select(F.col("doc_id").alias("doc_b"), F.col("capped_sh").alias("cb"))
+    ib = ix.info.select(F.col("doc_id").alias("doc_b"), F.col("capped_sh").alias("cb"))
     c = F.col("c_uncapped") + F.size(F.array_intersect("ca", "cb"))
     cont = c.cast("double") / F.col("na")
     return (
@@ -467,8 +473,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per flagged batch doc — (doc_id, exact_dup 0/1,
     n_near = matching corpus docs)."""
     is_batch = F.col("doc_id") % _INC_BATCH_MOD == 0
-    # exact: hash-only semi join (batch side tiny relative to corpus)
-    hashes = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("h"))
+    # exact: hash-only semi join (batch side tiny relative to corpus).
+    # The (doc_id, md5) projection is persisted (16 B/doc) so the two
+    # split branches don't each re-scan the text corpus for its md5.
+    hashes = _persist(
+        _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("h"))
+    )
     ex = (
         hashes.filter(is_batch)
         .join(hashes.filter(~is_batch).select("h"), "h", "left_semi")
@@ -476,16 +486,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("exact_dup", F.lit(1).cast("bigint"))
     )
     # near: cross-boundary inverted index with df cap + exact add-back
-    sh = _persist(_doc_shingles(spark, sf_dir))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    stops = F.broadcast(dfreq.filter(F.col("df") > SHINGLE_DF_CAP).select("sh"))
-    idx = sh.join(stops, "sh", "left_anti")
+    # (the shared _capped_index preamble; only the candidate predicate
+    # — batch side vs corpus side — differs from the jaccard twin)
+    ix = _capped_index(_doc_shingles(spark, sf_dir), SHINGLE_DF_CAP)
     common = (
-        idx.filter(is_batch)
+        ix.idx.filter(is_batch)
         .alias("b")
         .join(
-            idx.filter(~is_batch).alias("c"),
+            ix.idx.filter(~is_batch).alias("c"),
             F.col("b.sh") == F.col("c.sh"),
         )
         .groupBy(
@@ -493,21 +501,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("c_uncapped"))
     )
-    empty = F.array().cast("array<string>")
-    capped = (
-        sh.join(stops, "sh", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("sh").alias("capped_sh"))
-    )
-    info = sizes.join(capped, "doc_id", "left").select(
-        "doc_id", "n_sh", F.coalesce("capped_sh", empty).alias("capped_sh")
-    )
-    ib = info.select(
+    ib = ix.info.select(
         F.col("doc_id").alias("doc_id"),
         F.col("n_sh").alias("nb"),
         F.col("capped_sh").alias("cb"),
     )
-    ic = info.select(
+    ic = ix.info.select(
         F.col("doc_id").alias("c_doc"),
         F.col("n_sh").alias("nc"),
         F.col("capped_sh").alias("cc"),
@@ -680,10 +679,27 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the md5-derived universal-hash signatures are oracle-exact, so
     the ESTIMATES match DuckDB bit-for-bit too — the comparison is
     signature-component equality, integer arithmetic end to end.
-    Scale shape: signatures are a narrow map; the pair list ships
-    (doc_a, doc_b) ids and joins the 512-byte signatures twice."""
-    pairs = ngram_jaccard_pairs(_doc_shingles(spark, sf_dir))
-    sig = minhash_signatures(spark, sf_dir, hash_fn="md5")
+
+    Scale shape: the signatures are derived from the SAME persisted
+    (doc_id, sh) frame the pair verification uses — the md5 shingle
+    hashes are computed once on the cached index, re-bagged per doc
+    (a shuffle of 8-byte hashed shingles, far smaller than
+    re-scanning and re-shingling the text corpus), and folded into
+    the 64-wide signature by the vectorized ``_minhash_sig`` Arrow
+    UDF. (Measured dead ends at sf0.1: a second narrow
+    scan+tokenize+shingle pass cost ~1.7 s extra; 64 codegen'd MIN
+    aggregates blow the JVM generated-method limit and fall back to
+    interpreted evaluation at 2× the total runtime.) The pair list
+    then ships (doc_a, doc_b) ids and joins the 512-byte signatures
+    twice."""
+    sh = _doc_shingles(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(sh)  # persists sh (tracked) internally
+    sig = (
+        sh.select("doc_id", (md5_60(F.col("sh")) % _P31).alias("h31"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("h31").alias("hs"))
+        .select("doc_id", _minhash_sig().alias("sig"))
+    )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     eq = F.aggregate(

@@ -249,14 +249,17 @@ def _ivf_train_centroids(e: DataFrame) -> list[list[float]]:
     centroid.
     """
     dim = _DIM
-    cents = [
-        [float(v) for v in r.embedding]
-        for r in e.filter(
-            (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_CELLS)
-        )
+    seed_rows = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_CELLS))
         .orderBy("vec_id")
         .collect()
-    ]
+    )
+    # _emb's zero-norm filter could silently drop a seed and shift the
+    # cell indexing (IndexError at the update step) — assert instead
+    assert [int(r.vec_id) for r in seed_rows] == list(
+        range(100, 100 + _IVF_CELLS)
+    ), "IVF seed vectors 100..115 must all exist with nonzero norm"
+    cents = [[float(v) for v in r.embedding] for r in seed_rows]
     for _ in range(_IVF_KMEANS_ITERS):
         cent_lit = F.array(
             *[F.array(*[F.lit(v) for v in c]) for c in cents]

@@ -218,8 +218,15 @@ def test_catalog_wide_plan_tripwire(spark, sf_smoke, queries):
     plan-shape regressions that are silent at smoke scale but fatal at
     100 TB: a CartesianProduct anywhere, a BroadcastNestedLoopJoin
     outside the explicit allowlist, or a broadcast-dimension key being
-    hash-exchanged for a join. Plans only — cheap relative to the
-    parity suite — and locks in the current good shapes."""
+    hash-exchanged for a join.
+
+    Honesty note: "build the plan" is not free for the whole catalog —
+    streaming entries drain their availableNow stream, maintenance/
+    layout entries write warehouse artifacts, and the k-means/IVF/
+    gated-containment queries run their driver-side training/probe
+    jobs as part of DataFrame construction. The sweep costs a minute+
+    at smoke scale; it pays for itself by pinning every query's
+    executed join strategy, not a synthetic subset's."""
     from csv_to_parquet_spark.operators.cache import release_caches
 
     problems = []
@@ -250,19 +257,23 @@ def test_spread_is_conditional(spark, sf_smoke, tmp_path):
     narrow case (the local single-file fixture) pays the exchange."""
     from csv_to_parquet_spark.sources.tables import spread
 
+    dp = spark.sparkContext.defaultParallelism
     # already-wide input → identity, no Exchange in the plan
-    wide = spark.range(100_000).repartition(64)
+    # (width chosen relative to the host's parallelism, not hardcoded)
+    wide = spark.range(100_000).repartition(2 * dp)
     assert spread(wide) is wide
     # on-disk multi-file parquet wide enough for every core → pass-through
     path = str(tmp_path / "wide_parquet")
-    spark.range(1_000_000).repartition(64).write.parquet(path)
+    spark.range(1_000_000).repartition(2 * dp).write.parquet(path)
     scan = spark.read.parquet(path)
-    if scan.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
+    if scan.rdd.getNumPartitions() >= dp:
         assert "Exchange" not in _plan(spread(scan)), "spread() shuffled a wide scan"
     # narrow single-file scan → exactly one round-robin exchange
+    # (guarded: on a 1-core host the single-file scan is already "wide")
     narrow = spark.read.parquet(f"{sf_smoke}/documents.parquet")
-    plan = _plan(spread(narrow))
-    assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan, plan
+    if narrow.rdd.getNumPartitions() < dp:
+        plan = _plan(spread(narrow))
+        assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_kmeans_assignment_is_narrow(spark, sf_smoke):
