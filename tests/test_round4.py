@@ -1,0 +1,94 @@
+"""Invariant tests for the round-4 operators.
+
+The oracle-parity suite proves cross-engine value equality; these pin
+the SEMANTIC invariants each operator promises, so a future refactor
+that happens to change both engines in the same wrong way still fails.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_balanced_mix_is_balanced_and_deterministic(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.textops import sample_balanced_mix
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    source_counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    mn = min(source_counts.values())
+    sample = sample_balanced_mix(spark, sf_smoke)
+    got = {
+        r["source"]: r["n"]
+        for r in sample.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every source is represented and capped by the smallest source
+    assert set(got) == set(source_counts)
+    for s, n in got.items():
+        assert n <= mn, f"source {s} oversampled: {n} > {mn}"
+        # hash sampling is approximate but must land near the target
+        assert n >= mn * 0.5, f"source {s} undersampled: {n} vs target {mn}"
+    # deterministic membership: a second run is identical
+    again = {(r.doc_id, r.source) for r in sample_balanced_mix(spark, sf_smoke).collect()}
+    assert again == {(r.doc_id, r.source) for r in sample.collect()}
+
+
+def test_incremental_batch_flags_only_batch_docs(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.dedup import (
+        _INC_BATCH_MOD,
+        dedup_incremental_batch,
+    )
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    rows = dedup_incremental_batch(spark, sf_smoke).collect()
+    release_caches()
+    assert rows, "smoke corpus contains planted dups; expected flagged docs"
+    # only batch-side docs may be flagged, and a flag implies a reason
+    for r in rows:
+        assert r.doc_id % _INC_BATCH_MOD == 0
+        assert r.exact_dup == 1 or r.n_near > 0
+    # exact_dup == 1 really means a corpus doc shares the content md5
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    corpus_hashes = {
+        r.h for r in docs.filter(F.col("doc_id") % _INC_BATCH_MOD != 0).collect()
+    }
+    batch_hash = {r.doc_id: r.h for r in docs.collect()}
+    for r in rows:
+        if r.exact_dup == 1:
+            assert batch_hash[r.doc_id] in corpus_hashes
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.dedup import dedup_minhash_estimate
+
+    rows = dedup_minhash_estimate(spark, sf_smoke).collect()
+    release_caches()
+    assert rows, "smoke corpus contains planted near-dups"
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        # 64 permutations → stderr ≈ sqrt(J(1-J)/64) ≤ 0.0625; allow 6σ
+        assert abs(r.est_jaccard - r.jaccard) <= 0.375, (
+            f"estimate off by {abs(r.est_jaccard - r.jaccard):.3f} "
+            f"for pair ({r.doc_a},{r.doc_b})"
+        )
+
+
+def test_stream_static_enrich_conserves_events(spark, sf_smoke):
+    from csv_to_parquet_spark.sources.tables import load_table
+    from csv_to_parquet_spark.streaming.jobs import stream_static_enrich
+
+    out = stream_static_enrich(spark, sf_smoke)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    # the stream-static inner join keeps exactly the events whose user
+    # maps to a customer row — nothing duplicated, nothing invented
+    ev = load_table(spark, sf_smoke, "events")
+    c = load_table(spark, sf_smoke, "customer")
+    expect = ev.join(c, ev.user_id == c.c_custkey).count()
+    assert total == expect
