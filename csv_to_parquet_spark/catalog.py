@@ -98,6 +98,7 @@ def build_catalog() -> Catalog:
         "similarity",
         "clustering",
         "textops",
+        "analytics",
         "pipelines",
         "packing",
         "maintenance",

@@ -1,0 +1,315 @@
+"""Event-analytics operators: funnel, retention cohorts, RFM segments.
+
+The reference has no event analytics at all (it is a file converter —
+converter/converter.go:66-420); these extend the SURVEY §7 M3/M5
+surface with the product-analytics shapes a training-data/telemetry
+pipeline runs over an append-only event log: step-funnel conversion,
+weekly retention cohorts, and RFM (recency/frequency/monetary)
+segmentation over the ``events`` table.
+
+Scale posture: every query shuffles exactly once on ``user_id`` (the
+natural partition key of an event log) and derives everything else
+from window/aggregate expressions over that one exchange — consecutive
+``Window.partitionBy("user_id")`` frames and the final
+``groupBy("user_id")`` all reuse the same hash partitioning, so adding
+funnel steps adds zero shuffles. Post-aggregation tables (one row per
+user / per cohort-week) are orders of magnitude smaller than the log;
+the only windows over them partition by cohort-week. RFM scores use
+fixed threshold bands, not global quantiles — a deliberate scale
+choice: exact ntile() needs a single-partition global sort, while
+threshold bands are a narrow map and are how production RFM is
+actually configured (stable, interpretable band edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csv_to_parquet_spark.functions import cents, cents_sql
+from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.sources.tables import load_table
+
+CAT = Catalog()
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@CAT.query(
+    "events_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+                      THEN e.ts END) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+                      THEN e.ts END) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id),
+    c AS (
+      SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+             CAST(count(t_click) AS BIGINT) AS n_click,
+             CAST(count(t_purchase) AS BIGINT) AS n_purch
+      FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
+    SELECT step, n_users,
+           CASE WHEN n_view > 0
+                THEN round(CAST(n_users AS DOUBLE) / n_view, 6) END
+             AS pct_of_first
+    FROM (
+      SELECT 'view' AS step, n_view AS n_users, n_view FROM c
+      UNION ALL SELECT 'click_after_view', n_click, n_view FROM c
+      UNION ALL SELECT 'purchase_after_click', n_purch, n_view FROM c)
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered step-funnel conversion: users who viewed, then clicked
+    strictly after their first view, then purchased strictly after that
+    first qualifying click.
+
+    The cascade is three window aggregates over the SAME
+    ``partitionBy(user_id)`` frame — each step's anchor time feeds the
+    next step's conditional min — so the whole funnel costs one hash
+    exchange of (user_id, event_type, ts) regardless of step count.
+    The oracle expresses the identical cascade as three grouped
+    conditional-min CTEs (a window referencing a prior window's result
+    needs re-aggregation in plain SQL; the semantics are the same:
+    NULL anchors propagate, so a user missing step k never counts for
+    step k+1).
+    """
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    d = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    d = d.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    users = d.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    counts = users.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purch"),
+    )
+    steps = counts.select(
+        F.expr(
+            "stack(3, 'view', n_view, 'click_after_view', n_click, "
+            "'purchase_after_click', n_purch) AS (step, n_users)"
+        ),
+        F.col("n_view"),
+    )
+    return steps.select(
+        "step",
+        "n_users",
+        F.when(
+            F.col("n_view") > 0,
+            F.round(F.col("n_users").cast("double") / F.col("n_view"), 6),
+        ).alias("pct_of_first"),
+    )
+
+
+@CAT.query(
+    "events_retention_cohort",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    a AS (
+      SELECT CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_week,
+             CAST(date_diff('day', CAST(f.first_ts AS DATE),
+                            CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_offset,
+             e.user_id
+      FROM events e JOIN f ON e.user_id = f.user_id),
+    g AS (
+      SELECT cohort_week, week_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM a GROUP BY cohort_week, week_offset)
+    SELECT cohort_week, week_offset, n_active,
+           round(CAST(n_active AS DOUBLE) /
+                 max(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week), 6) AS retention
+    FROM g
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    first event; for each (cohort_week, weeks-since-first) cell, the
+    distinct active users and the retention ratio vs the cohort's
+    week-0 size.
+
+    One exchange on user_id computes first-event times (window min);
+    the distinct-user count re-uses that partitioning (user_id stays a
+    grouping key through the distinct). The retention ratio is a
+    window over the *aggregated* cohort grid — rows = weeks², trivial
+    at any scale. Week-0 always exists (a user's first event is offset
+    0 by construction) and is the cohort max, so the ratio denominator
+    is never NULL/zero — no ANSI division guard needed, in either
+    engine.
+    """
+    e = _events(spark, sf_dir).select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    d = e.withColumn("first_ts", F.min("ts").over(w))
+    grid = (
+        d.select(
+            F.date_trunc("week", "first_ts").cast("timestamp_ntz").alias(
+                "cohort_week"
+            ),
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), CAST(first_ts AS DATE)) div 7 "
+                "AS BIGINT)"
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    wc = Window.partitionBy("cohort_week")
+    week0 = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(wc)
+    return grid.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / week0, 6).alias("retention"),
+    )
+
+
+# Fixed RFM band edges (days / events / cents). Threshold bands instead
+# of quantiles: exact global ntile() would funnel the per-user table
+# through a single-partition sort; bands are a narrow map and match how
+# production RFM is configured. Values are arbitrary but fixed — the
+# oracle runs the identical CASE ladder.
+_R_BANDS = (2, 5, 10)  # recency_days <= x → score 4/3/2, else 1
+_F_BANDS = (100, 50, 20)  # frequency >= x → score 4/3/2, else 1
+_M_BANDS = (200_000, 100_000, 30_000)  # monetary_cents >= x → 4/3/2, else 1
+
+
+def _band_desc(col: str, bands: tuple[int, int, int], le: bool) -> str:
+    op = "<=" if le else ">="
+    return (
+        f"CASE WHEN {col} {op} {bands[0]} THEN 4 "
+        f"WHEN {col} {op} {bands[1]} THEN 3 "
+        f"WHEN {col} {op} {bands[2]} THEN 2 ELSE 1 END"
+    )
+
+
+@CAT.query(
+    "events_user_rfm",
+    oracle=f"""
+    WITH anchor AS (SELECT max(ts) AS anchor_ts FROM events),
+    u AS (
+      SELECT user_id, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN {cents_sql("value")} ELSE 0 END) AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(last_ts AS DATE),
+                            CAST(anchor_ts AS DATE)) AS BIGINT) AS recency_days,
+             frequency, monetary_cents
+      FROM u, anchor)
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST({_band_desc("recency_days", _R_BANDS, le=True)} AS BIGINT)
+             AS r_score,
+           CAST({_band_desc("frequency", _F_BANDS, le=False)} AS BIGINT)
+             AS f_score,
+           CAST({_band_desc("monetary_cents", _M_BANDS, le=False)} AS BIGINT)
+             AS m_score,
+           CAST({_band_desc("recency_days", _R_BANDS, le=True)} AS VARCHAR) ||
+           CAST({_band_desc("frequency", _F_BANDS, le=False)} AS VARCHAR) ||
+           CAST({_band_desc("monetary_cents", _M_BANDS, le=False)} AS VARCHAR)
+             AS segment
+    FROM m
+    """,
+)
+def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days since last event,
+    anchored at the corpus max timestamp so the result is
+    deterministic), frequency (event count), monetary (purchase value
+    in exact integer cents), scored into fixed 1-4 bands and a
+    three-digit segment label.
+
+    One groupBy(user_id) exchange; the 1-row anchor aggregate is
+    broadcast cross-joined (the repo's scalar-subquery idiom). Scores
+    are pure CASE ladders — no second pass, no global sort. Monetary
+    uses integer cents so the sum is exact in any accumulation order;
+    the oracle casts its SUM back to BIGINT (DuckDB widens to
+    HUGEINT).
+    """
+
+    def band(col: str, bands: tuple[int, int, int], le: bool) -> F.Column:
+        cmp = (
+            (lambda t: F.col(col) <= t) if le else (lambda t: F.col(col) >= t)
+        )
+        return (
+            F.when(cmp(bands[0]), 4)
+            .when(cmp(bands[1]), 3)
+            .when(cmp(bands[2]), 2)
+            .otherwise(1)
+            .cast("bigint")
+        )
+
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts", "value")
+    anchor = e.agg(F.max("ts").alias("anchor_ts"))
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents("value")).otherwise(0)
+        ).alias("monetary_cents"),
+    )
+    m = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("anchor_ts").cast("date"), F.col("last_ts").cast("date"))
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_s = band("recency_days", _R_BANDS, le=True)
+    f_s = band("frequency", _F_BANDS, le=False)
+    m_s = band("monetary_cents", _M_BANDS, le=False)
+    return m.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+        F.concat(
+            r_s.cast("string"), f_s.cast("string"), m_s.cast("string")
+        ).alias("segment"),
+    )

@@ -1,0 +1,73 @@
+"""Invariant tests for the event-analytics operators.
+
+Oracle parity proves cross-engine equality; these pin the semantics:
+funnel counts are monotonically non-increasing down the steps and step
+anchors are strictly ordered per user, retention is 1.0 at week 0 and
+never exceeds the cohort size, and RFM scores respect their band
+definitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_funnel_steps_monotone(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.analytics import events_funnel_steps
+
+    rows = {r["step"]: r for r in events_funnel_steps(spark, sf_smoke).collect()}
+    assert set(rows) == {"view", "click_after_view", "purchase_after_click"}
+    n_view = rows["view"]["n_users"]
+    n_click = rows["click_after_view"]["n_users"]
+    n_purch = rows["purchase_after_click"]["n_users"]
+    assert n_view >= n_click >= n_purch >= 0
+    assert rows["view"]["pct_of_first"] == 1.0
+
+
+def test_retention_week0_is_full(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.analytics import events_retention_cohort
+
+    rows = events_retention_cohort(spark, sf_smoke).collect()
+    assert rows, "no cohort rows"
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        week0 = [r for r in rs if r["week_offset"] == 0]
+        assert len(week0) == 1, f"cohort {cohort} missing week 0"
+        assert week0[0]["retention"] == 1.0
+        for r in rs:
+            assert 0 < r["retention"] <= 1.0
+            assert r["n_active"] <= week0[0]["n_active"]
+            assert r["week_offset"] >= 0
+
+
+def test_rfm_scores_respect_bands(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.analytics import (
+        _F_BANDS,
+        _M_BANDS,
+        _R_BANDS,
+        events_user_rfm,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    df = events_user_rfm(spark, sf_smoke)
+    # one row per user
+    n_users = (
+        load_table(spark, sf_smoke, "events").select("user_id").distinct().count()
+    )
+    rows = df.collect()
+    assert len(rows) == n_users
+    for r in rows:
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+        # spot-check band edges (recency: lower is better)
+        if r["recency_days"] <= _R_BANDS[0]:
+            assert r["r_score"] == 4
+        elif r["recency_days"] > _R_BANDS[2]:
+            assert r["r_score"] == 1
+        if r["frequency"] >= _F_BANDS[0]:
+            assert r["f_score"] == 4
+        if r["monetary_cents"] < _M_BANDS[2]:
+            assert r["m_score"] == 1
+        assert r["monetary_cents"] >= 0
+        assert r["recency_days"] >= 0

@@ -201,6 +201,7 @@ _BNLJ_ALLOW = {
     "q22_idle_customers",  # 1-row scalar average threshold broadcast
     "q11_important_parts",  # 1-row grouped-sum total broadcast
     "sample_balanced_mix",  # 1-row global-min keep-rate broadcast
+    "events_user_rfm",  # 1-row recency-anchor (max ts) broadcast
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
