@@ -31,7 +31,7 @@ from typing import NamedTuple
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.functions import (
@@ -846,9 +846,10 @@ def _lineage_truncate(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint(eager=True)
 
 
-@CAT.query(
-    "dedup_connected_components",
-    oracle=f"""
+# Recursive-CTE connected components over the exact near-dup pair
+# graph (min reachable doc_id == cluster id) — shared by the
+# components oracle and the keep-best representative oracle below.
+_CC_REACH_CTES = f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
       FROM documents),
@@ -866,7 +867,12 @@ def _lineage_truncate(df: DataFrame, reliable: bool) -> DataFrame:
     reach(u, r) AS (
       SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
       UNION
-      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)"""
+
+
+@CAT.query(
+    "dedup_connected_components",
+    oracle=f"""{_CC_REACH_CTES}
     SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
     """,
 )
@@ -978,6 +984,45 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels
+
+
+@CAT.query(
+    "dedup_cluster_keep_best",
+    oracle=f"""{_CC_REACH_CTES},
+    cc AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+    SELECT cc.cluster_id, cc.doc_id, d.n_chars,
+           (row_number() OVER (PARTITION BY cc.cluster_id
+                               ORDER BY d.n_chars DESC, cc.doc_id) = 1)
+             AS is_kept
+    FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: the step after cluster formation
+    in a corpus dedup pipeline — within every near-dup cluster, keep
+    exactly one representative (longest doc by ``n_chars``, ties
+    broken by smallest doc_id) and flag the rest for dropping.
+
+    Built on :func:`connected_components` over the MinHash-LSH pair
+    graph (same pipeline as :func:`dedup_connected_components`), then
+    one key join to attach doc lengths and one ``row_number`` window
+    per cluster. Clusters are near-cliques of duplicates — a handful
+    of docs each — so the per-cluster window is trivially balanced;
+    the join ships only (node, label) longs against the pruned
+    (doc_id, n_chars) projection of the corpus scan. Output: one row
+    per clustered doc with its cluster id, length, and keep flag
+    (singletons never enter a pair, so they are implicitly kept and
+    not emitted — same contract as the components op).
+    """
+    token = scope_token()
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, release_token=token)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(docs, labels.node == docs.doc_id).select(
+        F.col("label").alias("cluster_id"), "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return j.withColumn("is_kept", F.row_number().over(w) == 1)
 
 
 # ---------------------------------------------------------------------------

@@ -647,3 +647,151 @@ def profile_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_exact_dups"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining and deterministic training-shard assignment
+# ---------------------------------------------------------------------------
+
+#: Minimum bigram occurrences to qualify as a collocation candidate.
+_COLLOC_MIN_COUNT = 5
+#: Collocations reported.
+_COLLOC_TOP_K = 50
+#: Training shards for the deterministic shard assigner.
+_N_SHARDS = 16
+
+
+@CAT.query(
+    "text_bigram_colloc",
+    oracle=f"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    tot AS (
+      SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_uni,
+             CAST(SUM(CASE WHEN len(toks) >= 2 THEN len(toks) - 1
+                           ELSE 0 END) AS BIGINT) AS n_bi
+      FROM t),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_tok
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+    bi AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_bi
+      FROM (SELECT unnest({shingles_sql("toks", 2)}) AS bigram FROM t)
+      GROUP BY bigram
+      HAVING COUNT(*) >= {_COLLOC_MIN_COUNT}),
+    j AS (
+      SELECT b.bigram, b.c_bi, u1.c_tok AS c_w1, u2.c_tok AS c_w2
+      FROM bi b
+      JOIN uni u1 ON u1.tok = split_part(b.bigram, ' ', 1)
+      JOIN uni u2 ON u2.tok = split_part(b.bigram, ' ', 2))
+    SELECT bigram, c_bi, c_w1, c_w2,
+           round((CAST(c_bi AS DOUBLE) * n_uni * n_uni) /
+                 (CAST(n_bi AS DOUBLE) * c_w1 * c_w2), 6) AS lift
+    FROM j CROSS JOIN tot
+    ORDER BY lift DESC, bigram
+    LIMIT {_COLLOC_TOP_K}
+    """,
+)
+def text_bigram_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise lift
+    ``P(w1 w2) / (P(w1)·P(w2))`` — the phrase-detection pass a corpus
+    pipeline runs before tokenizer training or n-gram language
+    modeling. Lift is the exp of PMI; ranking by it avoids a log()
+    whose last-bit rounding differs across engines, while the
+    multiply/divide chain is plain IEEE arithmetic written identically
+    in both engines (operands derive from exact bigint counts).
+
+    Two grouped counts (unigrams, bigrams) + two key joins to attach
+    constituent-word counts to each surviving bigram; the
+    ``count >= _COLLOC_MIN_COUNT`` gate prunes the bigram side
+    BEFORE the joins, and the 1-row totals broadcast. Top-k plans as
+    TakeOrderedAndProject, ties broken by the unique bigram string.
+    At 100 TB the joins shuffle on word keys — bounded by vocabulary,
+    not corpus size, and AQE handles the Zipfian skew of the
+    high-frequency function words.
+    """
+    toks = _docs(spark, sf_dir).select(tokenize("text").alias("toks"))
+    tot = toks.agg(
+        F.sum(F.size("toks")).cast("bigint").alias("n_uni"),
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).cast("bigint").alias("n_bi"),
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    bi = (
+        toks.select(F.explode(shingles(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+        .filter(F.col("c_bi") >= _COLLOC_MIN_COUNT)
+    )
+    j = (
+        bi.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c_w1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c_tok").alias("c_w2")), "w2")
+    )
+    lift = F.round(
+        (F.col("c_bi").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_bi").cast("double") * F.col("c_w1") * F.col("c_w2")),
+        6,
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select("bigram", "c_bi", "c_w1", "c_w2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(_COLLOC_TOP_K)
+    )
+
+
+@CAT.query(
+    "shard_assign_training",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {md5_60_sql("CAST(doc_id AS VARCHAR) || '#shard'")} % {_N_SHARDS}
+               AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY shard
+    """,
+)
+def shard_assign_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + balance report: every
+    doc hashes to one of ``_N_SHARDS`` shards (salted md5 bucket,
+    decorrelated from the train/test split hash by the ``#shard``
+    salt), and the report shows per-shard doc and token totals — the
+    pre-write step of publishing a sharded training corpus, where the
+    writer would ``repartition(n, shard)`` then write one file set per
+    shard.
+
+    Membership is a narrow map (no RNG, stable under corpus growth);
+    the balance report is one map-side-combined aggregation on a
+    16-key space. Token sums are exact bigints; the oracle
+    casts its SUM back from DuckDB's HUGEINT.
+    """
+    shard = F.pmod(
+        md5_60(F.concat(F.col("doc_id").cast("string"), F.lit("#shard"))),
+        F.lit(_N_SHARDS),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            shard.alias("shard"),
+            F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

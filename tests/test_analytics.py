@@ -71,3 +71,78 @@ def test_rfm_scores_respect_bands(spark, sf_smoke):
             assert r["m_score"] == 1
         assert r["monetary_cents"] >= 0
         assert r["recency_days"] >= 0
+
+
+def test_bigram_colloc_lift_definition(spark, sf_smoke):
+    """Spot-verify one reported collocation against counts recomputed
+    from the raw corpus, and check ordering/threshold invariants."""
+    from csv_to_parquet_spark.operators.textops import (
+        _COLLOC_MIN_COUNT,
+        _COLLOC_TOP_K,
+        text_bigram_colloc,
+    )
+    from csv_to_parquet_spark.functions import tokenize
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    rows = text_bigram_colloc(spark, sf_smoke).collect()
+    assert 0 < len(rows) <= _COLLOC_TOP_K
+    lifts = [(r["lift"], r["bigram"]) for r in rows]
+    assert lifts == sorted(lifts, key=lambda t: (-t[0], t[1]))
+    for r in rows:
+        assert r["c_bi"] >= _COLLOC_MIN_COUNT
+        assert r["c_w1"] >= r["c_bi"] and r["c_w2"] >= r["c_bi"]
+    # recompute the top row's constituent counts exactly
+    top = rows[0]
+    w1, w2 = top["bigram"].split(" ")
+    toks = load_table(spark, sf_smoke, "documents").select(
+        F.explode(tokenize("text")).alias("tok")
+    )
+    assert toks.filter(F.col("tok") == w1).count() == top["c_w1"]
+    assert toks.filter(F.col("tok") == w2).count() == top["c_w2"]
+
+
+def test_shard_assignment_covers_corpus(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.textops import (
+        _N_SHARDS,
+        shard_assign_training,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    rows = shard_assign_training(spark, sf_smoke).collect()
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs  # partition, no loss
+    shards = [r["shard"] for r in rows]
+    assert len(set(shards)) == len(shards)
+    assert all(0 <= s < _N_SHARDS for s in shards)
+    # hash balance: no shard wildly above the mean
+    mean = n_docs / len(rows)
+    assert max(r["n_docs"] for r in rows) <= mean * 3
+
+
+def test_keep_best_one_representative_per_cluster(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.dedup import (
+        dedup_cluster_keep_best,
+        dedup_connected_components,
+    )
+
+    rows = dedup_cluster_keep_best(spark, sf_smoke).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [r for r in members if r["is_kept"]]
+        assert len(kept) == 1, f"cluster {cid}: {len(kept)} representatives"
+        best = kept[0]
+        for r in members:
+            # representative dominates on (n_chars DESC, doc_id ASC)
+            assert (-best["n_chars"], best["doc_id"]) <= (
+                -r["n_chars"],
+                r["doc_id"],
+            )
+    # same doc/cluster universe as the components op
+    cc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_connected_components(spark, sf_smoke).collect()
+    }
+    assert {(r["doc_id"], r["cluster_id"]) for r in rows} == cc

@@ -202,6 +202,7 @@ _BNLJ_ALLOW = {
     "q11_important_parts",  # 1-row grouped-sum total broadcast
     "sample_balanced_mix",  # 1-row global-min keep-rate broadcast
     "events_user_rfm",  # 1-row recency-anchor (max ts) broadcast
+    "text_bigram_colloc",  # 1-row corpus token-totals broadcast
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
