@@ -313,3 +313,105 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_s.cast("string"), f_s.cast("string"), m_s.cast("string")
         ).alias("segment"),
     )
+
+
+#: Trailing time-range window width (µs) for the RANGE-frame query.
+_TRAIL_US = 3_600_000_000  # 1 hour
+
+
+@CAT.query(
+    "window_time_range_sum",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM({cents_sql("value")}) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS trail_1h_cents,
+           CAST(COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS trail_1h_events
+    FROM events
+    """,
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-window aggregate per event: each event's sum of
+    values and event count over the PRECEDING HOUR of the same user's
+    activity — a RANGE window frame keyed on event time (microsecond
+    epoch), the per-row sibling of the tumbling/sliding aggregations
+    in the streaming suite and the shape behind rate-limit / rolling-
+    exposure features.
+
+    RANGE (not ROWS) semantics: the frame is defined by time distance,
+    so simultaneous events are peers and an idle gap empties the
+    frame. One user_id exchange; the in-partition time sort is the
+    window's own requirement. Sums are exact integer cents; the frame
+    bound is exact integer microseconds — identical peer/boundary
+    decisions in both engines.
+    """
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    # ntz → timestamp is instant-exact here: the session timezone is
+    # pinned UTC (ensure_session_confs), matching DuckDB's epoch_us
+    # over its naive TIMESTAMP.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-_TRAIL_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents("value")).over(w).alias("trail_1h_cents"),
+        F.count(F.lit(1)).over(w).alias("trail_1h_events"),
+    )
+
+
+@CAT.query(
+    "events_time_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           CAST(GROUPING(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                         CAST(date_trunc('hour', ts) AS TIMESTAMP))
+             AS BIGINT) AS grain,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({cents_sql("value")}) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY GROUPING SETS (
+      (CAST(date_trunc('day', ts) AS TIMESTAMP),
+       CAST(date_trunc('hour', ts) AS TIMESTAMP)),
+      (CAST(date_trunc('day', ts) AS TIMESTAMP)),
+      ())
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly cells, daily
+    rollups, and the grand total in ONE pass over the event log —
+    Spark's Expand operator materializes the grouping sets so the
+    scan runs once, which is exactly the continuous-aggregate
+    hierarchy a time-series store maintains (hour → day → total).
+    ``grain`` (grouping_id) tags each row's level so downstream
+    readers can route to the right granularity.
+
+    One Expand (3× row multiplier on the aggregation input, collapsed
+    map-side by partial aggregation into at most
+    hours+days+1 groups) + one exchange on the composite key. Sums
+    are exact integer cents.
+    """
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day_start"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+        cents("value").alias("v_cents"),
+    )
+    return (
+        e.groupingSets(
+            [["day_start", "hour_start"], ["day_start"], []],
+            "day_start",
+            "hour_start",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("grain"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_cents").alias("value_cents"),
+        )
+    )

@@ -795,3 +795,124 @@ def shard_assign_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — deterministic, hence oracle-EXACT (unlike the HLL /
+# approx-percentile entries, which are rows-only): both engines build
+# the identical d×w counter matrix from the same md5-derived row
+# hashes, so even the sketch's *over*-estimates match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+#: Count-min depth (independent hash rows) and width (counters/row).
+_CM_DEPTH = 4
+_CM_WIDTH = 64
+#: Heavy hitters probed against the sketch.
+_CM_TOP_K = 20
+
+
+@CAT.query(
+    "sketch_count_min_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    rs AS (SELECT unnest(range({_CM_DEPTH})) AS r),
+    cells AS (
+      SELECT r.r,
+             {md5_60_sql("tok || '#cm' || CAST(r.r AS VARCHAR)")}
+               % {_CM_WIDTH} AS col,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, rs r GROUP BY 1, 2),
+    top AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM toks GROUP BY tok
+      ORDER BY true_count DESC, tok LIMIT {_CM_TOP_K})
+    SELECT t.tok, t.true_count, MIN(c.cnt) AS cm_estimate,
+           (MIN(c.cnt) = t.true_count) AS is_exact
+    FROM top t
+    JOIN rs u ON true
+    JOIN cells c
+      ON c.r = u.r
+     AND c.col = {md5_60_sql("t.tok || '#cm' || CAST(u.r AS VARCHAR)")}
+               % {_CM_WIDTH}
+    GROUP BY t.tok, t.true_count
+    """,
+)
+def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + probe: fold the corpus token stream
+    into a 4×64 counter matrix (row r counts tokens by
+    ``md5(tok + salt_r) mod 64``), then probe the matrix for the 20
+    most frequent tokens — the estimate is the min across rows, which
+    upper-bounds the true count (CM's one-sided error). ``is_exact``
+    flags probes where no bucket collision inflated the estimate.
+
+    Because the hash rows are fixed md5-derived functions, the sketch
+    is fully deterministic and the oracle reproduces the exact matrix
+    — this entry carries a value-exact check where classic randomized
+    sketches can only be rows-only. Scale shape: the build is one
+    explode (×4 rows per token via the per-row hash array) into a
+    map-side-combined count over a FIXED 256-cell key space — the
+    sketch never grows with the corpus, which is its whole point; the
+    probe joins 20×4 hash keys against those 256 aggregated cells.
+    """
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize("text")).alias("tok")
+    )
+    def col_for(tok_col: F.Column, r: F.Column | int) -> F.Column:
+        r_str = (
+            F.lit(str(r)) if isinstance(r, int) else r.cast("string")
+        )
+        return F.pmod(
+            md5_60(F.concat(tok_col, F.lit("#cm"), r_str)), F.lit(_CM_WIDTH)
+        )
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            col_for(F.col("tok"), r).alias("col"),
+                        )
+                        for r in range(_CM_DEPTH)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "tok")
+        .limit(_CM_TOP_K)
+    )
+    probes = top.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        col_for(F.col("tok"), r).alias("col"),
+                    )
+                    for r in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", "true_count", F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "tok",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") == F.col("true_count")).alias("is_exact"),
+        )
+    )

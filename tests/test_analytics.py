@@ -146,3 +146,63 @@ def test_keep_best_one_representative_per_cluster(spark, sf_smoke):
         for r in dedup_connected_components(spark, sf_smoke).collect()
     }
     assert {(r["doc_id"], r["cluster_id"]) for r in rows} == cc
+
+
+def test_time_range_window_matches_bruteforce(spark, sf_smoke):
+    """Recompute a few events' trailing-hour sums by brute force."""
+    from csv_to_parquet_spark.operators.analytics import (
+        _TRAIL_US,
+        window_time_range_sum,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    got = {r["event_id"]: r for r in window_time_range_sum(spark, sf_smoke).collect()}
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    sample = ev.orderBy("event_id").limit(20).collect()
+    by_user: dict = {}
+    for r in ev.collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    for s in sample:
+        lo = s["ts"].timestamp() * 1_000_000 - _TRAIL_US
+        hi = s["ts"].timestamp() * 1_000_000
+        peers = [
+            r
+            for r in by_user[s["user_id"]]
+            if lo <= r["ts"].timestamp() * 1_000_000 <= hi
+        ]
+        want_cents = sum(round(r["value"] * 100) for r in peers)
+        assert got[s["event_id"]]["trail_1h_events"] == len(peers)
+        assert got[s["event_id"]]["trail_1h_cents"] == want_cents
+
+
+def test_time_rollup_grains_consistent(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.analytics import events_time_rollup
+
+    rows = events_time_rollup(spark, sf_smoke).collect()
+    hourly = [r for r in rows if r["grain"] == 0]
+    daily = [r for r in rows if r["grain"] == 1]
+    total = [r for r in rows if r["grain"] == 3]
+    assert len(total) == 1
+    assert sum(r["n_events"] for r in hourly) == total[0]["n_events"]
+    assert sum(r["value_cents"] for r in daily) == total[0]["value_cents"]
+    # each day's rollup equals the sum of its hourly cells
+    for d in daily:
+        cells = [r for r in hourly if r["day_start"] == d["day_start"]]
+        assert sum(r["n_events"] for r in cells) == d["n_events"]
+        assert sum(r["value_cents"] for r in cells) == d["value_cents"]
+
+
+def test_count_min_estimate_upper_bounds_truth(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.textops import (
+        _CM_TOP_K,
+        sketch_count_min_tokens,
+    )
+
+    rows = sketch_count_min_tokens(spark, sf_smoke).collect()
+    assert 0 < len(rows) <= _CM_TOP_K
+    for r in rows:
+        # count-min error is one-sided
+        assert r["cm_estimate"] >= r["true_count"]
+        assert r["is_exact"] == (r["cm_estimate"] == r["true_count"])
