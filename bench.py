@@ -81,6 +81,8 @@ HEADLINE = [
     "dedup_incremental_batch",
     "dedup_minhash_estimate",
     "sample_balanced_mix",
+    "dedup_fuzzy_levenshtein",
+    "stats_mad_outliers",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

@@ -415,3 +415,246 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_cents").alias("value_cents"),
         )
     )
+
+
+@CAT.query(
+    "events_transition_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n_trans,
+           round(CAST(count(*) AS DOUBLE) /
+                 SUM(count(*)) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from, to) event-type pair, the transition
+    count and row-normalized probability.
+
+    One user_id exchange for the lag window (ordered by (ts, event_id)
+    — the unique tiebreaker keeps simultaneous events deterministic),
+    then one groupBy over the 5×5 pair space with map-side partial
+    aggregation; the row-normalizing window runs over ≤|types|² rows.
+    Probabilities divide exact BIGINT counts, rounded to 6 — the only
+    doubles in the query."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    wf = Window.partitionBy("from_type")
+    return d.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(wf), 6
+        ).alias("prob"),
+    )
+
+
+@CAT.query(
+    "events_gapfill_locf",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events),
+    days AS (
+      SELECT CAST(unnest(range(d0, d1 + INTERVAL 1 DAY,
+                               INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+      FROM b),
+    u AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(max({cents_sql("value")}) AS BIGINT) AS day_max_cents
+      FROM events GROUP BY 1, 2)
+    SELECT u.user_id, days.day, daily.day_max_cents,
+           LAST_VALUE(daily.day_max_cents IGNORE NULLS) OVER (
+             PARTITION BY u.user_id ORDER BY days.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS locf_cents
+    FROM u CROSS JOIN days
+    LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = days.day
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward:
+    a dense (user × day) spine over the observed date range, left-
+    joined to each user's daily max value, with gaps filled by the
+    most recent prior observation (NULL until a user's first one).
+
+    The fact table is aggregated to (user, day) FIRST — at 100 TB the
+    map-side partial max collapses the log to |users|×|days| rows
+    before any join. The day spine derives from a 1-row min/max
+    aggregate (broadcast), so the spine build is |users| × |days| with
+    no fact-scale shuffle; the LOCF window re-uses the spine's user_id
+    partitioning. Values are exact integer cents."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        cents("value").alias("v"),
+    )
+    bounds = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    users = e.select("user_id").distinct()
+    daily = e.groupBy("user_id", "day").agg(F.max("v").alias("day_max_cents"))
+    spine = users.crossJoin(F.broadcast(days))
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        "day_max_cents",
+        F.last("day_max_cents", ignorenulls=True).over(w).alias("locf_cents"),
+    )
+
+
+@CAT.query(
+    "stats_mad_outliers",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, {cents_sql("value")} AS x FROM events),
+    med AS (
+      SELECT event_type, CAST(median(x) AS DOUBLE) AS median_cents
+      FROM v GROUP BY event_type),
+    dev AS (
+      SELECT v.event_type, abs(v.x - med.median_cents) AS d, med.median_cents
+      FROM v JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, CAST(median(d) AS DOUBLE) AS mad_cents
+      FROM dev GROUP BY event_type)
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           max(dev.median_cents) AS median_cents,
+           max(mad.mad_cents) AS mad_cents,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: exact median, median
+    absolute deviation (MAD), and the count of events farther than
+    3×MAD from the median.
+
+    MAD is inherently two-pass (the deviation needs the median); each
+    pass is one groupBy(event_type) with the ≤|types|-row result
+    broadcast back — the fact table is scanned twice but never
+    shuffled beyond the two grouped medians. All arithmetic is exact:
+    cents are integers, medians of integers are .0/.5 halves (exact in
+    double), deviations and 3×MAD comparisons are exact double ops —
+    identical in both engines with no rounding needed. Exact per-group
+    median is Spark's sort-based `median`; at open-ended group
+    cardinality the drop-in scale fallback is `approx_percentile`
+    (same shape, bounded state)."""
+    v = _events(spark, sf_dir).select("event_type", cents("value").alias("x"))
+    med = v.groupBy("event_type").agg(
+        F.median("x").cast("double").alias("median_cents")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median_cents",
+        F.abs(F.col("x") - F.col("median_cents")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.median("d").cast("double").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("median_cents").alias("median_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@CAT.query(
+    "corr_exact_value_k",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, {cents_sql("value")} AS x,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM v GROUP BY event_type)
+    SELECT event_type, n,
+           round(CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                           (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                 THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                      sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                           (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 END, 6) AS corr_xy
+    FROM s
+    """,
+)
+def corr_exact_value_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation computed from exact integer moment
+    sums — between event value (cents) and the JSON `k` property.
+
+    The five moment sums accumulate as BIGINT (exact in any partition
+    order — the reason not to use the built-in `corr`, whose running
+    double state is accumulation-order-dependent and would hash-differ
+    from DuckDB's); only the final per-group scalar combine switches
+    to double, where both engines execute the identical IEEE
+    expression tree. Zero-variance groups yield NULL (guarded — ANSI
+    mode would otherwise throw on the sqrt-of-zero division). One
+    groupBy(event_type) exchange with map-side partials; products fit
+    BIGINT (|x|≤10⁵ cents, |y|≤10², so Σx² at 100 TB row counts stays
+    < 2⁶³); the n·Σxx cross terms are computed in double to avoid the
+    only overflow-prone multiply."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        cents("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            F.when(vx * vy > 0, cov / F.sqrt(vx * vy)), 6
+        ).alias("corr_xy"),
+    )

@@ -1198,3 +1198,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cs") >= 0.4)
         .select("vec_a", "vec_b", F.round("cs", 6).alias("cosine"))
     )
+
+
+#: Edit-distance threshold for the fuzzy string-match operator.
+_FUZZY_K = 2
+
+
+@CAT.query(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_K}
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: all distinct-value pairs within
+    Levenshtein distance ≤ 2, via the SymSpell deletion-neighborhood
+    candidate scheme — never an all-pairs comparison.
+
+    Candidate generation: every string emits its ≤K-deletion variants
+    (itself, each 1-deletion, each 2-deletion — O(L²) short keys per
+    string, built by native `transform`/`sequence` substring
+    expressions, no Python). The SymSpell theorem guarantees two
+    strings with lev ≤ K share at least one common variant, so an
+    equi-join on the variant key finds every true pair; `levenshtein`
+    then verifies exactly (variants can collide on false candidates).
+    Scale shape: `distinct()` first collapses the fact-scale column to
+    its vocabulary (one exchange); the variant join is O(n·L²) short
+    ids+keys, grouped pair-dedup before the verify keeps the
+    quadratic strictly inside same-variant buckets. The brute-force
+    oracle is the semantic spec; at open vocabulary it is the plan
+    this operator exists to avoid."""
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    # del1(s) = all strings with exactly one char removed; variants =
+    # {s} ∪ del1(s) ∪ del1(del1(s)), deduped. Native expressions only.
+    d1 = (
+        "transform(sequence(1, length({s})), i -> "
+        "concat(substring({s}, 1, i-1), substring({s}, i+1, length({s}))))"
+    )
+    variants = F.expr(
+        "array_distinct(concat(array(p_name), "
+        + d1.format(s="p_name")
+        + ", flatten(transform("
+        + d1.format(s="p_name")
+        + ", v -> "
+        + d1.format(s="v")
+        + "))))"
+    )
+    exploded = names.select(
+        "p_name", F.explode(variants).alias("vkey")
+    )
+    a = exploded.select(F.col("p_name").alias("name_a"), "vkey")
+    b = exploded.select(F.col("p_name").alias("name_b"), "vkey")
+    cand = (
+        a.join(b, "vkey")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+    ).filter(F.col("dist") <= _FUZZY_K)

@@ -322,3 +322,41 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@CAT.query(
+    "unpivot_customer_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT c_custkey,
+             CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+             CAST(c_nationkey AS BIGINT) AS nationkey,
+             CAST(length(c_name) AS BIGINT) AS name_len
+      FROM customer)
+    SELECT c_custkey, 'acctbal_cents' AS metric, acctbal_cents AS val FROM m
+    UNION ALL
+    SELECT c_custkey, 'nationkey', nationkey FROM m
+    UNION ALL
+    SELECT c_custkey, 'name_len', name_len FROM m
+    """,
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): three per-customer metrics become
+    (c_custkey, metric, val) rows via the native ``DataFrame.unpivot``
+    — Spark plans a single Expand over one scan (3× row multiplier,
+    no shuffle, no join), the exact dual of the pivot operator already
+    in the catalog. The oracle spells the same semantics as the
+    classic UNION ALL, which would scan the table three times — the
+    reason the Expand form is the scale path."""
+    m = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        cents("c_acctbal").alias("acctbal_cents"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+    )
+    return m.unpivot(
+        ["c_custkey"],
+        ["acctbal_cents", "nationkey", "name_len"],
+        "metric",
+        "val",
+    )

@@ -17,7 +17,7 @@ over parquet splits plus one shuffle per declared aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.functions import (
@@ -915,4 +915,52 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cm_estimate",
             (F.col("cm_estimate") == F.col("true_count")).alias("is_exact"),
         )
+    )
+
+
+@CAT.query(
+    "mix_temperature_weights",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY lang)
+    SELECT lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+             AS raw_share,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) /
+                 SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6)
+             AS sample_weight
+    FROM g
+    """,
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix temperature sampling weights per language: raw
+    token share and the temperature-flattened sampling weight
+    p_i ∝ tokens_i^τ with τ = 0.5 (the multilingual-LM upsampling
+    scheme that boosts low-resource slices) — the table a data-mixing
+    stage feeds into its per-domain samplers.
+
+    One groupBy(lang) with map-side partial token sums (the fact-scale
+    work); the normalizing window runs over ≤|langs| rows. τ = 0.5 is
+    deliberately sqrt — IEEE-exact and correctly rounded in both
+    engines, unlike pow(x, 0.7) whose libm last-ulp may differ."""
+    g = _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    tok_d = F.col("n_tokens").cast("double")
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(tok_d / F.sum(tok_d).over(w), 6).alias("raw_share"),
+        F.round(
+            F.sqrt(tok_d) / F.sum(F.sqrt(tok_d)).over(w), 6
+        ).alias("sample_weight"),
     )

@@ -203,6 +203,7 @@ _BNLJ_ALLOW = {
     "sample_balanced_mix",  # 1-row global-min keep-rate broadcast
     "events_user_rfm",  # 1-row recency-anchor (max ts) broadcast
     "text_bigram_colloc",  # 1-row corpus token-totals broadcast
+    "events_gapfill_locf",  # |days|-row spine broadcast (bounded calendar)
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are

@@ -92,3 +92,71 @@ def test_stream_static_enrich_conserves_events(spark, sf_smoke):
     c = load_table(spark, sf_smoke, "customer")
     expect = ev.join(c, ev.user_id == c.c_custkey).count()
     assert total == expect
+
+
+def test_transition_probs_row_normalize(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.analytics import events_transition_matrix
+
+    rows = events_transition_matrix(spark, sf_smoke).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, 0.0)
+        by_from[r.from_type] += r.prob
+    for ft, total in by_from.items():
+        # each row of the Markov matrix sums to 1 (rounding noise only)
+        assert abs(total - 1.0) < 1e-4, (ft, total)
+
+
+def test_gapfill_locf_carries_last_observation(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.analytics import events_gapfill_locf
+
+    rows = events_gapfill_locf(spark, sf_smoke).collect()
+    assert rows
+    seen = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.day)):
+        if r.day_max_cents is not None:
+            assert r.locf_cents == r.day_max_cents
+            seen[r.user_id] = r.day_max_cents
+        else:
+            # gap day: filled with the user's last observed value,
+            # NULL only before the first observation
+            assert r.locf_cents == seen.get(r.user_id)
+
+
+def test_fuzzy_levenshtein_candidates_are_complete(spark, sf_smoke):
+    """SymSpell recall check: the deletion-neighborhood join must find
+    every brute-force pair (the oracle parity test proves equality; this
+    asserts the stronger direction independently of DuckDB)."""
+    from itertools import combinations
+
+    from csv_to_parquet_spark.operators.dedup import (
+        _FUZZY_K,
+        dedup_fuzzy_levenshtein,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    got = {
+        (r.name_a, r.name_b)
+        for r in dedup_fuzzy_levenshtein(spark, sf_smoke).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = sorted(
+        r.p_name
+        for r in load_table(spark, sf_smoke, "part").select("p_name").distinct().collect()
+    )
+    want = {
+        (a, b) for a, b in combinations(names, 2) if lev(a, b) <= _FUZZY_K
+    }
+    assert got == want
