@@ -99,6 +99,7 @@ def build_catalog() -> Catalog:
         "clustering",
         "textops",
         "analytics",
+        "graph",
         "pipelines",
         "packing",
         "maintenance",

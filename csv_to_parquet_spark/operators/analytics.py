@@ -658,3 +658,64 @@ def corr_exact_value_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(vx * vy > 0, cov / F.sqrt(vx * vy)), 6
         ).alias("corr_xy"),
     )
+
+
+#: Interval width (minutes) assigned to each event for the sweep-line
+#: concurrency query.
+_CONC_MINUTES = 5
+
+
+@CAT.query(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(ts AS TIMESTAMP) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT CAST(ts + INTERVAL {_CONC_MINUTES} MINUTE AS TIMESTAMP), -1
+      FROM events),
+    c AS (
+      SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+             SUM(d) OVER (PARTITION BY CAST(date_trunc('day', t) AS TIMESTAMP)
+                          ORDER BY t, d) AS run
+      FROM b)
+    SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrent
+    FROM c GROUP BY day
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the sweep-line technique: each
+    event holds a resource for 5 minutes; its interval contributes a
+    +1 boundary at start and a −1 at end, and the daily peak is the
+    max of the running boundary sum — the classic
+    max-overlapping-intervals shape (concurrent sessions, connection
+    pools, GPU occupancy) that needs no interval self-join.
+
+    Boundaries double the row count (narrow union, no shuffle), then
+    ONE window sort per day partition — the sweep is embarrassingly
+    parallel across days, so at 100 TB the sort is bounded by a single
+    day's volume, not the corpus. Ordering (t, d) puts −1 before +1 at
+    equal timestamps (half-open intervals: a handoff at the same
+    instant never double-counts), and the default RANGE window frame
+    makes timestamp ties peers in BOTH engines — every tie group sees
+    the same post-group running value, so the max is
+    tie-order-independent. Counter resets per day by construction
+    (documented semantics: a day's peak counts intervals *starting or
+    still open from boundaries within that day's partition*)."""
+    e = _events(spark, sf_dir).select("ts")
+    starts = e.select(
+        F.col("ts").cast("timestamp").alias("t"), F.lit(1).alias("d")
+    )
+    ends = e.select(
+        (F.col("ts") + F.expr(f"INTERVAL {_CONC_MINUTES} MINUTES"))
+        .cast("timestamp")
+        .alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    b = starts.unionAll(ends).withColumn(
+        "day", F.date_trunc("day", "t").cast("timestamp_ntz")
+    )
+    w = Window.partitionBy("day").orderBy("t", "d")
+    run = b.withColumn("run", F.sum("d").over(w))
+    return run.groupBy("day").agg(
+        F.max("run").cast("bigint").alias("peak_concurrent")
+    )

@@ -204,6 +204,7 @@ _BNLJ_ALLOW = {
     "events_user_rfm",  # 1-row recency-anchor (max ts) broadcast
     "text_bigram_colloc",  # 1-row corpus token-totals broadcast
     "events_gapfill_locf",  # |days|-row spine broadcast (bounded calendar)
+    "graph_triangle_count",  # 1-row count aggregates broadcast-combined
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are

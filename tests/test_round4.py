@@ -160,3 +160,79 @@ def test_fuzzy_levenshtein_candidates_are_complete(spark, sf_smoke):
         (a, b) for a, b in combinations(names, 2) if lev(a, b) <= _FUZZY_K
     }
     assert got == want
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_smoke):
+    """Degree-ordered counting must equal a driver-side brute force
+    over the (small at smoke scale) edge set."""
+    from itertools import combinations
+
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.graph import _edges, graph_triangle_count
+
+    edges = {(r.a, r.b) for r in _edges(spark, sf_smoke).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for v, ns in adj.items()
+        for x, y in combinations(sorted(ns), 2)
+        if v < x and y in adj.get(x, ())
+    )
+    row = graph_triangle_count(spark, sf_smoke).collect()[0]
+    release_caches()
+    assert row.n_triangles == brute
+    assert row.n_edges == len(edges)
+
+
+def test_pagerank_conserves_teleport_floor(spark, sf_smoke):
+    """Every vertex keeps at least the teleport mass, and ranks stay
+    bounded by the total fixed-point mass (floor division only loses
+    mass, never creates it)."""
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.graph import (
+        _PR_SCALE,
+        _PR_TELEPORT,
+        graph_pagerank_copurchase,
+    )
+
+    rows = graph_pagerank_copurchase(spark, sf_smoke).collect()
+    release_caches()
+    assert rows
+    total = sum(r.rank_fp for r in rows)
+    assert all(r.rank_fp >= _PR_TELEPORT for r in rows)
+    assert total <= _PR_SCALE * len(rows)
+
+
+def test_peak_concurrency_bruteforce_day(spark, sf_smoke):
+    """Sweep-line result equals a per-minute brute force for one day."""
+    import datetime as dt
+
+    from csv_to_parquet_spark.operators.analytics import (
+        _CONC_MINUTES,
+        events_peak_concurrency,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    got = {r.day.date(): r.peak_concurrent
+           for r in events_peak_concurrency(spark, sf_smoke).collect()}
+    day = sorted(got)[1]  # interior day: no cross-midnight edge cases
+    evs = [
+        r.ts
+        for r in load_table(spark, sf_smoke, "events").select("ts").collect()
+        if r.ts.date() in (day, day - dt.timedelta(days=1))
+    ]
+    width = dt.timedelta(minutes=_CONC_MINUTES)
+    # peak over boundary points of that day only (matches the per-day
+    # partition semantics: boundaries within the day, counter reset)
+    bounds = sorted(
+        [(t, 1) for t in evs if t.date() == day]
+        + [(t + width, -1) for t in evs if (t + width).date() == day]
+    )
+    run = peak = 0
+    for _, d in bounds:
+        run += d
+        peak = max(peak, run)
+    assert got[day] == peak
