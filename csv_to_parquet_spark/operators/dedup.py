@@ -693,9 +693,21 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ships (doc_a, doc_b) ids and joins the 512-byte signatures
     twice."""
     sh = _doc_shingles(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(sh)  # persists sh (tracked) internally
+    # persist the (small) verified pair list: it feeds both the
+    # participant filter below and the final join, and re-deriving the
+    # inverted-index DAG twice doubled the query's cost
+    pairs = _persist(ngram_jaccard_pairs(sh))  # persists sh too
+    # signatures are only needed for docs that appear in a verified
+    # pair — a tiny fraction of the corpus. Broadcast-semi-filter the
+    # shingle frame before the md5 signature work: at any scale the
+    # sketch-audit query hashes |pair members| docs, not |corpus|.
+    members = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+    )
     sig = (
-        sh.select("doc_id", (md5_60(F.col("sh")) % _P31).alias("h31"))
+        sh.join(F.broadcast(members), "doc_id")
+        .select("doc_id", (md5_60(F.col("sh")) % _P31).alias("h31"))
         .groupBy("doc_id")
         .agg(F.collect_list("h31").alias("hs"))
         .select("doc_id", _minhash_sig().alias("sig"))
@@ -960,14 +972,21 @@ def connected_components(
     # by anything the returned plan needs
     if release_token is not None:
         release_caches(release_token)
+    # round 1 is free: with identity labels, the propagate-join is just
+    # min-over-neighbors, so initialization and the first iteration fuse
+    # into ONE groupBy over the edge list — least(u, min(v)) — skipping
+    # a checkpoint, a join, and a convergence collect
     labels = _lineage_truncate(
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least("u", "mv").alias("label"),
+        ),
         reliable_checkpoint,
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(_CC_MAX_ITERS):
+    for _ in range(_CC_MAX_ITERS - 1):
         msgs = (
             edges.join(labels.select(F.col("node").alias("v"), "label"), "v")
             .select(F.col("u").alias("node"), "label")
