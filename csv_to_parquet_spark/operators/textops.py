@@ -964,3 +964,188 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(tok_d) / F.sum(F.sqrt(tok_d)).over(w), 6
         ).alias("sample_weight"),
     )
+
+
+@CAT.query(
+    "lang_mismatch_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    p AS (
+      SELECT lang AS lang_label,
+             CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL})))
+                       AS DOUBLE) / len(toks) >= 0.03
+                  THEN 'en' ELSE 'unk' END AS lang_pred
+      FROM t)
+    SELECT lang_label, lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(count(*) AS DOUBLE) /
+                 SUM(count(*)) OVER (PARTITION BY lang_label), 6)
+             AS pct_of_label
+    FROM p GROUP BY lang_label, lang_pred
+    """,
+)
+def lang_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: for every
+    (declared lang, predicted lang) cell, the doc count and its share
+    of the declared label — the audit a multilingual corpus runs to
+    find mislabeled slices before per-language mixing/filtering trusts
+    the metadata column.
+
+    Same narrow stopword-ratio classifier as ``text_language_id`` (one
+    regexp_count DFA pass, no shuffle on the fact side), then one
+    groupBy over the ≤|langs|² cells; the share-normalizing window
+    runs on the aggregated grid only."""
+    stop_re = r"\s(?:" + "|".join(_STOPWORDS) + r")(?=\s)"
+    ratio = (
+        F.regexp_count(
+            F.concat(F.lit(" "), F.lower("text"), F.lit(" ")), F.lit(stop_re)
+        ).cast("double")
+        / F.size(tokenize(F.lower(F.col("text"))))
+    )
+    p = _docs(spark, sf_dir).select(
+        F.col("lang").alias("lang_label"),
+        F.when(ratio >= 0.03, "en").otherwise("unk").alias("lang_pred"),
+    )
+    g = p.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wl = Window.partitionBy("lang_label")
+    return g.select(
+        "lang_label",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wl), 6
+        ).alias("pct_of_label"),
+    )
+
+
+#: Tokens per segment for line-level (segment-level) dedup.
+_SEG_TOKENS = 10
+
+
+@CAT.query(
+    "dedup_segment_lines",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             array_to_string(
+               toks[i*{_SEG_TOKENS}+1 : i*{_SEG_TOKENS}+{_SEG_TOKENS}], ' ')
+               AS seg
+      FROM t, unnest(range(0, len(toks) // {_SEG_TOKENS})) AS u(i)
+      WHERE len(toks) >= {_SEG_TOKENS}),
+    d AS (
+      SELECT seg, count(DISTINCT doc_id) AS nd FROM s GROUP BY seg)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segs,
+           round(CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM s JOIN d USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_segment_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (line-level) dedup audit: each doc is cut into
+    consecutive 10-token segments; a segment is "duplicated"
+    when the identical segment occurs in more than one distinct doc,
+    and each doc reports its duplicated-segment fraction — the
+    C4/RefinedWeb-style line-dedup signal, adapted to unpunctuated
+    text via fixed token windows.
+
+    One explode to (doc_id, segment), one groupBy(segment) with
+    map-side-partial distinct-doc counts, one shuffle join back on the
+    segment key, one groupBy(doc_id) — every shuffled row is a short
+    segment string or an id, never the document. (The production
+    variant hashes segments to 8-byte keys before the shuffle; here
+    the plain string IS the join key so the oracle can reproduce it
+    verbatim — xxhash64 would be Spark-only.) Trailing partial
+    segments are ignored (short tails carry no dedup signal)."""
+    toks = tokenize("text")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _SEG_TOKENS)
+    )
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.expr(f"size(toks) div {_SEG_TOKENS}") - 1
+                ),
+                lambda i: F.array_join(
+                    F.slice("toks", i * _SEG_TOKENS + 1, _SEG_TOKENS), " "
+                ),
+            )
+        ).alias("seg"),
+    )
+    counts = segs.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        segs.join(counts, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            dup.cast("bigint").alias("n_dup_segs"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+@CAT.query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents),
+    p AS (
+      SELECT substring(t, CAST(i AS INTEGER), 2) AS pair
+      FROM tok, unnest(range(1, length(t))) AS u(i)
+      WHERE length(t) >= 2)
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge step: corpus-wide frequencies of adjacent
+    character pairs inside (lowercased) tokens, top 50 — the counting
+    pass a byte-pair-encoding tokenizer trainer runs to pick its next
+    merge rule. Each token OCCURRENCE votes (training counts weight by
+    frequency, not vocabulary membership).
+
+    Two narrow explodes (token, then its length−1 overlapping char
+    pairs via a substring transform — all codegen'd string ops), one
+    count groupBy with map-side partials over the tiny pair space
+    (≤ |alphabet|²), and a TakeOrderedAndProject top-50 with a
+    deterministic (count desc, pair) tiebreak. At 100 TB this is a
+    pure map + one bounded-cardinality aggregation."""
+    tok = _docs(spark, sf_dir).select(
+        F.explode(tokenize(F.lower(F.col("text")))).alias("t")
+    )
+    pairs = tok.filter(F.length("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.substring(F.col("t"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
