@@ -229,3 +229,56 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_cents",
         )
     )
+
+
+#: Point-in-time timestamp for the SCD2 as-of lookup (mid-corpus).
+_AS_OF_TS = "2024-01-15 00:00:00"
+
+
+@CAT.query(
+    "scd2_as_of_lookup",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type IS DISTINCT FROM
+                       LAG(event_type) OVER w THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    intervals AS (
+      SELECT user_id, run_id, event_type, MIN(ts) AS valid_from
+      FROM runs GROUP BY user_id, run_id, event_type),
+    hist AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY run_id) AS valid_to
+      FROM intervals)
+    SELECT user_id, event_type, valid_from, valid_to
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{_AS_OF_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_AS_OF_TS}')
+    """,
+)
+def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) lookup against the SCD2 history:
+    each user's dimension row that was valid AS OF a fixed timestamp —
+    ``valid_from <= T < valid_to`` with the open (is_current) interval
+    matching on NULL ``valid_to``. The query every SCD2 warehouse
+    serves ("what did this dimension look like on date X").
+
+    Reuses :func:`scd2_event_type_runs`'s interval build (same single
+    user_id exchange + run windows), then a narrow interval filter —
+    the as-of predicate prunes before any further join, and on a
+    valid_from-partitioned history table it would prune partitions at
+    the scan. At most one row per user survives by construction
+    (intervals partition each user's timeline)."""
+    hist = scd2_event_type_runs(spark, sf_dir)
+    t = F.lit(_AS_OF_TS).cast("timestamp_ntz")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "event_type", "valid_from", "valid_to")

@@ -135,3 +135,66 @@ def sink_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     back = spark.read.parquet(path)
     return back.select("doc_id", "n_chars", "lang", "split")
+
+
+@CAT.query(
+    "profile_key_skew",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_rows,
+             round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_rows
+      FROM k),
+    top AS (
+      SELECT o_custkey, n,
+             row_number() OVER (ORDER BY n DESC, o_custkey) AS rk
+      FROM k)
+    SELECT s.n_keys, s.n_rows, s.max_rows, s.avg_rows,
+           round(s.max_rows / s.avg_rows, 6) AS skew_ratio,
+           t.o_custkey AS top_key, t.n AS top_rows
+    FROM s, top t WHERE t.rk = 1
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnosis for ``orders.o_custkey``: key count,
+    row count, the heaviest key and its row count, and the skew ratio
+    (max/avg rows per key) — the report that decides whether a
+    downstream join on this key needs salting or AQE skew handling
+    (the engine's own salted-agg and AQE paths; see
+    ``agg_salted_skew``).
+
+    One groupBy(o_custkey) with map-side partials collapses the fact
+    table to per-key counts; everything after runs on that key-level
+    frame (a global agg and a top-1 via TakeOrdered — both driver-size).
+    The 1-row summary and 1-row top key broadcast-join back together."""
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_rows"
+        ),
+    )
+    top = (
+        k.orderBy(F.desc("n"), "o_custkey")
+        .limit(1)
+        .select(F.col("o_custkey").alias("top_key"), F.col("n").alias("top_rows"))
+    )
+    return s.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        "max_rows",
+        "avg_rows",
+        F.round(F.col("max_rows") / F.col("avg_rows"), 6).alias("skew_ratio"),
+        "top_key",
+        "top_rows",
+    )

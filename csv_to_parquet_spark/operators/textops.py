@@ -1149,3 +1149,81 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+#: Vocabulary size and per-doc encode length for text_vocab_encode.
+_VOCAB_K = 1000
+_ENC_LEN = 20
+
+
+@CAT.query(
+    "text_vocab_encode",
+    oracle=f"""
+    WITH allt AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents),
+    vc AS (SELECT t, count(*) AS n FROM allt GROUP BY t),
+    vocab AS (
+      SELECT t, row_number() OVER (ORDER BY n DESC, t) AS id
+      FROM vc QUALIFY id <= {_VOCAB_K}),
+    d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+')[1:{_ENC_LEN}] AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, toks[CAST(i AS INTEGER)] AS t, i AS pos
+      FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
+    enc AS (
+      SELECT tok.doc_id, tok.pos, CAST(COALESCE(v.id, 0) AS BIGINT) AS id
+      FROM tok LEFT JOIN vocab v ON v.t = tok.t)
+    SELECT doc_id,
+           array_to_string(list(id ORDER BY pos), ',') AS ids_csv,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM enc GROUP BY doc_id
+    """,
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding — the id-mapping step of dataset prep: build
+    a frequency-ranked top-K token vocabulary (deterministic
+    (count desc, token) tiebreak), then encode each document's leading
+    tokens as ids, OOV → 0, with an OOV count per doc. (The id
+    sequence is emitted CSV-joined — the driver's order-insensitive
+    value hash needs hashable cells, and the join preserves the exact
+    ordered sequence.)
+
+    Vocab build is one corpus-wide count groupBy + TakeOrdered top-K;
+    the rank window then runs over the K surviving rows only (a
+    bounded model table, same contract as the k-means centroid
+    collect — never a global sort of the corpus). Encoding is a
+    broadcast left join of the exploded (doc, pos, token) frame
+    against the K-row vocab, re-bagged per doc by one groupBy with an
+    ``array_sort`` on (pos, id) structs — order is carried by data,
+    not by partition luck."""
+    toks = tokenize("text")
+    docs = _docs(spark, sf_dir)
+    vc = docs.select(F.explode(toks).alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = vc.orderBy(F.desc("n"), "t").limit(_VOCAB_K)
+    w = Window.orderBy(F.desc("n"), "t")  # K bounded rows post-limit
+    vocab = top.select("t", F.row_number().over(w).cast("bigint").alias("id"))
+    tok = docs.select(
+        "doc_id", F.posexplode(F.slice(toks, 1, _ENC_LEN)).alias("pos", "t")
+    )
+    enc = tok.join(F.broadcast(vocab), "t", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("id", F.lit(0).cast("bigint")).alias("id"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s.id.cast("string"),
+            ),
+            ",",
+        ).alias("ids_csv"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )

@@ -41,6 +41,13 @@ HEAVY = [
     "scd2_event_type_runs",  # window run-length ties across 80k events
     "pack_token_budget",  # two-phase prefix sum vs single-task window
     "stream_tumbling_counts",  # micro-batch windowed aggregation
+    # round-4 additions with scale-sensitive semantics
+    "events_peak_concurrency",  # RANGE-frame tie groups densify with rows
+    "stats_mad_outliers",  # median halves / 3×MAD threshold floats
+    "corr_exact_value_k",  # double combine of integer moments
+    "mix_temperature_weights",  # double window-sum accumulation order
+    "events_transition_matrix",  # probability rounding on bigger counts
+    "graph_pagerank_copurchase",  # iterative fixed-point on a denser graph
 ]
 
 QUERIES = entry_mod.queries()

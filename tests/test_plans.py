@@ -205,6 +205,7 @@ _BNLJ_ALLOW = {
     "text_bigram_colloc",  # 1-row corpus token-totals broadcast
     "events_gapfill_locf",  # |days|-row spine broadcast (bounded calendar)
     "graph_triangle_count",  # 1-row count aggregates broadcast-combined
+    "profile_key_skew",  # 1-row summary × 1-row top-key broadcast
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
