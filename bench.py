@@ -83,6 +83,10 @@ HEADLINE = [
     "sample_balanced_mix",
     "dedup_fuzzy_levenshtein",
     "stats_mad_outliers",
+    "graph_triangle_count",
+    "dedup_segment_lines",
+    "text_vocab_encode",
+    "events_peak_concurrency",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

@@ -719,3 +719,58 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("day").agg(
         F.max("run").cast("bigint").alias("peak_concurrent")
     )
+
+
+@CAT.query(
+    "events_rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+    x AS (
+      SELECT user_id,
+             CAST(unnest(range(day, day + INTERVAL 7 DAY,
+                               INTERVAL 1 DAY)) AS TIMESTAMP) AS report_day
+      FROM ud)
+    SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM x, b WHERE report_day BETWEEN b.d0 AND b.d1
+    GROUP BY report_day
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the trailing-window
+    DISTINCT that a plain window frame cannot express (distinct
+    aggregates are not frame-mergeable).
+
+    The scale trick: dedupe the log to (user, day) FIRST (map-side
+    partial distinct collapses 100 TB to |users|×|days| rows), then
+    each user-day contributes itself to the 7 report days it is
+    visible from — a bounded ×7 explode — and one groupBy(report_day)
+    counts distinct users. Fan-out is window/granularity (7), never
+    row count; the alternative day×log range self-join re-scans the
+    fact table per day. Report days clamp to the observed range via a
+    1-row broadcast bounds join."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+    )
+    ud = e.distinct()
+    bounds = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    x = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "day",
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        x.crossJoin(F.broadcast(bounds))
+        .filter(F.col("report_day").between(F.col("d0"), F.col("d1")))
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

@@ -211,3 +211,59 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_md5"])
 
     return _payloads(spark, sf_dir).mapInPandas(frames, schema)
+
+
+_AUDIO_FRAME = 16  # samples per energy frame
+
+
+@CAT.query(
+    "mm_audio_energy_stub",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, strlen(text) // 2 AS ns FROM documents
+               WHERE strlen(text) // 2 >= {_AUDIO_FRAME}),
+    f AS (SELECT doc_id, text,
+                 unnest(range(0, ns // {_AUDIO_FRAME})) AS j
+          FROM d)
+    SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+           CAST(list_sum(
+             [power(ord(substring(text, (j * {_AUDIO_FRAME} + k) * 2 + 1, 1)) +
+                    256 * ord(substring(text, (j * {_AUDIO_FRAME} + k) * 2 + 2, 1)),
+                    2)
+              for k in range(0, {_AUDIO_FRAME})]) AS BIGINT) AS energy
+    FROM f
+    """,
+)
+def mm_audio_energy_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy through the stubbed decoder: the payload
+    is read as unsigned 16-bit little-endian samples, windowed into
+    16-sample frames, and each frame emits the sum of squared samples
+    — the loudness/VAD feature an audio ingest pipeline computes
+    before segment filtering. A real build swaps the sample decode for
+    the codec (soundfile/ffmpeg, absent in this container); the
+    mapInPandas contract — variable rows per input, vectorized numpy
+    per batch, int64 energies — is the production shape. ASCII corpus
+    → byte == char, so the oracle recomputes identical samples from
+    the text."""
+    schema = "doc_id BIGINT, frame_idx BIGINT, energy BIGINT"
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: list[tuple[int, int, int]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                ns = len(b) // 2
+                nf = ns // _AUDIO_FRAME
+                if nf == 0:
+                    continue
+                raw = np.frombuffer(
+                    b[: nf * _AUDIO_FRAME * 2], dtype=np.uint8
+                ).astype(np.int64)
+                samples = raw[0::2] + 256 * raw[1::2]
+                frames = samples.reshape(nf, _AUDIO_FRAME)
+                for j, e in enumerate((frames * frames).sum(axis=1)):
+                    out.append((doc_id, j, int(e)))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "energy"])
+
+    return _payloads(spark, sf_dir).mapInPandas(energies, schema)

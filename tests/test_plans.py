@@ -206,6 +206,7 @@ _BNLJ_ALLOW = {
     "events_gapfill_locf",  # |days|-row spine broadcast (bounded calendar)
     "graph_triangle_count",  # 1-row count aggregates broadcast-combined
     "profile_key_skew",  # 1-row summary × 1-row top-key broadcast
+    "events_rolling_wau",  # 1-row date-bounds broadcast clamp
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
