@@ -290,3 +290,43 @@ def test_kmeans_assignment_is_narrow(spark, sf_smoke):
 
     plan = _plan(cluster_kmeans_assign(spark, sf_smoke))
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+
+
+def test_runtime_bloom_filter_injection_eligible(spark, sf_smoke):
+    """100 TB posture pin: when a dimension is too big to broadcast
+    (autoBroadcastJoinThreshold disabled here to force the shuffle-join
+    plan), Spark's runtime bloom-filter rule must inject a
+    ``might_contain`` semi-filter from the selective build side into
+    the fact scan — the engine's own Bloom-prefilter join pruning. The
+    application-side size gate is lowered because the rule's default
+    (10 GB scanned) can never be met at test scale; what this test
+    pins is that OUR join/filter shape stays *eligible* for the rule —
+    equality predicate on the creation side, plain equi-join key, no
+    expression wrapper on the fact column that would defeat the
+    injected filter."""
+    from csv_to_parquet_spark.plans.inspect import formatted as _fmt
+    from csv_to_parquet_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_smoke, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_smoke, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
