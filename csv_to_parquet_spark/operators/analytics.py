@@ -774,3 +774,70 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@CAT.query(
+    "events_time_weighted_avg",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, {cents_sql("value")} AS cents,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events),
+    d AS (
+      SELECT user_id, cents, (next_us - us) // 1000000 AS dt_s
+      FROM t WHERE next_us IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_s) AS BIGINT) AS total_s,
+           round(CASE WHEN SUM(dt_s) > 0
+                 THEN CAST(SUM(cents * dt_s) AS DOUBLE) / SUM(dt_s) END, 6)
+             AS twa_cents
+    FROM d GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each event's value is
+    held until the user's next event, and the mean weights by that
+    holding duration (whole seconds) — the correct average for
+    sampled-on-change signals (balances, gauge metrics, prices), where
+    the arithmetic mean over-weights bursts.
+
+    One user_id exchange for the lead window ((ts, event_id) tiebreak),
+    then a groupBy on the same partitioning. All-integer weights:
+    cents × whole-second durations summed as BIGINT (exact in any
+    order; bounded — 10⁵ cents × month-long gaps × millions of events
+    stays under 2⁶³), one double division at the end, zero-duration
+    users guarded to NULL identically in both engines."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", cents("value").alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = (
+        e.select(
+            "user_id",
+            "cents",
+            us.alias("us"),
+            F.lead(us).over(w).alias("next_us"),
+        )
+        .filter(F.col("next_us").isNotNull())
+        .select(
+            "user_id",
+            "cents",
+            F.expr("(next_us - us) div 1000000").alias("dt_s"),
+        )
+    )
+    s_dt = F.sum("dt_s")
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        s_dt.cast("bigint").alias("total_s"),
+        F.round(
+            F.when(
+                s_dt > 0,
+                F.sum(F.col("cents") * F.col("dt_s")).cast("double") / s_dt,
+            ),
+            6,
+        ).alias("twa_cents"),
+    )

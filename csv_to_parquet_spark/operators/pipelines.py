@@ -198,3 +198,116 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_key",
         "top_rows",
     )
+
+
+@CAT.query(
+    "dq_constraint_report",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
+      FROM orders),
+    l AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty
+      FROM lineitem),
+    oo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+    lo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    SELECT rule, n_violations, n_checked,
+           round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_pct
+    FROM (
+      SELECT 'orders.custkey_not_null' AS rule, o.null_key AS n_violations,
+             o.n AS n_checked FROM o
+      UNION ALL SELECT 'orders.totalprice_positive', o.bad_price, o.n FROM o
+      UNION ALL SELECT 'lineitem.quantity_positive', l.bad_qty, l.n FROM l
+      UNION ALL SELECT 'orders.custkey_fk_customer', oo.n,
+                       (SELECT n FROM o) FROM oo
+      UNION ALL SELECT 'lineitem.orderkey_fk_orders', lo.n,
+                       (SELECT n FROM l) FROM lo)
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint report: one row per declared
+    expectation — null keys, non-positive amounts, and referential
+    integrity (orphan foreign keys) — with violation counts and rates,
+    the gate a pipeline evaluates before publishing a batch.
+
+    Column-level rules fold into ONE conditional-aggregate scan per
+    table (adding rules adds zero passes); each FK rule is one
+    left-anti join on its key — the orders-side probe reuses the same
+    map-side count. The five 1-row rule frames union into the report;
+    everything after the scans is driver-size."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    oagg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_key"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_price"),
+    )
+    lagg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_qty"),
+    )
+    o_orphan = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orph"))
+    )
+    l_orphan = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orph"))
+    )
+    rows = (
+        oagg.select(
+            F.lit("orders.custkey_not_null").alias("rule"),
+            F.col("null_key").alias("n_violations"),
+            F.col("n").alias("n_checked"),
+        )
+        .unionAll(
+            oagg.select(
+                F.lit("orders.totalprice_positive"),
+                F.col("bad_price"),
+                F.col("n"),
+            )
+        )
+        .unionAll(
+            lagg.select(
+                F.lit("lineitem.quantity_positive"), F.col("bad_qty"), F.col("n")
+            )
+        )
+        .unionAll(
+            o_orphan.crossJoin(F.broadcast(oagg.select("n"))).select(
+                F.lit("orders.custkey_fk_customer"),
+                F.col("n_orph"),
+                F.col("n"),
+            )
+        )
+        .unionAll(
+            l_orphan.crossJoin(F.broadcast(lagg.select("n"))).select(
+                F.lit("lineitem.orderkey_fk_orders"),
+                F.col("n_orph"),
+                F.col("n"),
+            )
+        )
+    )
+    return rows.select(
+        "rule",
+        "n_violations",
+        "n_checked",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_checked"), 6
+        ).alias("violation_pct"),
+    )
