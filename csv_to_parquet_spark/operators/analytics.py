@@ -841,3 +841,74 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa_cents"),
     )
+
+
+@CAT.query(
+    "events_conversion_latency",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s1.t_view
+                      THEN e.ts END) AS t_conv
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id),
+    lat AS (
+      SELECT s1.user_id,
+             (epoch_us(s2.t_conv) - epoch_us(s1.t_view)) // 1000000
+               AS latency_s
+      FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+      WHERE s2.t_conv IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(latency_s) AS BIGINT) AS min_s,
+           CAST(median(latency_s) AS DOUBLE) AS median_s,
+           CAST(max(latency_s) AS BIGINT) AS max_s
+    FROM lat
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile: whole seconds from each user's first
+    view to their first purchase strictly after it, summarized as
+    count / min / exact median / max — the companion metric to the
+    step funnel (how long conversion takes, not just how often).
+
+    Same one-exchange window cascade as ``events_funnel_steps`` (the
+    purchase anchor conditions on the view anchor over the same
+    ``partitionBy(user_id)`` frame), then a driver-size summary over
+    one row per converting user. Latencies are exact integer seconds;
+    the median's half-values are exact in double."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    d = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    ).withColumn(
+        "t_conv",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    lat = (
+        d.groupBy("user_id")
+        .agg(F.max("t_view").alias("t_view"), F.max("t_conv").alias("t_conv"))
+        .filter(F.col("t_conv").isNotNull())
+        .select(
+            F.expr(
+                "(unix_micros(CAST(t_conv AS TIMESTAMP)) - "
+                "unix_micros(CAST(t_view AS TIMESTAMP))) div 1000000"
+            ).alias("latency_s")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_s").cast("bigint").alias("min_s"),
+        F.median("latency_s").cast("double").alias("median_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )

@@ -231,3 +231,88 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
     return ranks.select(F.col("u").alias("part"), F.col("r").alias("rank_fp"))
+
+
+@CAT.query(
+    "basket_association_rules",
+    oracle=f"""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM li),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+    item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+      FROM baskets GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY ante, cons HAVING count(*) >= {_SUPPORT})
+    SELECT p.ante, p.cons, p.n_pair,
+           round(CAST(p.n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+           round(CAST(p.n_pair AS DOUBLE) * no.n / (ia.n_item * ic.n_item), 6)
+             AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.ante
+    JOIN item ic ON ic.l_partkey = p.cons
+    CROSS JOIN n_orders no
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    directed part pair (antecedent → consequent) co-occurring in at
+    least ``_SUPPORT`` orders, the pair support, the rule confidence
+    P(cons|ante), and the lift vs independence — the classic
+    recommender/affinity mining operator (Apriori's pair level, which
+    dominates its cost at scale).
+
+    Baskets are deduped to distinct (order, part) FIRST (map-side
+    partial distinct); pair counting is the same bounded per-order
+    self-join as the co-purchase graph (C(lines,2) per order, never
+    corpus-quadratic); item counts and the 1-row basket total
+    broadcast back onto the surviving pairs. All counts are exact
+    BIGINTs; confidence/lift are one double division each, rounded."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("cons")
+    )
+    pair = (
+        baskets.join(
+            b2,
+            (baskets.l_orderkey == b2.o2)
+            & (baskets.l_partkey != b2.cons),
+        )
+        .groupBy(F.col("l_partkey").alias("ante"), "cons")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("ante"), F.col("n_item").alias("n_ante")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_cons")
+    )
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_ante"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n")
+                / (F.col("n_ante") * F.col("n_cons")),
+                6,
+            ).alias("lift"),
+        )
+    )

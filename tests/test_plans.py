@@ -208,6 +208,7 @@ _BNLJ_ALLOW = {
     "profile_key_skew",  # 1-row summary × 1-row top-key broadcast
     "events_rolling_wau",  # 1-row date-bounds broadcast clamp
     "dq_constraint_report",  # 1-row rule counts × 1-row totals broadcasts
+    "basket_association_rules",  # 1-row basket-total broadcast for lift
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
