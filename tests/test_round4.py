@@ -236,3 +236,55 @@ def test_peak_concurrency_bruteforce_day(spark, sf_smoke):
         run += d
         peak = max(peak, run)
     assert got[day] == peak
+
+
+def test_rolling_wau_bruteforce_day(spark, sf_smoke):
+    import datetime as dt
+
+    from csv_to_parquet_spark.operators.analytics import events_rolling_wau
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    got = {r.report_day.date(): r.wau
+           for r in events_rolling_wau(spark, sf_smoke).collect()}
+    day = sorted(got)[8]  # interior day with a full trailing week
+    evs = load_table(spark, sf_smoke, "events").select("user_id", "ts").collect()
+    lo = day - dt.timedelta(days=6)
+    want = len({r.user_id for r in evs if lo <= r.ts.date() <= day})
+    assert got[day] == want
+
+
+def test_time_weighted_avg_bounded_by_extremes(spark, sf_smoke):
+    from csv_to_parquet_spark.functions import cents
+    from csv_to_parquet_spark.operators.analytics import events_time_weighted_avg
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    twa = {r.user_id: r for r in
+           events_time_weighted_avg(spark, sf_smoke).collect()}
+    ext = {
+        r.user_id: r
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(cents("value")).alias("lo"),
+            F.max(cents("value")).alias("hi"),
+        )
+        .collect()
+    }
+    assert twa
+    for uid, r in twa.items():
+        if r.twa_cents is not None:
+            # a weighted mean can never leave the value range
+            assert ext[uid].lo <= r.twa_cents <= ext[uid].hi, (uid, r)
+
+
+def test_association_rules_invariants(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.graph import basket_association_rules
+
+    rows = basket_association_rules(spark, sf_smoke).collect()
+    assert rows
+    seen = {(r.ante, r.cons) for r in rows}
+    for r in rows:
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+        # pair support threshold is symmetric: the reverse rule exists
+        assert (r.cons, r.ante) in seen
