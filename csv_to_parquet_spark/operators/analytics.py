@@ -912,3 +912,156 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("latency_s").cast("double").alias("median_s"),
         F.max("latency_s").cast("bigint").alias("max_s"),
     )
+
+
+@CAT.query(
+    "events_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_aud
+      FROM ut GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b)
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.n_aud AS n_a, sb.n_aud AS n_b,
+           round(CAST(p.n_both AS DOUBLE) /
+                 (sa.n_aud + sb.n_aud - p.n_both), 6) AS jaccard
+    FROM p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    users common to both audiences and the Jaccard overlap — the
+    segment-intersection report behind audience planning and feature
+    co-occurrence analysis.
+
+    The log collapses to distinct (user, type) FIRST (map-side partial
+    distinct); the pair join fans out per user bounded by |types|²
+    (not row count); audience sizes are a ≤|types|-row broadcast. All
+    counts exact BIGINTs, one rounded division."""
+    ut = _events(spark, sf_dir).select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_aud"))
+    b = ut.select(
+        F.col("user_id").alias("u2"), F.col("event_type").alias("type_b")
+    )
+    p = (
+        ut.join(
+            b,
+            (ut.user_id == b.u2) & (ut.event_type < b.type_b),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_aud").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_aud").alias("n_b")
+    )
+    return (
+        p.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@CAT.query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey),
+    cs AS (
+      SELECT CAST(date_trunc('month', first_dt) AS TIMESTAMP) AS cohort_month,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM f GROUP BY 1),
+    a AS (
+      SELECT CAST(date_trunc('month', f.first_dt) AS TIMESTAMP) AS cohort_month,
+             CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate)) -
+                  (year(f.first_dt) * 12 + month(f.first_dt)) AS BIGINT)
+               AS m_off,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey),
+    g AS (
+      SELECT cohort_month, m_off, CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM a GROUP BY cohort_month, m_off)
+    SELECT g.cohort_month, g.m_off, g.rev_cents,
+           CAST(SUM(g.rev_cents) OVER (PARTITION BY g.cohort_month
+                                       ORDER BY g.m_off) AS BIGINT)
+             AS cum_rev_cents,
+           cs.n_customers,
+           round(CAST(SUM(g.rev_cents) OVER (PARTITION BY g.cohort_month
+                                             ORDER BY g.m_off) AS DOUBLE)
+                 / cs.n_customers, 6) AS ltv_cents
+    FROM g JOIN cs ON cs.cohort_month = g.cohort_month
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order month;
+    for each (cohort, months-since-first) cell, the period revenue,
+    the running cumulative revenue, and cumulative LTV per cohort
+    customer — the retention-curve's revenue twin.
+
+    One o_custkey exchange derives first-order months; revenue cells
+    aggregate with map-side partials; the cumulative window and the
+    cohort-size broadcast join run over the months² grid only.
+    Money is exact integer cents end to end; LTV is the single
+    rounded division."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", cents("o_totalprice").alias("cents")
+    )
+    w = Window.partitionBy("o_custkey")
+    d = o.withColumn("first_dt", F.min("o_orderdate").over(w))
+    cohort = F.date_trunc("month", "first_dt").cast("timestamp_ntz")
+    m_off = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        - (F.year("first_dt") * 12 + F.month("first_dt"))
+    ).cast("bigint")
+    g = (
+        d.select(cohort.alias("cohort_month"), m_off.alias("m_off"), "cents")
+        .groupBy("cohort_month", "m_off")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    cs = (
+        d.groupBy("o_custkey")
+        .agg(F.max("first_dt").alias("first_dt"))
+        .groupBy(
+            F.date_trunc("month", "first_dt")
+            .cast("timestamp_ntz")
+            .alias("cohort_month")
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    wc = Window.partitionBy("cohort_month").orderBy("m_off")
+    cum = F.sum("rev_cents").over(wc)
+    return (
+        g.join(F.broadcast(cs), "cohort_month")
+        .select(
+            "cohort_month",
+            "m_off",
+            "rev_cents",
+            cum.cast("bigint").alias("cum_rev_cents"),
+            "n_customers",
+            F.round(
+                cum.cast("double") / F.col("n_customers"), 6
+            ).alias("ltv_cents"),
+        )
+    )

@@ -1227,3 +1227,58 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_oov"),
     )
+
+
+#: Leading tokens that define a document's template key.
+_TEMPLATE_TOKENS = 10
+
+
+@CAT.query(
+    "text_template_groups",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               regexp_split_to_array(trim(text), '\\s+')[1:{_TEMPLATE_TOKENS}],
+               ' ')) AS template_key
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+'))
+            >= {_TEMPLATE_TOKENS})
+    SELECT template_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM k GROUP BY template_key HAVING count(*) > 1
+    """,
+)
+def text_template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection: documents sharing an identical
+    leading-token prefix (the "generated from the same form letter /
+    scraper template" signal) grouped by the md5 of their first 10
+    tokens, reporting every group with more than one member.
+
+    One narrow key projection (slice + join + md5, all codegen'd) and
+    one groupBy on the 16-byte key with map-side partials — the
+    cheapest member of the dedup family, usually run before the
+    heavier shingle passes to strip template clusters early. md5 keys
+    reproduce identically in DuckDB."""
+    toks = tokenize("text")
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.size(toks) >= _TEMPLATE_TOKENS)
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice(toks, 1, _TEMPLATE_TOKENS), " ")
+            ).alias("template_key"),
+        )
+    )
+    return (
+        d.groupBy("template_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
