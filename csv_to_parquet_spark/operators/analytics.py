@@ -1065,3 +1065,69 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_cents"),
         )
     )
+
+
+#: Inactivity gap that closes a session (microseconds).
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+@CAT.query(
+    "events_sessionize_rows",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, us,
+             SUM(CASE WHEN prev_us IS NULL
+                        OR us - prev_us > {_SESS_GAP_US}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM t)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) AS BIGINT) AS end_us,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization via gaps-and-islands: events more than
+    30 idle minutes apart start a new per-user session, and every
+    session reports its index, event count, bounds, and duration —
+    the session-ID assignment the `session_window` aggregate (already
+    in the catalog) deliberately hides, needed whenever downstream
+    work joins back to individual sessions.
+
+    One user_id exchange; the lag flag and the running session-index
+    sum share the same (ts, event_id)-ordered window, and the final
+    per-session groupBy reuses the partitioning. Timestamps are exact
+    integer microseconds end to end."""
+    e = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = e.select("user_id", "event_id", us.alias("us")).withColumn(
+        "prev_us", F.lag("us").over(Window.partitionBy("user_id").orderBy("us", "event_id"))
+    )
+    new_sess = F.when(
+        F.col("prev_us").isNull()
+        | (F.col("us") - F.col("prev_us") > _SESS_GAP_US),
+        1,
+    ).otherwise(0)
+    s = t.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return s.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("duration_s"),
+    )

@@ -399,3 +399,60 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "n_vectors", "centroid_d0", "centroid_d1", "avg_sq_norm")
     )
+
+
+@CAT.query(
+    "embedding_quantize_error",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, d, list_min(d) AS mn, list_max(d) AS mx FROM e),
+    q AS (
+      SELECT vec_id, mn, mx,
+             CASE WHEN mx > mn THEN
+               list_max(list_transform(d, x ->
+                 abs(x - (mn + round((x - mn) * 255.0 / (mx - mn))
+                               * (mx - mn) / 255.0))))
+             ELSE 0.0 END AS max_err
+      FROM m)
+    SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+           round(max_err, 6) AS max_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 (256-level) min-max quantization audit per embedding: the
+    per-vector scale bounds and the worst-case reconstruction error of
+    round-trip quantization — the report that decides whether a vector
+    store can ship compressed embeddings (error ≤ range/510 when the
+    codec is healthy).
+
+    Pure narrow map over the vector column: min/max, one transform
+    computing |x − dequant(quant(x))|, one array max — all JVM
+    higher-order functions, no shuffle, no Python. Float32 inputs
+    promote to float64 identically in both engines and the
+    quantize/dequantize expression trees match term for term, so the
+    rounded errors hash-match. Constant vectors (mx == mn) define
+    error 0 in both engines — the guard mirrors the ANSI
+    divide-by-zero hardening used across the catalog."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        # promote ONCE at the leaves: float32→float64 is exact and both
+        # engines then execute the identical all-double expression tree
+        F.transform("embedding", lambda x: x.cast("double")).alias("d"),
+    )
+    mn = F.array_min("d")
+    mx = F.array_max("d")
+    dq = lambda x: mn + F.round((x - mn) * 255.0 / (mx - mn)) * (mx - mn) / 255.0
+    err = F.array_max(F.transform("d", lambda x: F.abs(x - dq(x))))
+    return emb.select(
+        "vec_id",
+        F.round(mn, 6).alias("vmin"),
+        F.round(mx, 6).alias("vmax"),
+        F.round(
+            F.when(mx > mn, err).otherwise(F.lit(0.0)), 6
+        ).alias("max_abs_err"),
+    )
