@@ -1131,3 +1131,50 @@ def events_sessionize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").alias("end_us"),
         F.expr("(max(us) - min(us)) div 1000000").alias("duration_s"),
     )
+
+
+#: Burst detection: events within a trailing minute to flag a user.
+_BURST_WINDOW_US = 60_000_000
+_BURST_N = 5
+
+
+@CAT.query(
+    "events_burst_users",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN {_BURST_WINDOW_US} PRECEDING
+                                      AND CURRENT ROW) AS in_window
+      FROM events)
+    SELECT user_id,
+           CAST(max(in_window) AS BIGINT) AS max_burst,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(in_window) >= {_BURST_N} AS is_bursty
+    FROM c GROUP BY user_id
+    """,
+)
+def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst / bot-rate detection: each user's maximum event count
+    inside any trailing 60-second window, flagged when it reaches the
+    threshold — the rate-limit signal an abuse pipeline computes
+    before filtering scripted traffic.
+
+    A RANGE frame keyed on microsecond epoch counts the trailing
+    window per event (simultaneous events are peers — identical
+    semantics in both engines), then one groupBy(user_id) max on the
+    same partitioning. One exchange total; integer counts only."""
+    e = _events(spark, sf_dir).select("user_id", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-_BURST_WINDOW_US, 0)
+    )
+    c = e.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("in_window")
+    )
+    return c.groupBy("user_id").agg(
+        F.max("in_window").cast("bigint").alias("max_burst"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("in_window") >= _BURST_N).alias("is_bursty"),
+    )

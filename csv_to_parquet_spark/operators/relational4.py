@@ -19,7 +19,7 @@ DuckDB oracle hashes bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.functions import cents
@@ -359,4 +359,74 @@ def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["acctbal_cents", "nationkey", "name_len"],
         "metric",
         "val",
+    )
+
+
+@CAT.query(
+    "lineitem_pareto_abc",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM r),
+    c AS (
+      SELECT l_partkey, rev_cents,
+             CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey)
+               AS BIGINT) AS cum_cents
+      FROM r)
+    SELECT c.l_partkey, c.rev_cents, c.cum_cents,
+           round(CAST(c.cum_cents AS DOUBLE) / t.total, 6) AS cum_share,
+           CASE WHEN c.cum_cents * 100 <= t.total * 80 THEN 'A'
+                WHEN c.cum_cents * 100 <= t.total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, t
+    """,
+)
+def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by revenue: parts sorted by
+    revenue carry a running cumulative share, classed A (first 80% of
+    revenue), B (to 95%), C (tail) — the inventory-prioritization
+    report behind "20% of SKUs drive 80% of revenue".
+
+    The fact table collapses to per-part revenue first (map-side
+    partial cents sums); the global cumulative window then runs over
+    the PART-dimension-sized frame only — bounded by catalog size,
+    not fact rows, which is what makes the single-partition ordered
+    window acceptable (same contract as the vocabulary rank). Class
+    boundaries compare exact integers (cum·100 ≤ total·80), so
+    classification never hinges on double rounding."""
+    r = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    total = r.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    wc = Window.orderBy(F.desc("rev_cents"), "l_partkey")
+    c = r.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(
+            wc.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cum_cents"),
+    )
+    return c.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        "rev_cents",
+        "cum_cents",
+        F.round(
+            F.col("cum_cents").cast("double") / F.col("total"), 6
+        ).alias("cum_share"),
+        F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )

@@ -209,6 +209,7 @@ _BNLJ_ALLOW = {
     "events_rolling_wau",  # 1-row date-bounds broadcast clamp
     "dq_constraint_report",  # 1-row rule counts × 1-row totals broadcasts
     "basket_association_rules",  # 1-row basket-total broadcast for lift
+    "lineitem_pareto_abc",  # 1-row revenue-total broadcast for shares
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
