@@ -1178,3 +1178,79 @@ def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("in_window") >= _BURST_N).alias("is_bursty"),
     )
+
+
+@CAT.query(
+    "events_distribution_drift",
+    oracle="""
+    WITH b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM events),
+    h AS (
+      SELECT e.event_type,
+             CASE WHEN epoch_us(e.ts) - epoch_us(b.t0)
+                       < (epoch_us(b.t1) - epoch_us(b.t0)) / 2
+                  THEN 'first' ELSE 'second' END AS half
+      FROM events e, b),
+    c AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN half = 'first' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+             CAST(SUM(CASE WHEN half = 'second' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_second
+      FROM h GROUP BY event_type),
+    t AS (
+      SELECT CAST(SUM(n_first) AS BIGINT) AS t_first,
+             CAST(SUM(n_second) AS BIGINT) AS t_second
+      FROM c)
+    SELECT c.event_type, c.n_first, c.n_second,
+           round(CAST(c.n_first AS DOUBLE) / t.t_first, 6) AS p_first,
+           round(CAST(c.n_second AS DOUBLE) / t.t_second, 6) AS p_second,
+           round(abs(CAST(c.n_first AS DOUBLE) / t.t_first -
+                     CAST(c.n_second AS DOUBLE) / t.t_second), 6)
+             AS abs_drift
+    FROM c, t
+    """,
+)
+def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the event-type mix of the first half
+    of the observed period vs the second, with per-type share deltas —
+    the shape a data-drift alert computes between a reference window
+    and a live window before models retrain on shifted data.
+
+    The half-splitting epoch midpoint comes from a 1-row min/max
+    aggregate broadcast against the log (one scan); the two
+    distributions fold into ONE conditional-sum groupBy (never two
+    passes); shares divide exact BIGINTs by the 1-row totals. Exactly
+    two fact scans total (bounds + histogram) and both are narrow."""
+    e = _events(spark, sf_dir).select("event_type", "ts")
+    b = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us0 = F.unix_micros(F.col("t0").cast("timestamp"))
+    us1 = F.unix_micros(F.col("t1").cast("timestamp"))
+    h = e.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(us - us0 < (us1 - us0) / 2, "first")
+        .otherwise("second")
+        .alias("half"),
+    )
+    c = h.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == "first", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first"),
+        F.sum(F.when(F.col("half") == "second", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_second"),
+    )
+    t = c.agg(
+        F.sum("n_first").cast("bigint").alias("t_first"),
+        F.sum("n_second").cast("bigint").alias("t_second"),
+    )
+    p1 = F.col("n_first").cast("double") / F.col("t_first")
+    p2 = F.col("n_second").cast("double") / F.col("t_second")
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.round(p1, 6).alias("p_first"),
+        F.round(p2, 6).alias("p_second"),
+        F.round(F.abs(p1 - p2), 6).alias("abs_drift"),
+    )

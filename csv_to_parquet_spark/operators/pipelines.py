@@ -311,3 +311,37 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_violations").cast("double") / F.col("n_checked"), 6
         ).alias("violation_pct"),
     )
+
+
+#: Histogram bucket width (chars) for the length profile.
+_HIST_WIDTH = 500
+
+
+@CAT.query(
+    "profile_doc_length_hist",
+    oracle=f"""
+    SELECT CAST(length(text) // {_HIST_WIDTH} AS BIGINT) AS bucket,
+           CAST(length(text) // {_HIST_WIDTH} AS BIGINT) * {_HIST_WIDTH}
+             AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(length(text)) AS BIGINT) AS min_chars,
+           CAST(max(length(text)) AS BIGINT) AS max_chars
+    FROM documents GROUP BY bucket
+    """,
+)
+def profile_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width document-length histogram (500-char buckets) with
+    per-bucket extrema — the length profile a corpus report renders
+    before picking truncation/packing budgets.
+
+    One narrow integer-division projection and one groupBy over the
+    bounded bucket space with map-side partials — the cheapest
+    possible profiling shape at any scale."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bucket = F.expr(f"length(text) div {_HIST_WIDTH}").cast("bigint")
+    return d.groupBy(bucket.alias("bucket")).agg(
+        (F.col("bucket") * _HIST_WIDTH).alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length("text")).cast("bigint").alias("min_chars"),
+        F.max(F.length("text")).cast("bigint").alias("max_chars"),
+    )

@@ -430,3 +430,69 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@CAT.query(
+    "revenue_yoy_growth",
+    oracle="""
+    WITH g AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY nation, o_year)
+    SELECT nation, o_year, rev_cents,
+           lag(rev_cents) OVER (PARTITION BY nation ORDER BY o_year)
+             AS prev_cents,
+           round(CASE WHEN lag(rev_cents) OVER (PARTITION BY nation
+                                                ORDER BY o_year) > 0
+                 THEN (CAST(rev_cents AS DOUBLE) -
+                       lag(rev_cents) OVER (PARTITION BY nation
+                                            ORDER BY o_year)) /
+                      lag(rev_cents) OVER (PARTITION BY nation
+                                           ORDER BY o_year) END, 6)
+             AS yoy_growth
+    FROM g
+    """,
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: the reporting shape
+    behind every trend dashboard — aggregate to the (nation, year)
+    grid, then a lag window computes the growth ratio against the
+    prior year (NULL for the first year; zero prior revenue guarded
+    to NULL under ANSI mode in both engines).
+
+    The fact table aggregates FIRST with map-side partial cents sums
+    (the nation dimension broadcasts into the join); the lag window
+    runs over the nations×years grid only. One fact exchange total."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev_cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("o_year")
+    prev = F.lag("rev_cents").over(w)
+    return g.select(
+        "nation",
+        "o_year",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.round(
+            F.when(
+                prev > 0,
+                (F.col("rev_cents").cast("double") - prev) / prev,
+            ),
+            6,
+        ).alias("yoy_growth"),
+    )

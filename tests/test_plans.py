@@ -210,6 +210,7 @@ _BNLJ_ALLOW = {
     "dq_constraint_report",  # 1-row rule counts × 1-row totals broadcasts
     "basket_association_rules",  # 1-row basket-total broadcast for lift
     "lineitem_pareto_abc",  # 1-row revenue-total broadcast for shares
+    "events_distribution_drift",  # 1-row bounds + 1-row totals broadcasts
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
