@@ -1254,3 +1254,74 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 6).alias("p_second"),
         F.round(F.abs(p1 - p2), 6).alias("abs_drift"),
     )
+
+
+@CAT.query(
+    "events_first_touch_attribution",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type, {cents_sql("value")} AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    ft AS (SELECT user_id, event_type AS first_touch FROM r WHERE rn = 1),
+    p AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+                           ELSE 0 END) AS BIGINT) AS purch_cents
+      FROM r GROUP BY user_id),
+    g AS (
+      SELECT ft.first_touch,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(SUM(p.purch_cents) AS BIGINT) AS attributed_cents
+      FROM ft JOIN p ON ft.user_id = p.user_id
+      GROUP BY ft.first_touch)
+    SELECT first_touch, n_users, attributed_cents,
+           round(CAST(attributed_cents AS DOUBLE) /
+                 SUM(attributed_cents) OVER (), 6) AS revenue_share
+    FROM g
+    """,
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every user's purchase revenue credited
+    to the event type that first brought them in, with each channel's
+    share of total attributed revenue — the simplest of the marketing
+    attribution models and the template for the positional variants
+    (last-touch flips the window order; linear splits the sum).
+
+    One user_id exchange computes BOTH the first-touch label
+    (row_number over (ts, event_id)) and the per-user purchase cents;
+    the channel rollup and share window run over ≤|types| rows.
+    Exact integer cents; one rounded division."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", cents("value").alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w))
+    per_user = r.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+            "first_touch"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("purch_cents"),
+    )
+    g = per_user.groupBy("first_touch").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("purch_cents").cast("bigint").alias("attributed_cents"),
+    )
+    wt = Window.partitionBy()
+    return g.select(
+        "first_touch",
+        "n_users",
+        "attributed_cents",
+        F.round(
+            F.col("attributed_cents").cast("double")
+            / F.sum("attributed_cents").over(wt),
+            6,
+        ).alias("revenue_share"),
+    )

@@ -1303,3 +1303,77 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
     ).filter(F.col("dist") <= _FUZZY_K)
+
+
+#: Winnowing parameters: window of consecutive shingle hashes, and the
+#: shared-fingerprint threshold for reporting a pair.
+_WINNOW_W = 4
+_WINNOW_SHARED = 3
+
+
+@CAT.query(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             [{md5_60_sql("x")} for x in sh] AS hs
+      FROM t),
+    w AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(hs) >= {_WINNOW_W}
+                    THEN [list_min(hs[i:i+{_WINNOW_W - 1}])
+                          for i in range(1, len(hs) - {_WINNOW_W - 2})]
+                    ELSE [] END) AS fps
+      FROM h),
+    f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b HAVING count(*) >= {_WINNOW_SHARED}
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS document-fingerprinting
+    algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): slide a window of
+    4 consecutive shingle hashes over each document's ORDERED hash
+    sequence, keep each window's minimum, and report pairs sharing at
+    least 3 distinct selected fingerprints.
+
+    Winnowing's guarantee — any shared substring long enough spans a
+    full window, so at least one shared fingerprint is selected from
+    it — makes the selected set ~1/w the size of the full shingle set
+    with bounded recall loss, which is exactly the sparsification a
+    100 TB near-dup index wants. All selection is native array ops
+    (transform/slice/array_min over the per-row hash array — zero
+    shuffle until the fingerprints explode); the pair join is the
+    same ids-only inverted-index shape as the other dedup family
+    members, but over the winnowed (≈ n/w) postings. md5-derived
+    hashes keep DuckDB's selection bit-identical.
+    """
+    toks = tokenize("text")
+    shs = shingles(toks, 3)  # ordered, positional — NOT distinct
+    hs = F.transform(shs, lambda s: md5_60(s))
+    wins = F.when(
+        F.size(hs) >= _WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - (_WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(hs, i, _WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    fps = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_SHARED)
+    )
