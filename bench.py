@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_segment_lines",
     "text_vocab_encode",
     "events_peak_concurrency",
+    "dedup_winnowing_pairs",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

@@ -1325,3 +1325,56 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("revenue_share"),
     )
+
+
+@CAT.query(
+    "events_longest_streak",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    r AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM ud),
+    g AS (
+      SELECT user_id, day - CAST(rn AS INTEGER) AS anchor,
+             CAST(count(*) AS BIGINT) AS streak_len
+      FROM r GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM g GROUP BY user_id
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (plus total
+    active days and streak count) — the engagement metric behind
+    "7-day streak" features, computed with the gaps-and-islands
+    anchor trick: consecutive days share the constant
+    ``day − row_number`` anchor, so runs become groupBy keys without
+    any self-join.
+
+    The log dedupes to (user, day) first (map-side partial distinct);
+    the row_number window and both groupBys reuse the same user_id
+    partitioning — one exchange total, all-integer date arithmetic."""
+    ud = (
+        _events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = (
+        ud.withColumn("rn", F.row_number().over(w))
+        .select(
+            "user_id",
+            F.expr("date_sub(day, rn)").alias("anchor"),
+        )
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return g.groupBy("user_id").agg(
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
