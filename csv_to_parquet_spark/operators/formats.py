@@ -298,3 +298,32 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double"),
         "c_mktsegment",
     )
+
+
+@CAT.query(
+    "source_gzip_csv_scan",
+    oracle="""
+    SELECT c_custkey::BIGINT AS c_custkey, c_name,
+           c_nationkey::BIGINT AS c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def source_gzip_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-CSV ingestion: customer staged as gzip CSV part
+    files, read back through the same typed-schema path — the wire
+    format most CSV drops actually arrive in. The caveat this query
+    exists to document: gzip is NOT splittable, so one .csv.gz file =
+    one task regardless of size; at 100 TB the ingest contract must
+    be many-files-of-moderate-size (as staged here by the writer's
+    partitioning), never one giant archive — the parallelism ceiling
+    is the file count."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_STAGE, f"customer_gz_{tag}.csvdir")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "customer").write.mode("overwrite").option(
+            "header", True
+        ).option("compression", "gzip").csv(path)
+    return spark.read.schema(
+        "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    ).option("header", True).csv(path)
