@@ -1378,3 +1378,49 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("streak_len").cast("bigint").alias("n_active_days"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@CAT.query(
+    "users_cumulative_growth",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS first_day
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY first_day)
+    SELECT first_day AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day) AS BIGINT)
+             AS cumulative_users
+    FROM d
+    """,
+)
+def users_cumulative_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve: new users per day (day of first event) and
+    the running cumulative user count — the signup/adoption chart, and
+    the exact way to get "cumulative distinct users by day" without a
+    per-day distinct scan: a user contributes once, on their first
+    day, and a cumulative sum over the DAY-level grid replaces the
+    day×log rescan.
+
+    One user_id exchange for first-event times, one groupBy over days,
+    and the cumulative window runs over the |days| grid only (the
+    single-partition window is bounded by calendar size — the same
+    contract as the vocabulary rank and ABC windows)."""
+    f = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts"))
+            .cast("timestamp_ntz")
+            .alias("first_day")
+        )
+    )
+    d = f.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

@@ -496,3 +496,72 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     )
+
+
+@CAT.query(
+    "contingency_brand_type",
+    oracle="""
+    WITH o AS (
+      SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS observed
+      FROM part GROUP BY p_brand, p_type),
+    rt AS (SELECT p_brand, CAST(SUM(observed) AS BIGINT) AS row_tot
+           FROM o GROUP BY p_brand),
+    ct AS (SELECT p_type, CAST(SUM(observed) AS BIGINT) AS col_tot
+           FROM o GROUP BY p_type),
+    t AS (SELECT CAST(SUM(observed) AS BIGINT) AS total FROM o)
+    SELECT o.p_brand, o.p_type, o.observed,
+           round(CAST(rt.row_tot AS DOUBLE) * ct.col_tot / t.total, 6)
+             AS expected,
+           round((o.observed - CAST(rt.row_tot AS DOUBLE) * ct.col_tot
+                               / t.total) /
+                 sqrt(CAST(rt.row_tot AS DOUBLE) * ct.col_tot / t.total), 6)
+             AS pearson_residual
+    FROM o
+    JOIN rt ON rt.p_brand = o.p_brand
+    JOIN ct ON ct.p_type = o.p_type
+    CROSS JOIN t
+    """,
+)
+def contingency_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table analysis of brand × type: observed cell
+    counts, independence-expected counts, and Pearson residuals — the
+    chi-square decomposition that flags which brand/type combinations
+    are over- or under-represented (feature-interaction screening,
+    catalog anomaly detection).
+
+    One groupBy over the bounded brand×type grid (map-side partials on
+    the fact scan); marginals re-aggregate the grid itself, never the
+    fact table, and broadcast back. Expected counts exist for every
+    observed cell (marginals ≥ cell > 0), so the residual denominator
+    is never zero — no ANSI guard needed. Counts are exact BIGINTs;
+    the expected/residual doubles execute the identical expression
+    tree in both engines, rounded."""
+    o = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rt = o.groupBy("p_brand").agg(
+        F.sum("observed").cast("bigint").alias("row_tot")
+    )
+    ct = o.groupBy("p_type").agg(
+        F.sum("observed").cast("bigint").alias("col_tot")
+    )
+    t = o.agg(F.sum("observed").cast("bigint").alias("total"))
+    exp = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+    )
+    return (
+        o.join(F.broadcast(rt), "p_brand")
+        .join(F.broadcast(ct), "p_type")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "p_brand",
+            "p_type",
+            "observed",
+            F.round(exp, 6).alias("expected"),
+            F.round((F.col("observed") - exp) / F.sqrt(exp), 6).alias(
+                "pearson_residual"
+            ),
+        )
+    )

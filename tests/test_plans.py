@@ -211,6 +211,7 @@ _BNLJ_ALLOW = {
     "basket_association_rules",  # 1-row basket-total broadcast for lift
     "lineitem_pareto_abc",  # 1-row revenue-total broadcast for shares
     "events_distribution_drift",  # 1-row bounds + 1-row totals broadcasts
+    "contingency_brand_type",  # 1-row grand-total broadcast
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
