@@ -82,6 +82,21 @@ def load_verified_rounds() -> dict[str, int]:
     return verified
 
 
+def load_attempted() -> set[str]:
+    """Names the driver has EVER checked (green or red) — a red row is
+    a query whose fix is awaiting verification and must outrank
+    brand-new queries in the rotation."""
+    attempted: set[str] = set()
+    root = os.path.dirname(_PKG_DIR)
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                attempted.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return attempted
+
+
 def build_catalog() -> Catalog:
     # imports deferred so `import csv_to_parquet_spark` stays cheap
     from csv_to_parquet_spark.operators import relational
@@ -123,12 +138,17 @@ def build_catalog() -> Catalog:
         pass
 
     verified = load_verified_rounds()
+    attempted = load_attempted()
     module_pos = {name: i for i, name in enumerate(merged.queries)}
 
-    def sort_key(name: str) -> tuple[int, int]:
-        # never-verified first (round 0), then least-recently-verified;
-        # module order breaks ties so the order is deterministic.
-        return (verified.get(name, 0), module_pos[name])
+    def sort_key(name: str) -> tuple[int, int, int]:
+        # three tiers: (0) previously-checked but never green — a fix
+        # awaiting re-verification, the most urgent rows; (1) never
+        # checked at all; (2) green, least-recently-verified first.
+        # Module order breaks ties so the order is deterministic.
+        if name not in verified:
+            return (0 if name in attempted else 1, 0, module_pos[name])
+        return (2, verified[name], module_pos[name])
 
     rotation = sorted((n for n in merged.queries if n not in CANARIES), key=sort_key)
 
