@@ -1305,10 +1305,14 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dist") <= _FUZZY_K)
 
 
-#: Winnowing parameters: window of consecutive shingle hashes, and the
-#: shared-fingerprint threshold for reporting a pair.
+#: Winnowing parameters: window of consecutive shingle hashes, the
+#: shared-fingerprint threshold for reporting a pair, and the maximum
+#: document frequency for a fingerprint to count as signal (rare
+#: fingerprints carry the match; ubiquitous ones are boilerplate and
+#: would make posting lists — and the pair join — quadratic).
 _WINNOW_W = 4
 _WINNOW_SHARED = 3
+_WINNOW_DF_CAP = 20
 
 
 @CAT.query(
@@ -1329,10 +1333,14 @@ _WINNOW_SHARED = 3
                           for i in range(1, len(hs) - {_WINNOW_W - 2})]
                     ELSE [] END) AS fps
       FROM h),
-    f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w)
+    f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w),
+    rare AS (
+      SELECT fp FROM f GROUP BY fp
+      HAVING count(*) BETWEEN 2 AND {_WINNOW_DF_CAP})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_shared
     FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    JOIN rare r ON r.fp = a.fp
     GROUP BY doc_a, doc_b HAVING count(*) >= {_WINNOW_SHARED}
     """,
 )
@@ -1341,7 +1349,8 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): slide a window of
     4 consecutive shingle hashes over each document's ORDERED hash
     sequence, keep each window's minimum, and report pairs sharing at
-    least 3 distinct selected fingerprints.
+    least 3 distinct RARE selected fingerprints (document frequency
+    2..20).
 
     Winnowing's guarantee — any shared substring long enough spans a
     full window, so at least one shared fingerprint is selected from
@@ -1353,10 +1362,30 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ids-only inverted-index shape as the other dedup family
     members, but over the winnowed (≈ n/w) postings. md5-derived
     hashes keep DuckDB's selection bit-identical.
+
+    The df band (2..cap) is part of the operator's SPEC, not an
+    approximation: min-of-window selection correlates across documents
+    exactly on repeated content, so on a small-vocabulary corpus the
+    globally smallest shingle hashes get selected by nearly every doc
+    — an uncapped posting list is O(|corpus|) and its pair join
+    O(|corpus|²) (measured 22 s at sf0.1 vs ~1 s banded). Ubiquitous
+    fingerprints are boilerplate by definition; requiring shared RARE
+    fingerprints is the same signal/noise split TF-IDF and the
+    df-capped jaccard index make, and the oracle applies the identical
+    band.
     """
     toks = tokenize("text")
     shs = shingles(toks, 3)  # ordered, positional — NOT distinct
-    hs = F.transform(shs, lambda s: md5_60(s))
+    # materialize the hash ARRAY behind a persist boundary before the
+    # window pass: inlined, CollapseProject would re-evaluate the full
+    # md5 transform inside EVERY outer window lambda — O(n²) hashes
+    # per doc (measured 15 s vs 0.9 s at sf0.1 for the same output)
+    hsdf = _persist(
+        _docs(spark, sf_dir).select(
+            "doc_id", F.transform(shs, lambda s: md5_60(s)).alias("hs")
+        )
+    )
+    hs = F.col("hs")
     wins = F.when(
         F.size(hs) >= _WINNOW_W,
         F.transform(
@@ -1364,11 +1393,13 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_min(F.slice(hs, i, _WINNOW_W)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    fps = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    fps = _persist(
+        hsdf.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
     )
-    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        (F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP)
+    ).select("fp")
+    a = fps.join(rare, "fp").select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
         a.join(b, "fp")
