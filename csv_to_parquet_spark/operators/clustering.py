@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.operators import Catalog
 from csv_to_parquet_spark.operators.cache import persist_tracked
-from csv_to_parquet_spark.sources.tables import load_table, spread
+from csv_to_parquet_spark.sources.tables import load_table
 
 CAT = Catalog()
 
@@ -111,7 +111,38 @@ def _seq_dots_udf(mat: list[list[float]]):
 # --------------------------------------------------------------------------
 
 _DIM = 64
-_PAIR_TABLES, _PAIR_BITS = 8, 6  # recall at cos≥0.9 ≈ 99.7%; see docstring
+
+def pair_banding(n_estimate: int, target_bucket: int = 16) -> tuple[int, int]:
+    """Derive (L tables, k bits/table) for hyperplane-LSH pair banding
+    from an estimated corpus cardinality.
+
+    Expected bucket occupancy is n/2^k, and expected candidate mass is
+    ≈ L·n·(n/2^k)/2 pairs — Θ(n²) whenever k is held fixed while n
+    grows (the r4 design's flaw). Holding the BUCKET SIZE constant
+    instead (k = log2(n/target_bucket)) makes candidate mass
+    L·n·target_bucket/2 = Θ(n): the per-doc verification work is a
+    constant L·target_bucket/2 ≈ 96 exact dots. L then buys recall:
+    P(candidate | cos θ) = 1-(1-p^k)^L with p = 1-θ/π, so as k grows
+    with the corpus, L must grow ~(1/p)^k to hold recall — the
+    standard LSH operating envelope. At the catalog corpus
+    (n≈2000, target 16/bucket) this yields k=7, L=12: recall ≈ 99%
+    at cos 0.9, ≈ 97% at 0.8, with candidate mass ≈ 5% of all pairs
+    (vs 12.5% for the fixed k=6 it replaces).
+    """
+    import math
+
+    k = max(4, min(24, int(math.log2(max(2, n_estimate) / target_bucket) + 0.5)))
+    # hold recall@cos0.9 ≥ ~0.99: solve 1-(1-p^k)^L ≥ 0.99, p ≈ 0.857
+    p = 1.0 - 0.4510 / math.pi  # θ = arccos(0.9)
+    L = max(4, min(48, int(math.ceil(math.log(0.01) / math.log(1.0 - p**k)))))
+    return L, k
+
+
+#: Catalog-query banding: fixed at build time (the DuckDB oracle is a
+#: static string sharing these plane literals), sized by
+#: :func:`pair_banding` for the driver corpus scale. Production use
+#: calls ``pair_banding(corpus_estimate)`` and regenerates planes.
+_PAIR_TABLES, _PAIR_BITS = pair_banding(2000)
 _COS_THRESHOLD = 0.4  # same threshold as the exact baseline
 _rng = random.Random(13)
 _PAIR_PLANES = [
@@ -152,6 +183,79 @@ _PAIR_ORACLE_CTES = f"""
 """
 
 
+def lsh_candidate_pairs(
+    e: DataFrame, planes: list[list[list[float]]]
+) -> DataFrame:
+    """(vec_a, vec_b) hyperplane-LSH candidate pairs WITH multiplicity
+    (one row per shared (table, bucket)) over an (vec_id, embedding)
+    frame. Parameterized on the plane tensor (L tables × k planes) so
+    callers — and the banding scale test — can size (L, k) to the
+    corpus via :func:`pair_banding`.
+
+    Band keys carry IDS ONLY — the self-join shuffles (vec_a, vec_b,
+    tbl, bucket) longs, never the 64-float vectors (same shape as the
+    MinHash LSH candidate join). The persisted signature frame is
+    (id, L longs, 1 double): the band index any LSH system
+    materializes, deliberately WITHOUT the vector column (columnar
+    cache encode of 64-float arrays measured ~0.4 s at sf0.1 — slower
+    than the column-pruned re-scan verification uses). NO pre-verify
+    distinct: a pair colliding in m tables is emitted m ≤ L times
+    (verification of a duplicate costs one deterministic dot; callers
+    dedupe the tiny above-threshold survivor set instead), which
+    eliminates a full shuffle of the candidate list — the largest
+    intermediate in the pipeline. Zero-norm vectors are unscoreable
+    (cosine denominator 0 → ANSI DIVIDE_BY_ZERO) and excluded from
+    banding, mirroring the oracle's list_dot_product(v, v) > 0 filter.
+    Callers release the signature cache via release_caches().
+    """
+    n_tables, n_bits = len(planes), len(planes[0])
+    plane_rows = [planes[t][j] for t in range(n_tables) for j in range(n_bits)]
+    dots = _seq_dots_udf(plane_rows)
+    sig = persist_tracked(
+        e.select("vec_id", dots("embedding").alias("s")).select(
+            "vec_id",
+            F.col("s.nv").alias("nv"),
+            *[
+                sum(
+                    (
+                        F.when(F.col("s.dots")[t * n_bits + j] >= 0, 1 << j)
+                        .otherwise(0)
+                        for j in range(n_bits)
+                    ),
+                    start=F.lit(0),
+                ).alias(f"b{t}")
+                for t in range(n_tables)
+            ],
+        )
+    )
+    nz = sig.filter(F.col("nv") > 0)
+    bands = nz.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.tbl", "bk.bucket")
+    a = bands.alias("a")
+    x = bands.alias("x")
+    return (
+        a.join(
+            x,
+            (F.col("a.tbl") == F.col("x.tbl"))
+            & (F.col("a.bucket") == F.col("x.bucket"))
+            & (F.col("a.vec_id") < F.col("x.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("x.vec_id").alias("vec_b"),
+        )
+    )
+
+
 @CAT.query(
     "dedup_embedding_lsh_pairs",
     oracle=f"""
@@ -163,114 +267,67 @@ _PAIR_ORACLE_CTES = f"""
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4) — the LSH scale path.
 
-    The corpus is scanned ONCE with a narrow map computing one bucket
-    id per hyperplane table (sign bits of k=6 fixed Gaussian
-    hyperplane dot products, L=8 tables); candidates are generated by
-    a self-join on (table, bucket) keys, then verified with exact
-    cosine. Cost is O(n·L) explode + per-bucket joins, never O(n²):
-    with k=6, expected candidate mass is L/2^k ≈ 12.5% of all pairs
-    at this corpus's density, and the true near-dups survive with
-    P = 1-(1-p^k)^L where p = 1-θ/π — ≈ 99.7% at cos 0.9, ≈ 50% at
-    the 0.4 decision boundary (recall vs the exact baseline is
-    asserted in tests; boundary-band misses are the documented LSH
-    trade).
+    The corpus is scanned with a narrow map computing one bucket id
+    per hyperplane table (sign bits of k fixed Gaussian hyperplane
+    dot products per table, L tables — (L, k) sized by
+    :func:`pair_banding` so bucket occupancy, and with it candidate
+    mass, stays constant-per-doc as the corpus grows); candidates are
+    generated by a self-join on (table, bucket) keys, then verified
+    with exact cosine. Cost is O(n·L) explode + per-bucket joins,
+    never O(n²): holding n/2^k at the target bucket size makes
+    expected candidate mass Θ(n·L·bucket/2), and the true near-dups
+    survive with P = 1-(1-p^k)^L where p = 1-θ/π — ≥ 99% at cos 0.9
+    by construction of L (see ``pair_banding``); boundary-band misses
+    near the 0.4 decision threshold are the documented LSH trade.
 
     Output semantics are deterministic — "pairs sharing ≥1 bucket
     with cosine ≥ 0.4" — so the oracle replicates the banding exactly
     (same plane literals, same sequential dot-product accumulation)
     rather than settling for a rows-only check.
 
-    At 100 TB: the candidate join shuffles (table, bucket, id) keys
-    and 64-float vectors once; the 48 hyperplane dot products per
-    vector run in ONE Arrow pandas_udf crossing (``_seq_dots_udf``)
-    whose dimension-ordered accumulation is bit-identical to the
-    sequential form the oracle computes — measured ~10x over the
-    interpreted-HOF bucket map it replaces.
+    At 100 TB: the candidate join shuffles (table, bucket, id) longs
+    only; the L·k hyperplane dot products per vector run in ONE Arrow
+    pandas_udf crossing (``_seq_dots_udf``) whose dimension-ordered
+    accumulation is bit-identical to the sequential form the oracle
+    computes. Verification reads the vectors from two column-pruned
+    re-scans of the source — scans parallelize for free and push no
+    shuffle, where r4's alternative (joining a persisted norms frame
+    back to the scan) paid two extra exchanges, and caching the
+    vectors themselves paid a measured ~0.4 s of columnar
+    array-encode at sf0.1 for data the scan re-delivers cheaper.
     """
-    e = spread(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    )
-    # band keys carry IDS ONLY — the self-join and the distinct shuffle
-    # (vec_a, vec_b, tbl, bucket) longs, never the 64-float vectors
-    # (same shape as the MinHash LSH candidate join); vectors re-join
-    # once per side for the exact-cosine verification of candidates.
-    # persisted: the 48 hyperplane dot products AND the row norm are
-    # computed ONCE per vector — the candidate self-join references
-    # bands twice (sides a/x) and the verification reuses the norms.
-    # Rows are (id, 8 longs, 1 double): the band index any LSH system
-    # materializes. Callers release via release_caches().
-    plane_rows = [
-        _PAIR_PLANES[t][j] for t in range(_PAIR_TABLES) for j in range(_PAIR_BITS)
-    ]
-    dots = _seq_dots_udf(plane_rows)
-    sig = persist_tracked(
-        e.select("vec_id", dots("embedding").alias("s")).select(
-            "vec_id",
-            F.col("s.nv").alias("nv"),
-            *[
-                sum(
-                    (
-                        F.when(F.col("s.dots")[t * _PAIR_BITS + j] >= 0, 1 << j)
-                        .otherwise(0)
-                        for j in range(_PAIR_BITS)
-                    ),
-                    start=F.lit(0),
-                ).alias(f"b{t}")
-                for t in range(_PAIR_TABLES)
-            ],
-        )
-    )
-    # zero-norm vectors are unscoreable (cosine denominator 0 → ANSI
-    # DIVIDE_BY_ZERO); excluded from banding AND verification, mirrored
-    # by the oracle's list_dot_product(v, v) > 0 filter. nv comes free
-    # off the persisted signature pass, so this costs no extra scan.
-    nz = sig.filter(F.col("nv") > 0)
-    bands = nz.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(_PAIR_TABLES)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "bk.tbl", "bk.bucket")
-    a = bands.alias("a")
-    x = bands.alias("x")
-    cand = (
-        a.join(
-            x,
-            (F.col("a.tbl") == F.col("x.tbl"))
-            & (F.col("a.bucket") == F.col("x.bucket"))
-            & (F.col("a.vec_id") < F.col("x.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("x.vec_id").alias("vec_b"),
-        )
-        .distinct()
-    )
-    norms = nz.select("vec_id", "nv")
-    va = e.join(norms, "vec_id").select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        F.col("nv").alias("na"),
-    )
-    vb = e.join(norms, "vec_id").select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nv").alias("nb"),
-    )
-    # cs = dot/(na*nb): the norms come precomputed from the signature
-    # pass — same sqrt-of-sequential-sum doubles the oracle computes
-    # inline, so ONE interpreted dot per candidate pair instead of 3.
+    # NO spread(): the only pre-shuffle work is the vectorized Arrow
+    # signature pass (~100 numpy flops/row — unlike the hash-heavy
+    # string pipelines spread exists for), and every later stage takes
+    # its parallelism from the shuffle, not the scan. Fanning a small
+    # single-split scan to defaultParallelism here paid one Arrow
+    # worker round-trip per near-empty partition (measured ~0.4 s of
+    # pure task overhead at sf0.1); at 100 TB the scan has natural
+    # splits and spread() was a no-op anyway.
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cand = lsh_candidate_pairs(e, _PAIR_PLANES)
+    # verification sides: column-pruned re-scans with the norm hoisted
+    # to ONE sequential-HOF evaluation per VECTOR (not per pair) —
+    # sqrt of the same left-to-right double sum the oracle computes,
+    # so na/nb are bit-identical to sqrt(list_dot_product(v, v)).
+    # Zero-norm rows drop via na > 0 (they are already absent from
+    # cand, which only draws from nz).
+    def _side(idc: str, vc: str, nc: str) -> DataFrame:
+        return e.select(
+            F.col("vec_id").alias(idc),
+            F.col("embedding").alias(vc),
+            F.sqrt(_dot_seq(F.col("embedding"), F.col("embedding"))).alias(nc),
+        ).filter(F.col(nc) > 0)
+
+    va = _side("vec_a", "va", "na")
+    vb = _side("vec_b", "vb", "nb")
+    # cs = dot/(na*nb): ONE interpreted dot per candidate pair.
     # Measured choice: for the per-pair dot (two data columns, no
     # plane fanout) the interpreted HOF beats an Arrow pandas_udf —
     # shipping both 64-float vectors across Arrow costs ~3x the JVM
     # zip_with/aggregate (0.7 s vs 2.2 s over 255k candidates at
     # sf0.1). The pandas_udf only wins where one row feeds MANY dots
-    # (the 48-plane signature pass above).
+    # (the L·k-plane signature pass above).
     cs = _dot_seq(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "vec_a")
@@ -278,6 +335,7 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cs", cs)
         .filter(F.col("cs") >= _COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cs", 6).alias("cosine"))
+        .distinct()  # collapse multi-table collisions of survivors
     )
 
 
@@ -429,8 +487,17 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv_to_parquet_spark.functions import nonzero_norm
 
     # zero-norm vectors cannot be cosine-assigned (ANSI DIVIDE_BY_ZERO);
-    # filtered identically in the oracle's e CTE
-    e = spread(
+    # filtered identically in the oracle's e CTE. Persisted (tracked):
+    # the corpus is re-scored once per Lloyd iteration plus the final
+    # assignment — without the cache each pass re-ran the parquet scan
+    # + filter + exchange; with it the per-iteration work is exactly
+    # the Arrow scoring pass + the 16×64 partial-avg exchange.
+    # NO spread(): per-iteration work is one vectorized Arrow scoring
+    # pass + a 16×64 partial-avg — both trivial per row; widening the
+    # small scan paid Arrow task overhead per near-empty partition
+    # (see dedup_embedding_lsh_pairs). Natural splits carry the
+    # parallelism at scale.
+    e = persist_tracked(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .filter(nonzero_norm("embedding"))

@@ -220,16 +220,30 @@ class _CappedIndex(NamedTuple):
     info: DataFrame  #: (doc_id, n_sh, capped_sh array) per doc
 
 
-def _capped_index(sh: DataFrame, df_cap: int) -> _CappedIndex:
+def _capped_index(
+    sh: DataFrame, df_cap: int, cache_dfreq: bool = False
+) -> _CappedIndex:
     """The preamble every capped-index dedup shares. ``sh`` is
     persisted (tracked; see cache.release_caches): four consumers
     reference it (sizes, document frequencies, the index join, the
     capped add-back) and would otherwise re-run the
     scan→explode→distinct shuffle each — this is the inverted index
-    any shingle-dedup system materializes once."""
+    any shingle-dedup system materializes once.
+
+    ``cache_dfreq=True`` persists the per-shingle frequency frame as
+    well — for :func:`containment_pairs`, whose adaptive gate probes
+    it with a driver-side existence job BEFORE the main action;
+    without the cache that probe re-ran the full per-shingle
+    aggregation (measured +24% on the containment headline at sf0.1).
+    Callers without an eager probe (Jaccard, connected components)
+    leave it off: their single plan reads dfreq once, and caching a
+    per-shingle string frame they never re-read is pure columnar-
+    encode overhead."""
     sh = _persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    if cache_dfreq:
+        dfreq = _persist(dfreq)
     stops = F.broadcast(dfreq.filter(F.col("df") > df_cap).select("sh"))
     idx = sh.join(stops, "sh", "left_anti")
     empty = F.array().cast("array<string>")
@@ -338,7 +352,7 @@ def containment_pairs(
     """Core of :func:`dedup_containment_pairs` over a (doc_id, sh)
     distinct-pairs frame — parameterized on the df cap so tests can
     force the supplemental stop-shingle path on a synthetic corpus."""
-    ix = _capped_index(sh, df_cap)
+    ix = _capped_index(sh, df_cap, cache_dfreq=True)
     a = ix.idx.alias("a")
     b = ix.idx.alias("b")
     common = (
@@ -837,7 +851,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 15
 
 
-def _lineage_truncate(df: DataFrame, reliable: bool) -> DataFrame:
+def _lineage_truncate(
+    df: DataFrame, reliable: bool, eager: bool = True
+) -> DataFrame:
     """Cut the logical-plan lineage between CC iterations.
 
     ``reliable=False`` → ``localCheckpoint`` (executor-local blocks:
@@ -847,15 +863,21 @@ def _lineage_truncate(df: DataFrame, reliable: bool) -> DataFrame:
     (HDFS/object store on a cluster), which survives executor churn —
     the hardening a 1000-executor run wants. A default dir under the
     local filesystem is installed if the caller never set one.
+
+    ``eager=False`` defers materialization to the caller's next action
+    on the returned frame — the CC loop uses this to fuse the
+    per-round checkpoint job with its convergence probe (one job per
+    round instead of two; at cluster scale that halves the scheduler
+    round-trips of the label-propagation driver loop).
     """
     if not reliable:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         import tempfile
 
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc_ckpt_"))
-    return df.checkpoint(eager=True)
+    return df.checkpoint(eager=eager)
 
 
 # Recursive-CTE connected components over the exact near-dup pair
@@ -976,6 +998,9 @@ def connected_components(
     # min-over-neighbors, so initialization and the first iteration fuse
     # into ONE groupBy over the edge list — least(u, min(v)) — skipping
     # a checkpoint, a join, and a convergence collect
+    # each round's checkpoint is LAZY: the convergence probe's sum
+    # aggregation is the action that materializes it, fusing the
+    # checkpoint job and the probe job into one per round
     labels = _lineage_truncate(
         edges.groupBy("u")
         .agg(F.min("v").alias("mv"))
@@ -984,6 +1009,7 @@ def connected_components(
             F.least("u", "mv").alias("label"),
         ),
         reliable_checkpoint,
+        eager=False,
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(_CC_MAX_ITERS - 1):
@@ -996,6 +1022,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label")),
             reliable_checkpoint,
+            eager=False,
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels

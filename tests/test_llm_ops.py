@@ -165,3 +165,131 @@ def test_compaction_reduces_file_count(spark, sf_smoke):
     )
     assert n_frag == 64
     assert n_compact == 1
+
+
+# ---------------------------------------------------------------------------
+# Round 5: LSH banding operating envelope + clustered-corpus ANN recall
+# ---------------------------------------------------------------------------
+
+
+def _clustered_corpus(tmpdir: str, n: int, n_clusters: int, sigma: float) -> str:
+    """Write a clustered embeddings.parquet (the production regime the
+    uniform driver corpus deliberately is not): ``n_clusters`` random
+    unit centers, members = center + N(0, sigma) noise, renormalized
+    scale only by cluster membership. Layout matches TESTDATA.md
+    (vec_id bigint, embedding array<float>[64]); vec_ids are a plain
+    range so the similarity queries' conventions (queries = vec_id<8,
+    IVF seeds = vec_id 100..115) hold."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(n_clusters, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    member_of = rng.integers(0, n_clusters, size=n)
+    vecs = centers[member_of] + rng.normal(scale=sigma, size=(n, 64))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [v.astype("float32") for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    path = os.path.join(tmpdir, "embeddings.parquet")
+    pq.write_table(tbl, path)
+    return tmpdir
+
+
+def test_pair_banding_shrinks_candidate_mass_with_k(spark, tmp_path):
+    """The r4 flaw was fixed k: candidate mass ≈ L/2^k of ALL pairs is
+    Θ(n²) as the corpus grows. pair_banding grows k with n; this test
+    proves the mechanism — on one denser corpus, the bigger-k banding
+    produces strictly fewer candidates while planted near-dup pairs
+    (cos ≥ 0.95) remain candidates."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.clustering import (
+        lsh_candidate_pairs,
+        pair_banding,
+    )
+
+    n = 1000
+    _clustered_corpus(str(tmp_path), n, n_clusters=20, sigma=0.03)
+    e = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+
+    def planes(L: int, k: int) -> list:
+        rng = random.Random(13)
+        return [
+            [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(k)]
+            for _ in range(L)
+        ]
+
+    # same L so the comparison isolates k; k per pair_banding's policy
+    L_small, k_small = 8, 4
+    _, k_big = pair_banding(n, target_bucket=16)  # k ≈ log2(1000/16) = 6
+    assert k_big > k_small
+    mass = {}
+    cand_sets = {}
+    for k in (k_small, k_big):
+        cand = lsh_candidate_pairs(e, planes(L_small, k))
+        cand_sets[k] = {
+            (r.vec_a, r.vec_b)
+            for r in cand.select("vec_a", "vec_b").distinct().collect()
+        }
+        mass[k] = len(cand_sets[k])
+        release_caches()
+    assert mass[k_big] < mass[k_small], mass
+    # recall: members of the same tight cluster must stay candidates.
+    # Find planted pairs via numpy ground truth on a small sample.
+    import numpy as np
+
+    rows = sorted(
+        ((r.vec_id, np.asarray(r.embedding, dtype=np.float64)) for r in e.collect())
+    )
+    ids = [i for i, _ in rows]
+    V = np.stack([v for _, v in rows])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    sims = V[:200] @ V.T
+    planted = [
+        (ids[i], ids[j])
+        for i in range(200)
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.95
+    ]
+    assert len(planted) > 50, "fixture should plant tight near-dup pairs"
+    for k in (k_small, k_big):
+        hit = sum(1 for p in planted if p in cand_sets[k])
+        assert hit / len(planted) >= 0.95, (k, hit, len(planted))
+
+
+def test_ann_recall_clustered_corpus(spark, tmp_path, queries):
+    """Backs the docstring claim (similarity.py): on CLUSTERED
+    embeddings — the production regime — both ANN paths reach ≥ 0.9
+    recall@10 with the same fixed parameters that measure ~0.5 on the
+    ANN-hostile uniform driver corpus."""
+    from csv_to_parquet_spark.operators.cache import release_caches
+
+    sf_dir = _clustered_corpus(str(tmp_path), 2000, n_clusters=50, sigma=0.05)
+
+    def topk(name: str) -> set:
+        out = {
+            (r.query_id, r.vec_id)
+            for r in queries[name](spark, sf_dir).collect()
+        }
+        release_caches()
+        return out
+
+    exact = topk("knn_bruteforce_cosine")
+    assert len(exact) > 0
+    for ann_name in ("knn_lsh_ann", "knn_ivf_ann"):
+        got = topk(ann_name)
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.9, f"{ann_name} clustered recall {recall:.3f} < 0.9"
