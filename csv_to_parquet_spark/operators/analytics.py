@@ -623,29 +623,35 @@ def corr_exact_value_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation computed from exact integer moment
     sums — between event value (cents) and the JSON `k` property.
 
-    The five moment sums accumulate as BIGINT (exact in any partition
-    order — the reason not to use the built-in `corr`, whose running
-    double state is accumulation-order-dependent and would hash-differ
-    from DuckDB's); only the final per-group scalar combine switches
-    to double, where both engines execute the identical IEEE
-    expression tree. Zero-variance groups yield NULL (guarded — ANSI
-    mode would otherwise throw on the sqrt-of-zero division). One
-    groupBy(event_type) exchange with map-side partials; products fit
-    BIGINT (|x|≤10⁵ cents, |y|≤10², so Σx² at 100 TB row counts stays
-    < 2⁶³); the n·Σxx cross terms are computed in double to avoid the
-    only overflow-prone multiply."""
+    The five moment sums accumulate EXACTLY in any partition order —
+    the reason not to use the built-in `corr`, whose running double
+    state is accumulation-order-dependent and would hash-differ from
+    DuckDB's; only the final per-group scalar combine switches to
+    double, where both engines execute the identical IEEE expression
+    tree. Zero-variance groups yield NULL (guarded — ANSI mode would
+    otherwise throw on the sqrt-of-zero division). One
+    groupBy(event_type) exchange with map-side partials. Overflow
+    budget: each PRODUCT fits BIGINT (|x|≤10⁵ cents, |y|≤10² ⇒
+    x² ≤ 10¹⁰), but the second-moment SUMS do not at scale
+    (Σx² overflows 2⁶³ past ~9×10⁸ rows per group), so sxx/syy/sxy
+    accumulate as decimal(38,0) — exact and order-independent like
+    integer sums, with headroom to ~10²⁸ rows per group; DuckDB's
+    HUGEINT promotion is the same widening, and both engines' final
+    cast-to-double of the identical integer value rounds identically.
+    Σx/Σy stay BIGINT (≤10⁵·rows — safe past 10¹³ rows/group)."""
     e = _events(spark, sf_dir).select(
         "event_type",
         cents("value").alias("x"),
         F.get_json_object("props", "$.k").cast("bigint").alias("y"),
     ).filter(F.col("y").isNotNull())
+    dec = "decimal(38,0)"
     s = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")

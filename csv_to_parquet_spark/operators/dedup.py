@@ -712,15 +712,20 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inverted-index DAG twice doubled the query's cost
     pairs = _persist(ngram_jaccard_pairs(sh))  # persists sh too
     # signatures are only needed for docs that appear in a verified
-    # pair — a tiny fraction of the corpus. Broadcast-semi-filter the
+    # pair — typically a tiny fraction of the corpus. Semi-filter the
     # shingle frame before the md5 signature work: at any scale the
     # sketch-audit query hashes |pair members| docs, not |corpus|.
+    # NO broadcast hint: in a duplicate-heavy corpus the member set
+    # can be a large fraction of the corpus, and an unconditional
+    # broadcast of an unbounded id set risks OOM — the shuffle join
+    # prunes identically, and AQE still chooses broadcast whenever the
+    # member set is actually small (the driver-scale plan).
     members = (
         pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
     )
     sig = (
-        sh.join(F.broadcast(members), "doc_id")
+        sh.join(members, "doc_id", "left_semi")
         .select("doc_id", (md5_60(F.col("sh")) % _P31).alias("h31"))
         .groupBy("doc_id")
         .agg(F.collect_list("h31").alias("hs"))

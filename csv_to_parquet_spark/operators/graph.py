@@ -269,9 +269,11 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Baskets are deduped to distinct (order, part) FIRST (map-side
     partial distinct); pair counting is the same bounded per-order
     self-join as the co-purchase graph (C(lines,2) per order, never
-    corpus-quadratic); item counts and the 1-row basket total
-    broadcast back onto the surviving pairs. All counts are exact
-    BIGINTs; confidence/lift are one double division each, rounded."""
+    corpus-quadratic); item counts join back onto the surviving pairs
+    on the part key (shuffle — the part dimension is not broadcastable
+    at scale), and only the 1-row basket total broadcasts. All counts
+    are exact BIGINTs; confidence/lift are one double division each,
+    rounded."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.distinct()
     n_orders = li.agg(
@@ -297,9 +299,13 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ic = item.select(
         F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_cons")
     )
+    # ia/ic are part-dimension-cardinality frames — billions of rows at
+    # the 100 TB posture, NOT broadcastable; the joins shuffle on the
+    # part key (AQE still picks broadcast when the dimension is small,
+    # as at driver scale). Only the 1-row basket total broadcasts.
     return (
-        pair.join(F.broadcast(ia), "ante")
-        .join(F.broadcast(ic), "cons")
+        pair.join(ia, "ante")
+        .join(ic, "cons")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "ante",

@@ -213,12 +213,17 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty
       FROM lineitem),
     oo AS (
-      SELECT CAST(count(*) AS BIGINT) AS n FROM orders
-      WHERE o_custkey IS NOT NULL
-        AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+      -- NOT EXISTS, not NOT IN: matches left_anti semantics even if
+      -- the FK target column ever contains NULLs (NOT IN would yield
+      -- zero violations; anti join still counts orphans)
+      SELECT CAST(count(*) AS BIGINT) AS n FROM orders o2
+      WHERE o2.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o2.o_custkey)),
     lo AS (
-      SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
-      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem l2
+      WHERE NOT EXISTS (SELECT 1 FROM orders o3
+                        WHERE o3.o_orderkey = l2.l_orderkey))
     SELECT rule, n_violations, n_checked,
            round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_pct
     FROM (
