@@ -579,6 +579,92 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@CAT.query(
+    "stream_kafka_shaped_decode",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_kafka_shaped_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-consumer pipeline against a broker-less stand-in source
+    carrying the EXACT Kafka wire schema — (key binary, value binary,
+    topic string, partition int, offset long, timestamp, timestampType
+    int), the row layout ``spark.readStream.format("kafka")`` emits.
+    The container has no broker (COVERAGE.md documents the absence),
+    so the stand-in stages the events table as keyed JSON messages in
+    that schema and streams them through the file source; swapping the
+    staging block for ``.format("kafka").option("subscribe", ...)``
+    changes NOTHING downstream — the decode contract is the part a
+    production consumer actually writes:
+
+    - key:   CAST(key AS STRING) → the partitioning entity (user_id —
+             messages for one user share a partition, Kafka's ordering
+             unit)
+    - value: CAST(value AS STRING) → ``from_json`` with an explicit
+             schema (the only schema a Kafka topic has is the one the
+             consumer asserts)
+    - offsets monotone per (topic, partition), timestamp = event time.
+
+    Downstream is the canonical first Kafka job: parse, project, and a
+    stateful per-key aggregation (count + exact cents sum — exact
+    DISTINCT aggregates are unsupported on streams; the streaming
+    dedup surface lives in ``stream_dedup_counts``) drained with
+    availableNow into the memory sink. Oracle-exact
+    because the JSON round-trip is lossless here: doubles serialize via
+    shortest-round-trip repr, BIGINTs verbatim — so the cents() of the
+    parsed value equals cents() of the original column.
+
+    At 100 TB/day of topic data nothing changes shape: the source is
+    partition-parallel (one task per Kafka partition), the decode is a
+    narrow JVM map (get_json_object-class codegen, no Python), and the
+    only exchange is the final groupBy(event_type) with map-side
+    partials.
+    """
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    ensure_session_confs(spark)
+    # --- broker stand-in staging (the ONLY part a real deployment
+    # deletes): events → keyed JSON messages in the Kafka wire schema
+    stage = tempfile.mkdtemp(prefix="kafka_stage_")
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("string").cast("binary").alias("key"),
+            F.to_json(
+                F.struct("event_id", "event_type", "value")
+            ).cast("binary").alias("value"),
+            F.lit("events").alias("topic"),
+            F.pmod("user_id", F.lit(4)).cast("int").alias("partition"),
+            F.col("event_id").alias("offset"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            F.lit(0).cast("int").alias("timestampType"),
+        )
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    kafka_schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset bigint, timestamp timestamp, timestampType int"
+    )
+    src = spark.readStream.schema(kafka_schema).parquet(stage)
+    # --- the consumer proper: identical against format("kafka")
+    payload_schema = "event_id bigint, event_type string, value double"
+    parsed = src.select(
+        F.col("key").cast("string").cast("bigint").alias("user_id"),
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("m"),
+    ).select("user_id", "m.event_type", "m.value")
+    agg = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("value_cents"),
+    )
+    out = _run_to_memory(agg)
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # transformWithState (Spark 4 arbitrary-state API): NOT exposed here.
 # The API exists in this pyspark build (GroupedData.transformWithState/
