@@ -1430,3 +1430,130 @@ def users_cumulative_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: exact equi-depth histogram + calendar heatmap
+# ---------------------------------------------------------------------------
+
+#: Equi-depth buckets for the price histogram.
+_ED_BUCKETS = 10
+#: Cents per phase-1 value-range stripe (see hist_equi_depth_price).
+_ED_STRIPE = 5_000_000
+
+
+@CAT.query(
+    "hist_equi_depth_price",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderkey, {cents_sql("o_totalprice")} AS cts FROM orders),
+    r AS (
+      SELECT cts,
+             ROW_NUMBER() OVER (ORDER BY cts, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM c)
+    SELECT CAST((rn - 1) * {_ED_BUCKETS} // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(cts) AS min_cents, MAX(cts) AS max_cents,
+           CAST(SUM(cts) AS BIGINT) AS sum_cents
+    FROM r GROUP BY decile
+    """,
+)
+def hist_equi_depth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (decile) histogram of order totals — the
+    statistics every optimizer/profiler wants, computed with an exact
+    GLOBAL rank but WITHOUT a single-partition global sort.
+
+    The global row number comes from the same two-phase distributed
+    prefix sum as ``pack_token_budget``, keyed by value instead of id:
+    phase 1 ranks rows inside value-range stripes (cents div STRIPE —
+    stripes are contiguous in the sort order by construction, so
+    within-stripe rank + stripe offset IS the global rank); phase 2
+    cumulates per-stripe counts on the (tiny) stripe-level table and
+    broadcasts the offsets back. Each row's decile is then the pure
+    integer map (rn-1)·B div n — identical arithmetic in the oracle,
+    so bucket membership (not just counts) is engine-exact, including
+    ties, which the (cents, o_orderkey) total order makes
+    deterministic.
+
+    At 100 TB: stripes are value-bounded, so a skewed price
+    distribution concentrates rows in few stripes — the remedy is a
+    smaller STRIPE constant (the stripe table stays tiny: range/STRIPE
+    rows); the per-stripe window is the only sort and partitions by
+    stripe. The exact-rank shape is what a production system runs
+    when approx_percentile (the sketch scale path, covered by
+    ``approx_percentile_sketch``) is not acceptable — e.g. auditing
+    the sketch itself."""
+    c = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("cts")
+    )
+    c = c.withColumn("stripe", F.expr(f"cts div {_ED_STRIPE}"))
+    w_in = Window.partitionBy("stripe").orderBy("cts", "o_orderkey")
+    within = c.withColumn("rn_in", F.row_number().over(w_in))
+    w_off = Window.orderBy("stripe").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        c.groupBy("stripe")
+        .agg(F.count(F.lit(1)).alias("stripe_n"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("stripe_n").over(w_off), F.lit(0))
+        )
+        .select("stripe", "offset")
+    )
+    n1 = c.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        within.join(F.broadcast(offsets), "stripe")
+        .withColumn("rn", F.col("rn_in") + F.col("offset"))
+        .crossJoin(F.broadcast(n1))
+    )
+    return (
+        ranked.withColumn(
+            "decile",
+            F.expr(f"((rn - 1) * {_ED_BUCKETS}) div n").cast("bigint"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cts").alias("min_cents"),
+            F.max("cts").alias("max_cents"),
+            F.sum("cts").alias("sum_cents"),
+        )
+    )
+
+
+@CAT.query(
+    "events_dow_hour_heatmap",
+    oracle=f"""
+    SELECT ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 + 3) % 7)
+             + 1 AS iso_dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({cents_sql("value")}) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event count and exact value by (ISO weekday ×
+    hour-of-day) — the calendar-grid view behind load forecasting and
+    anomaly baselines.
+
+    The weekday is computed as pure integer arithmetic on days since
+    the epoch ((d % 7 + 3) % 7 + 1; 1970-01-01 was a Thursday) instead
+    of each engine's dayofweek builtin, whose numbering conventions
+    disagree (Spark: Sunday=1; DuckDB dow: Sunday=0; isodow: Monday=1)
+    — the arithmetic is identical in both engines by construction.
+    One groupBy over a ≤168-cell grid: full map-side partial
+    aggregation, minimal exchange."""
+    e = _events(spark, sf_dir)
+    d = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    return (
+        e.select(
+            ((d % 7 + 3) % 7 + 1).cast("int").alias("iso_dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+            cents("value").alias("cts"),
+        )
+        .groupBy("iso_dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cts").alias("value_cents"),
+        )
+    )

@@ -1440,3 +1440,78 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: cross-document repeated-passage audit (memorization risk)
+# ---------------------------------------------------------------------------
+
+#: Passage length (tokens) for the repeated-passage audit — the
+#: 8-gram granularity of Lee et al.'s "Deduplicating Training Data
+#: Makes Language Models Better" style span analysis (shorter than
+#: their 50-token spans so the synthetic corpus exercises the path).
+_PASSAGE_N = 8
+
+_PASSAGES_SQL = shingles_sql("regexp_split_to_array(trim(text), '\\s+')", _PASSAGE_N)
+
+
+@CAT.query(
+    "dedup_repeated_passages",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_PASSAGES_SQL}) AS sh FROM documents),
+    g AS (
+      SELECT {md5_60_sql("sh")} AS passage_fp,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             MIN(doc_id) AS first_doc
+      FROM occ GROUP BY 1)
+    SELECT passage_fp, n_docs, n_occurrences, first_doc,
+           CAST((n_occurrences - 1) * {_PASSAGE_N} AS BIGINT)
+             AS dup_token_bound
+    FROM g WHERE n_docs >= 2
+    """,
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated {_PASSAGE_N}-token passages — the
+    span-level memorization-risk audit that complements document-level
+    dedup: a passage appearing in ≥2 documents survives doc-level
+    dedup yet is exactly what an LM memorizes (boilerplate, licenses,
+    quoted text). Reports, per repeated passage fingerprint, how many
+    documents carry it, its total occurrence count (NON-distinct —
+    within-doc repetition counts), and an upper bound on duplicated
+    tokens attributable to it.
+
+    Plan: one explode of overlapping {_PASSAGE_N}-gram shingles (no
+    per-doc distinct — occurrences are the signal), fingerprinted
+    map-side to a 60-bit md5 so the groupBy shuffles (fp, doc_id)
+    longs instead of passage strings, then a single aggregation with
+    a distinct-doc count (Spark's two-phase distinct agg) and the
+    df ≥ 2 filter applied post-aggregation. At 100 TB the passage
+    stream is ~tokens-per-corpus rows of 16 bytes; the fp groupBy
+    partials combine map-side and hot boilerplate fingerprints are
+    exactly the keys the count-distinct two-phase split keeps off a
+    single reducer."""
+    occ = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(shingles(tokenize("text"), _PASSAGE_N)).alias("sh"),
+    )
+    return (
+        occ.select("doc_id", md5_60(F.col("sh")).alias("passage_fp"))
+        .groupBy("passage_fp")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "passage_fp",
+            "n_docs",
+            "n_occurrences",
+            "first_doc",
+            ((F.col("n_occurrences") - 1) * _PASSAGE_N)
+            .cast("bigint")
+            .alias("dup_token_bound"),
+        )
+    )

@@ -322,3 +322,83 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: bounded multi-hop BFS (the recursive-CTE shape Spark lacks)
+# ---------------------------------------------------------------------------
+
+#: BFS seed set: part keys < _BFS_SEED_MAX.
+_BFS_SEED_MAX = 5
+#: Maximum hop distance explored.
+_BFS_HOPS = 3
+
+
+@CAT.query(
+    "graph_bfs_reachability",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    h0 AS (SELECT DISTINCT u AS node FROM adj WHERE u < {_BFS_SEED_MAX}),
+    h1 AS (
+      SELECT DISTINCT adj.v AS node FROM adj JOIN h0 ON adj.u = h0.node
+      WHERE adj.v NOT IN (SELECT node FROM h0)),
+    h2 AS (
+      SELECT DISTINCT adj.v AS node FROM adj JOIN h1 ON adj.u = h1.node
+      WHERE adj.v NOT IN (SELECT node FROM h0)
+        AND adj.v NOT IN (SELECT node FROM h1)),
+    h3 AS (
+      SELECT DISTINCT adj.v AS node FROM adj JOIN h2 ON adj.u = h2.node
+      WHERE adj.v NOT IN (SELECT node FROM h0)
+        AND adj.v NOT IN (SELECT node FROM h1)
+        AND adj.v NOT IN (SELECT node FROM h2))
+    SELECT node AS part_key, CAST(hop AS BIGINT) AS hop FROM (
+      SELECT node, 0 AS hop FROM h0
+      UNION ALL SELECT node, 1 FROM h1
+      UNION ALL SELECT node, 2 FROM h2
+      UNION ALL SELECT node, 3 FROM h3)
+    """,
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first reachability over the co-purchase graph:
+    minimum hop distance (≤ {_BFS_HOPS}) from the seed part set — the
+    "related products within N hops" / blast-radius query that needs a
+    RECURSIVE CTE in SQL engines. Spark has no recursive CTE; the
+    Spark-native shape is this driver-side loop of frontier-expansion
+    joins with lineage truncation per hop — each hop is one join of
+    the (shrinking) frontier against the adjacency list plus an
+    anti-join against visited, exactly the work a recursive CTE's
+    semi-naive evaluation performs, with the iteration bound explicit.
+
+    The oracle unrolls the same {_BFS_HOPS} hops as chained CTEs, so
+    hop ASSIGNMENTS (min-distance correctness), not just reach counts,
+    are verified cross-engine. Visited stays (node, hop) longs —
+    frontier joins ship ids only; at 100 TB the adjacency list is the
+    only large operand and it partitions by source vertex (the same
+    hash partitioning every hop, so AQE reuses the exchange). BFS from
+    a seed SET (not per-seed) is the production form: one traversal
+    labels the whole neighborhood union."""
+    edges = persist_tracked(_edges(spark, sf_dir))
+    adj = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    frontier = (
+        adj.filter(F.col("u") < _BFS_SEED_MAX)
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
+    visited = frontier.withColumn("hop", F.lit(0))
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            adj.join(frontier, adj.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        # lineage truncation: without it each hop's plan re-derives
+        # every earlier frontier (the recursive-CTE blowup in DAG form)
+        frontier = nxt.localCheckpoint(eager=True)
+        visited = visited.unionAll(frontier.withColumn("hop", F.lit(hop)))
+    return visited.select(
+        F.col("node").alias("part_key"), F.col("hop").cast("bigint").alias("hop")
+    )

@@ -20,7 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csv_to_parquet_spark.functions import md5_60, md5_60_sql, tokenize
+from csv_to_parquet_spark.functions import cents, cents_sql, md5_60, md5_60_sql, tokenize
 from csv_to_parquet_spark.operators import Catalog
 from csv_to_parquet_spark.operators.textops import _STOP_SQL, _STOPWORDS
 from csv_to_parquet_spark.sources.tables import load_table, spread
@@ -349,4 +349,71 @@ def profile_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min(F.length("text")).cast("bigint").alias("min_chars"),
         F.max(F.length("text")).cast("bigint").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: feature engineering — smoothed target encoding
+# ---------------------------------------------------------------------------
+
+#: Additive-smoothing pseudo-count (rows of global prior per category).
+_TE_SMOOTH = 100
+
+
+@CAT.query(
+    "feat_target_encoding",
+    oracle=f"""
+    WITH j AS (
+      SELECT p.p_brand, {cents_sql("l.l_extendedprice")} AS cts
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    g AS (SELECT CAST(SUM(cts) AS BIGINT) AS gsum,
+                 CAST(COUNT(*) AS BIGINT) AS gn FROM j),
+    b AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cts) AS BIGINT) AS s
+      FROM j GROUP BY p_brand)
+    SELECT b.p_brand, b.n,
+           round(CAST(b.s AS DOUBLE) / b.n, 6) AS mean_cents,
+           round((CAST(b.s AS DOUBLE)
+                  + {_TE_SMOOTH} * (CAST(g.gsum AS DOUBLE) / g.gn))
+                 / (b.n + {_TE_SMOOTH}), 6) AS encoded_cents
+    FROM b, g
+    """,
+)
+def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature (p_brand)
+    against a numeric label (line revenue in cents) — the standard
+    high-cardinality categorical encoder for tabular training data:
+    encoded(c) = (Σ_c y + m·ȳ_global) / (n_c + m), shrinking rare
+    categories toward the global prior (m = {_TE_SMOOTH}).
+
+    All sums are exact BIGINT cents (order-independent, engine-exact);
+    the two divisions and the blend run in double with the identical
+    expression tree on both engines. One fact-side shuffle for the
+    brand rollup (the part dimension joins before aggregation —
+    broadcast at driver scale via AQE, shuffle-join at 100 TB where
+    the part dimension is itself huge); the global prior is a 1-row
+    broadcast. The category-level output is dimension-sized, never
+    fact-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", cents("l_extendedprice").alias("cts")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(p, li.l_partkey == p.p_partkey).select("p_brand", "cts")
+    g = j.agg(
+        F.sum("cts").alias("gsum"), F.count(F.lit(1)).alias("gn")
+    )
+    b = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cts").alias("s")
+    )
+    prior = F.col("gsum").cast("double") / F.col("gn")
+    return b.crossJoin(F.broadcast(g)).select(
+        "p_brand",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean_cents"),
+        F.round(
+            (F.col("s").cast("double") + _TE_SMOOTH * prior)
+            / (F.col("n") + _TE_SMOOTH),
+            6,
+        ).alias("encoded_cents"),
     )

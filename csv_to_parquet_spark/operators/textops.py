@@ -1282,3 +1282,79 @@ def text_template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: readability profile
+# ---------------------------------------------------------------------------
+
+
+@CAT.query(
+    "text_readability",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> len(x) > 0)) AS n_words,
+             len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                             x -> len(trim(x)) > 0)) AS n_sentences,
+             len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_letters
+      FROM documents)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_letters AS BIGINT) AS n_letters,
+           round(CASE WHEN n_words > 0
+                 THEN CAST(n_letters AS DOUBLE) / n_words END, 6)
+             AS letters_per_word,
+           round(CASE WHEN n_sentences > 0
+                 THEN CAST(n_words AS DOUBLE) / n_sentences END, 6)
+             AS words_per_sentence
+    FROM t
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability profile: word/sentence/letter counts
+    plus the two ratios (letters-per-word, words-per-sentence) that
+    drive every classic readability index (Flesch, ARI, Coleman-Liau)
+    — a standard quality-filter feature column for training corpora
+    (documents with pathological sentence lengths or symbol density
+    are extraction failures).
+
+    Counting conventions are regex-defined identically in both
+    engines: words = nonempty whitespace splits, sentences = nonempty
+    trimmed [.!?]+ splits, letters = A-Za-z characters. Ratios are
+    ANSI-guarded (NULL for empty documents) and rounded at 6 dp with
+    both engines evaluating the same double division. One narrow
+    per-row map, no shuffle — the shape that runs at any corpus
+    size."""
+    words = F.filter(tokenize("text"), lambda x: F.length(x) > 0)
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"), lambda x: F.length(F.trim(x)) > 0
+    )
+    letters = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        letters.cast("bigint").alias("n_letters"),
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_letters",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_letters").cast("double") / F.col("n_words"),
+            ),
+            6,
+        ).alias("letters_per_word"),
+        F.round(
+            F.when(
+                F.col("n_sentences") > 0,
+                F.col("n_words").cast("double") / F.col("n_sentences"),
+            ),
+            6,
+        ).alias("words_per_sentence"),
+    )
