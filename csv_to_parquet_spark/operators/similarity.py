@@ -456,3 +456,112 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(mx > mn, err).otherwise(F.lit(0.0)), 6
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: matryoshka prefix-dimension retrieval audit
+# ---------------------------------------------------------------------------
+
+#: Prefix width for the truncated-embedding ranking.
+_MRL_DIMS = 32
+#: Top-k depth audited.
+_MRL_K = 10
+
+
+@CAT.query(
+    "embedding_prefix_rank_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE list_dot_product(v, v) > 0
+                 AND list_dot_product(v[1:{_MRL_DIMS}], v[1:{_MRL_DIMS}]) > 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cs_full,
+             list_dot_product(q.qv[1:{_MRL_DIMS}], e.v[1:{_MRL_DIMS}])
+               / (sqrt(list_dot_product(q.qv[1:{_MRL_DIMS}], q.qv[1:{_MRL_DIMS}]))
+                  * sqrt(list_dot_product(e.v[1:{_MRL_DIMS}], e.v[1:{_MRL_DIMS}]))) AS cs_pre
+      FROM q, e WHERE e.vec_id != q.query_id),
+    r AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cs_full DESC, vec_id) AS rk_full,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cs_pre DESC, vec_id) AS rk_pre
+      FROM s)
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rk_full <= {_MRL_K} AND rk_pre <= {_MRL_K}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           ROUND(CAST(SUM(CASE WHEN rk_full <= {_MRL_K} AND rk_pre <= {_MRL_K}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / {_MRL_K}, 6)
+             AS recall_at_k
+    FROM r GROUP BY query_id
+    """,
+)
+def embedding_prefix_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much of each query's
+    exact top-{_MRL_K} (full 64-dim cosine) survives when retrieval
+    ranks by the first {_MRL_DIMS} dimensions only — the measurement
+    behind shipping truncated embeddings (MRL) or a prefix-dim first
+    pass with full-dim rerank: storage/compute halves, and this query
+    reports the recall actually lost on THIS corpus.
+
+    One scan computes both cosines per (query, vector) pair — the
+    prefix dot is a ``slice`` of the same array, no second pass — and
+    two row_number rankings over the same query partition share one
+    exchange. Recall = |top-k ∩ prefix-top-k| / k per query. Both
+    rankings order by the deterministic (cosine DESC, vec_id) key and
+    every dot accumulates sequentially, so ranks — not just counts —
+    are engine-exact. Vectors whose prefix is all-zero are excluded on
+    both engines (their prefix cosine is undefined)."""
+    from csv_to_parquet_spark.functions import nonzero_norm
+
+    pre = lambda c: F.slice(F.col(c), 1, _MRL_DIMS)  # noqa: E731
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(nonzero_norm("embedding"))
+        .filter(nonzero_norm(pre("embedding")))
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        e.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity("qv", "embedding").alias("cs_full"),
+            (
+                dot_double(pre("qv"), pre("embedding"))
+                / (
+                    F.sqrt(dot_double(pre("qv"), pre("qv")))
+                    * F.sqrt(dot_double(pre("embedding"), pre("embedding")))
+                )
+            ).alias("cs_pre"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cs_full"), F.asc("vec_id")
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.desc("cs_pre"), F.asc("vec_id")
+    )
+    hit = (
+        (F.col("rk_full") <= _MRL_K) & (F.col("rk_pre") <= _MRL_K)
+    ).cast("int")
+    return (
+        scored.withColumn("rk_full", F.row_number().over(w_full))
+        .withColumn("rk_pre", F.row_number().over(w_pre))
+        .groupBy("query_id")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_overlap"),
+            F.round(F.sum(hit).cast("double") / _MRL_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

@@ -28,6 +28,7 @@ from csv_to_parquet_spark.functions import (
     tokenize,
 )
 from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.operators.cache import persist_tracked as _persist
 from csv_to_parquet_spark.sources.tables import load_table, spread
 
 CAT = Catalog()
@@ -1357,4 +1358,82 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("words_per_sentence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: unigram-LM log-probability scoring (LM quality-filter proxy)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for per-token log probabilities (micro-nats).
+_LM_SCALE = 1_000_000
+
+
+@CAT.query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents WHERE len(trim(text)) > 0),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(FLOOR(ln(CAST(freq.f AS DOUBLE) / tot.n) * {_LM_SCALE})
+                  AS BIGINT) AS lp
+      FROM tok JOIN freq ON tok.t = freq.t, tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(-SUM(lp) AS BIGINT) AS neg_logprob_micro,
+           CAST((-SUM(lp)) // COUNT(*) AS BIGINT) AS per_token_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the cheap proxy
+    for the LM-perplexity quality filter (CCNet-style): train a
+    unigram model on the corpus itself (token frequency / total), then
+    score each document by its total and per-token negative log
+    probability. Documents of rare-token noise score high; natural
+    text scores low.
+
+    Exactness across engines is the design problem: a per-document sum
+    of DOUBLE logs is accumulation-order dependent. The metric is
+    therefore DEFINED in fixed point — each token's log-probability is
+    floored to integer micro-nats (floor, not round: round-half
+    conventions differ between engines on negative values; ln and the
+    division produce identical doubles everywhere) and the document
+    score is the exact BIGINT sum of those integers, order-independent
+    by construction. The ≤1 micro-nat/token quantization is noise at
+    filter thresholds while buying bit-exact reproducibility — the
+    same trick as the integer-fixed-point PageRank.
+
+    Plan: one token explode feeds BOTH the frequency model (vocab-
+    sized groupBy) and the scoring join (token-keyed shuffle join of
+    the token stream against the model — at 100 TB the model is
+    vocabulary-sized and hot tokens are exactly what map-side partial
+    aggregation and AQE skew splitting handle); the corpus total is a
+    1-row broadcast. No Python, no doubles in any aggregation."""
+    tok = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(tokenize("text")).alias("t"))
+    )
+    tok = _persist(tok)
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    lp = F.floor(
+        F.log(F.col("f").cast("double") / F.col("n")) * _LM_SCALE
+    ).cast("bigint")
+    scored = (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum("lp")).cast("bigint").alias("neg_logprob_micro"),
+        F.expr("(-sum(lp)) div count(*)").cast("bigint").alias(
+            "per_token_micro"
+        ),
     )

@@ -212,6 +212,10 @@ _BNLJ_ALLOW = {
     "lineitem_pareto_abc",  # 1-row revenue-total broadcast for shares
     "events_distribution_drift",  # 1-row bounds + 1-row totals broadcasts
     "contingency_brand_type",  # 1-row grand-total broadcast
+    "hist_equi_depth_price",  # 1-row total-count broadcast for decile map
+    "feat_target_encoding",  # 1-row global-prior broadcast
+    "text_unigram_logprob",  # 1-row corpus-token-total broadcast
+    "embedding_prefix_rank_audit",  # tiny broadcast query set, != join
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
