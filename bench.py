@@ -88,9 +88,17 @@ HEADLINE = [
     "text_vocab_encode",
     "events_peak_concurrency",
     "dedup_winnowing_pairs",
+    # round-5 operators
+    "dedup_repeated_passages",
+    "text_unigram_logprob",
+    "hist_equi_depth_price",
+    "graph_bfs_reachability",
+    "feat_target_encoding",
+    "embedding_prefix_rank_audit",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",
+    "stream_kafka_shaped_decode",
 ]
 
 

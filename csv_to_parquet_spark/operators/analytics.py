@@ -1557,3 +1557,118 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cts").alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: exact grouped mode + fixed-point behavioral entropy
+# ---------------------------------------------------------------------------
+
+
+@CAT.query(
+    "agg_mode_priority",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE (most frequent value) with a deterministic
+    tie-break — the statistical mode the built-in ``mode()`` aggregate
+    cannot provide cross-engine (its tie choice is implementation-
+    defined), rebuilt as count-then-rank: groupBy (group, value) with
+    map-side partials collapses the fact table to the distinct
+    (group, value) grid, and the rank window runs over that tiny grid
+    partitioned by group. Ties break (count DESC, value ASC) —
+    identical ordering in both engines, so the selected mode is exact
+    even when two priorities tie."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+#: Fixed-point scale (micro-nats) for the entropy feature.
+_ENT_SCALE = 1_000_000
+
+
+@CAT.query(
+    "events_type_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS ci
+      FROM events GROUP BY user_id, event_type),
+    cw AS (
+      SELECT user_id, ci,
+             CAST(SUM(ci) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM c),
+    u AS (
+      SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(ci * CAST(FLOOR(ln(CAST(n AS DOUBLE) / ci)
+                                      * {_ENT_SCALE}) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM cw GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           CAST(s // n_events AS BIGINT) AS entropy_micro
+    FROM u
+    """,
+)
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix, in integer
+    micro-nats — the behavioral-diversity feature behind bot detection
+    (a scripted user hammers one event type → entropy ≈ 0; organic
+    users mix types). H = Σ (cᵢ/n)·ln(n/cᵢ), computed as the exact
+    BIGINT sum Σ cᵢ·⌊1e6·ln(n/cᵢ)⌋ divided by n — the same fixed-point
+    discipline as the unigram-LM scorer and integer PageRank: the only
+    doubles are ln() inputs/outputs computed identically per (user,
+    type) cell in both engines; every aggregation is an
+    order-independent integer sum, so the score is bit-exact.
+
+    One groupBy (user, type) collapses the log to the per-user type
+    grid (≤ |types| rows per user); the per-user total rides a window
+    over that grid partitioned by the same key — no second shuffle."""
+    c = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("ci"))
+    )
+    w = Window.partitionBy("user_id")
+    c = c.withColumn("n", F.sum("ci").over(w))
+    term = F.col("ci") * F.floor(
+        F.log(F.col("n").cast("double") / F.col("ci")) * _ENT_SCALE
+    ).cast("bigint")
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(term).alias("s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.expr("s div n_events").cast("bigint").alias("entropy_micro"),
+        )
+    )
