@@ -48,6 +48,13 @@ HEAVY = [
     "mix_temperature_weights",  # double window-sum accumulation order
     "events_transition_matrix",  # probability rounding on bigger counts
     "graph_pagerank_copurchase",  # iterative fixed-point on a denser graph
+    # round-5 additions with scale-sensitive semantics
+    "hist_equi_depth_price",  # global-rank tie groups straddle deciles
+    "text_unigram_logprob",  # fixed-point ln() on bigger frequency table
+    "embedding_prefix_rank_audit",  # two float rankings, denser ties
+    "graph_bfs_reachability",  # frontier sizes change with graph density
+    "events_type_entropy",  # fixed-point ln() over larger per-user counts
+    "stream_kafka_shaped_decode",  # micro-batch agg over staged messages
 ]
 
 QUERIES = entry_mod.queries()
