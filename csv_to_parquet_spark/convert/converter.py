@@ -147,6 +147,22 @@ def read_csv_typed(
     )
 
 
+def _head_lines(path: str, n: int) -> list[str]:
+    """First ``n`` physical lines of the file, terminators stripped —
+    the driver-side sample read. Legitimately a bounded driver read:
+    the reference samples exactly this prefix (converter.go:218-224),
+    and ``multiLine`` is false everywhere so Spark's own CSV scan also
+    treats raw newlines as record separators — line-based sampling
+    sees the same records the distributed parse will."""
+    out: list[str] = []
+    with open(path, encoding="utf-8", errors="replace", newline="") as f:
+        for i, line in enumerate(f):
+            if i >= n:
+                break
+            out.append(line.rstrip("\r\n"))
+    return out
+
+
 def infer_file_schema(
     spark: SparkSession,
     path: str,
@@ -154,11 +170,38 @@ def infer_file_schema(
     sample_rows: int = 100,
     enhanced_dates: bool = False,
 ) -> list[InferredColumn]:
-    """Pass 1: sample-bounded exact-lattice inference (converter.go:185-239)."""
+    """Pass 1: sample-bounded exact-lattice inference (converter.go:185-239).
+
+    The sample is the file's first ``sample_rows`` records read
+    DRIVER-SIDE and parsed through the SAME Spark CSV reader (an RDD
+    of line strings with identical options — univocity parser, same
+    PERMISSIVE/quote semantics). A ``.limit(n)`` over the file scan
+    looks equivalent but plans a LocalLimit in EVERY split: measured
+    ~0.8 s of 32 task launches each opening the 158 MB file at sf0.1,
+    and at 100 TB it would launch the full scan stage — thousands of
+    tasks to sample 100 rows. The prefix read is O(sample) always.
+    """
+    import tempfile
+
     raw_headers = read_raw_header(path, delimiter)
     names = clean_headers(raw_headers)
-    sample = read_csv_raw(spark, path, delimiter, len(names)).limit(sample_rows)
-    kinds = infer_column_kinds(sample, enhanced_dates=enhanced_dates)
+    lines = _head_lines(path, sample_rows + 1)  # +1: header line
+    # stage the prefix as a tiny local file and parse it through the
+    # SAME file-based reader as the full pass (identical univocity
+    # options). NOT sc.parallelize(lines): a Python-RDD-backed CSV
+    # scan routes every action through a Python worker round trip
+    # (measured ~0.7 s per inference at sf0.1); the one-split file
+    # scan is pure JVM.
+    with tempfile.NamedTemporaryFile(
+        "w", encoding="utf-8", suffix=".csv", delete=False, newline=""
+    ) as tf:
+        tf.write("\n".join(lines))
+        tmp = tf.name
+    try:
+        sample = read_csv_raw(spark, tmp, delimiter, len(names))
+        kinds = infer_column_kinds(sample, enhanced_dates=enhanced_dates)
+    finally:
+        os.remove(tmp)
     return [
         InferredColumn(name=names[i], raw_name=raw_headers[i], kind=kinds[f"_raw{i}"])
         for i in range(len(names))

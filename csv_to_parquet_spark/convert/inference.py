@@ -25,8 +25,11 @@ classes (bool / int / float-not-int / other) are disjoint:
   all float           → DOUBLE  (ints count as floats)
   anything else mixed → STRING  (covers bool+number, dates, text)
 
-At scale this is O(sample) work: `limit(n)` stops the scan after n
-rows; the single agg is one job over one partition.
+At scale this is O(sample) work: the converter stages the file's
+first n+1 physical lines as a tiny local file (converter.py
+``infer_file_schema`` — a ``limit(n)`` over the full scan would plan a
+LocalLimit into EVERY split), so the single agg is one job over one
+tiny partition regardless of input size.
 
 Enhanced (non-parity) mode also probes the reference's six date/time
 layouts (converter/converter.go:264-271) and, when every non-empty
@@ -81,53 +84,60 @@ class InferredColumn:
         }[self.kind]
 
 
-def _count(cond):
-    return F.count(F.when(cond, F.lit(1)))
-
-
 def infer_column_kinds(
     sample: DataFrame, enhanced_dates: bool = False
 ) -> dict[str, str]:
-    """One aggregation pass over an all-string sample → column kinds."""
-    aggs = []
+    """One aggregation pass over an all-string sample → column kinds.
+
+    The whole vote matrix is ONE SQL ``struct(...)`` expression built
+    as a string: per-column Column construction (4-6 expressions × N
+    columns, each a handful of py4j round trips) measured ~0.5 s of
+    pure driver-side chatter per file at 16 columns — a single
+    ``F.expr`` ships the same plan in one call. Semantics per cell,
+    unchanged: the reference skips only truly EMPTY cells
+    (converter.go:231-233); a whitespace-only cell trims to "" inside
+    inferType and votes string — it counts toward n but matches no
+    type class.
+    """
+
+    def cnt(cond: str, alias: str) -> str:
+        return f"count(CASE WHEN {cond} THEN 1 END) AS {alias}"
+
+    parts = []
     for idx, name in enumerate(sample.columns):
-        raw = F.col(name)
-        v = F.trim(raw)
-        # reference skips only truly EMPTY cells (converter.go:231-233);
-        # a whitespace-only cell trims to "" inside inferType and votes
-        # string — so it counts toward n but matches no type class.
-        ne = raw.isNotNull() & (raw != "")
-        cls = ne & (v != "")
-        is_bool = F.lower(v).isin("true", "false")
-        is_int = v.try_cast("bigint").isNotNull()
-        is_float = v.try_cast("double").isNotNull()
-        aggs.extend(
-            [
-                _count(ne).alias(f"c{idx}_n"),
-                _count(cls & is_bool).alias(f"c{idx}_b"),
-                _count(cls & is_int).alias(f"c{idx}_i"),
-                _count(cls & is_float).alias(f"c{idx}_f"),
-            ]
+        raw = f"`{name}`"
+        v = f"trim({raw})"
+        ne = f"({raw} IS NOT NULL AND {raw} != '')"
+        cls = f"({ne} AND {v} != '')"
+        parts.append(cnt(ne, f"c{idx}_n"))
+        parts.append(
+            cnt(f"{cls} AND lower({v}) IN ('true', 'false')", f"c{idx}_b")
+        )
+        parts.append(
+            cnt(f"{cls} AND try_cast({v} AS BIGINT) IS NOT NULL", f"c{idx}_i")
+        )
+        parts.append(
+            cnt(f"{cls} AND try_cast({v} AS DOUBLE) IS NOT NULL", f"c{idx}_f")
         )
         if enhanced_dates:
             # the 6-layout probes are only consulted in enhanced mode;
             # in parity mode dates demote to string anyway
-            # (converter.go:272-275), and the 12 try_to_timestamp
-            # expressions per column dominate the agg's plan/codegen
-            # cost (measured ~2× the whole inference pass)
-            date_probe = F.coalesce(
-                *[F.try_to_timestamp(v, F.lit(p)) for p in DATE_PATTERNS]
-            ).isNotNull()
-            ts_probe = F.coalesce(
-                *[F.try_to_timestamp(v, F.lit(p)) for p in TIMESTAMP_PATTERNS]
-            ).isNotNull()
-            aggs.extend(
-                [
-                    _count(cls & date_probe).alias(f"c{idx}_d"),
-                    _count(cls & ts_probe).alias(f"c{idx}_t"),
-                ]
-            )
-    row = sample.agg(*aggs).collect()[0]
+            # (converter.go:272-275)
+            def q(p: str) -> str:  # SQL string literal, '' escaping
+                return "'" + p.replace("'", "''") + "'"
+
+            date_probe = "coalesce(" + ", ".join(
+                f"try_to_timestamp({v}, {q(p)})" for p in DATE_PATTERNS
+            ) + ") IS NOT NULL"
+            ts_probe = "coalesce(" + ", ".join(
+                f"try_to_timestamp({v}, {q(p)})" for p in TIMESTAMP_PATTERNS
+            ) + ") IS NOT NULL"
+            parts.append(cnt(f"{cls} AND {date_probe}", f"c{idx}_d"))
+            parts.append(cnt(f"{cls} AND {ts_probe}", f"c{idx}_t"))
+    row = (
+        sample.agg(F.expr(f"struct({', '.join(parts)})").alias("s"))
+        .collect()[0]["s"]
+    )
 
     kinds: dict[str, str] = {}
     for idx, name in enumerate(sample.columns):
