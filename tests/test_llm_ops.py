@@ -293,3 +293,30 @@ def test_ann_recall_clustered_corpus(spark, tmp_path, queries):
         got = topk(ann_name)
         recall = len(exact & got) / len(exact)
         assert recall >= 0.9, f"{ann_name} clustered recall {recall:.3f} < 0.9"
+
+
+def test_pair_banding_envelope():
+    """Pure-function envelope of the LSH banding policy: k grows
+    log-linearly with corpus size (constant expected bucket occupancy),
+    L stays within the documented bounds, the analytic recall at
+    cos 0.9 clears 0.99 wherever L is not clamped, and the committed
+    catalog constants are exactly pair_banding(2000)."""
+    import math
+
+    from csv_to_parquet_spark.operators.clustering import (
+        _PAIR_BITS,
+        _PAIR_TABLES,
+        pair_banding,
+    )
+
+    assert (_PAIR_TABLES, _PAIR_BITS) == pair_banding(2000)
+    prev_k = 0
+    p = 1.0 - 0.4510 / math.pi
+    for n in (100, 1_000, 10_000, 100_000, 1_000_000):
+        L, k = pair_banding(n)
+        assert 4 <= k <= 24 and 4 <= L <= 48
+        assert k >= prev_k, "k must be monotone in corpus size"
+        prev_k = k
+        if L < 48:  # below the clamp, L is chosen to hit the target
+            recall = 1.0 - (1.0 - p**k) ** L
+            assert recall >= 0.99, (n, L, k, recall)
