@@ -106,6 +106,48 @@ def _seq_dots_udf(mat: list[list[float]]):
     return seq_dots
 
 
+def _bucket_sig_udf(planes: list[list[list[float]]]):
+    """Arrow pandas_udf computing, per embedding row, the L hyperplane-
+    LSH bucket ids (k sign bits each) plus the row's L2 norm — the
+    whole signature in ONE Arrow crossing with an integer-only result.
+
+    Parity: the plane dot products use the same dimension-ordered
+    accumulation as :func:`_seq_dots_udf` (bit-identical to the
+    sequential ``F.aggregate`` form and DuckDB ``list_dot_product``),
+    and the bucket id Σ 2^j·[dot_j ≥ 0] is integer arithmetic on their
+    exact signs — so the bucket ids match the oracle's CASE WHEN
+    list_dot_product ≥ 0 banding bit-for-bit. Computing the bits here
+    instead of in L·k JVM ``F.when`` columns (r4) cuts ~0.9 s of
+    driver-side py4j plan construction per call at L=12, k=7 AND
+    shrinks the Arrow return payload from L·k doubles to L longs.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_bits = len(planes), len(planes[0])
+    P = np.array(
+        [planes[t][j] for t in range(n_tables) for j in range(n_bits)],
+        dtype=np.float64,
+    ).T  # (dim, L*k)
+    W = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("struct<bs: array<bigint>, nv: double>")
+    def bucket_sig(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame({"bs": [], "nv": []})
+        v = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros((v.shape[0], P.shape[1]))
+        nacc = np.zeros(v.shape[0])
+        for d in range(P.shape[0]):
+            acc += v[:, d : d + 1] * P[d]
+            nacc += v[:, d] * v[:, d]
+        signs = (acc >= 0).reshape(v.shape[0], n_tables, n_bits)
+        buckets = (signs * W).sum(axis=2)  # (n, L) int64
+        return pd.DataFrame({"bs": list(buckets), "nv": np.sqrt(nacc)})
+
+    return bucket_sig
+
+
 # --------------------------------------------------------------------------
 # Embedding near-dup pairs via random-hyperplane LSH (scale path)
 # --------------------------------------------------------------------------
@@ -193,9 +235,9 @@ def lsh_candidate_pairs(
     corpus via :func:`pair_banding`.
 
     Band keys carry IDS ONLY — the self-join shuffles (vec_a, vec_b,
-    tbl, bucket) longs, never the 64-float vectors (same shape as the
+    band-key) longs, never the 64-float vectors (same shape as the
     MinHash LSH candidate join). The persisted signature frame is
-    (id, L longs, 1 double): the band index any LSH system
+    (id, array<L longs>, 1 double): the band index any LSH system
     materializes, deliberately WITHOUT the vector column (columnar
     cache encode of 64-float arrays measured ~0.4 s at sf0.1 — slower
     than the column-pruned re-scan verification uses). NO pre-verify
@@ -208,51 +250,35 @@ def lsh_candidate_pairs(
     banding, mirroring the oracle's list_dot_product(v, v) > 0 filter.
     Callers release the signature cache via release_caches().
     """
-    n_tables, n_bits = len(planes), len(planes[0])
-    plane_rows = [planes[t][j] for t in range(n_tables) for j in range(n_bits)]
-    dots = _seq_dots_udf(plane_rows)
+    n_bits = len(planes[0])
     sig = persist_tracked(
-        e.select("vec_id", dots("embedding").alias("s")).select(
-            "vec_id",
-            F.col("s.nv").alias("nv"),
-            *[
-                sum(
-                    (
-                        F.when(F.col("s.dots")[t * n_bits + j] >= 0, 1 << j)
-                        .otherwise(0)
-                        for j in range(n_bits)
-                    ),
-                    start=F.lit(0),
-                ).alias(f"b{t}")
-                for t in range(n_tables)
-            ],
+        e.select(
+            "vec_id", _bucket_sig_udf(planes)("embedding").alias("s")
+        ).select(
+            "vec_id", F.col("s.nv").alias("nv"), F.col("s.bs").alias("bs")
         )
     )
-    nz = sig.filter(F.col("nv") > 0)
-    bands = nz.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "bk.tbl", "bk.bucket")
+    # fused band key tbl*2^k + bucket: ONE posexplode + ONE join column
+    # (the (tbl, bucket) two-column equality compiled to the same hash
+    # key but cost 12 struct literals + a composite join key in plan
+    # construction — measured ~0.9 s of DRIVER-side py4j expression
+    # building per call at L=12, k=7 before this fusion)
+    bands = (
+        sig.filter(F.col("nv") > 0)
+        .select("vec_id", F.posexplode("bs").alias("tbl", "bucket"))
+        .select(
+            "vec_id",
+            (F.col("tbl") * F.lit(1 << n_bits) + F.col("bucket")).alias("bk"),
+        )
+    )
     a = bands.alias("a")
     x = bands.alias("x")
-    return (
-        a.join(
-            x,
-            (F.col("a.tbl") == F.col("x.tbl"))
-            & (F.col("a.bucket") == F.col("x.bucket"))
-            & (F.col("a.vec_id") < F.col("x.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("x.vec_id").alias("vec_b"),
-        )
+    return a.join(
+        x,
+        (F.col("a.bk") == F.col("x.bk")) & (F.col("a.vec_id") < F.col("x.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("x.vec_id").alias("vec_b"),
     )
 
 
