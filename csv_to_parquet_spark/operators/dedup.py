@@ -1523,3 +1523,74 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_token_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalized-exact dedup — C4-style canonicalization before the hash
+
+
+from csv_to_parquet_spark.operators.textops import (  # noqa: E402
+    _STOP_SQL as _NORM_STOP_SQL,
+    _STOPWORDS as _NORM_STOPWORDS,
+)
+
+# DuckDB mirror of the normalization pipeline in
+# :func:`dedup_normalized_exact` — keep in sync with the Spark side.
+_NORM_TOKS_SQL = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g')), '\\s+')"
+)
+_NORM_FP_SQL = md5_60_sql(
+    f"array_to_string(list_filter({_NORM_TOKS_SQL}, "
+    f"w -> w <> '' AND w NOT IN ({_NORM_STOP_SQL})), ' ')"
+)
+
+
+@CAT.query(
+    "dedup_normalized_exact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS raw_md5, {_NORM_FP_SQL} AS norm_fp
+      FROM documents)
+    SELECT norm_fp, MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_md5) AS BIGINT) AS n_raw_variants
+    FROM t GROUP BY norm_fp
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-hash dedup — the C4/CCNet canonical form:
+    lowercase, strip punctuation to spaces, drop stopwords, collapse
+    whitespace, THEN exact-hash. Catches the near-duplicates raw
+    exact dedup misses (casing/punctuation edits, boilerplate
+    stopword variation) while staying a single one-shuffle
+    hash-groupBy — no candidate generation, no verification pass.
+    ``n_raw_variants`` counts how many distinct raw texts collapsed
+    into each normalized form (> 1 ⇒ the normalization earned its
+    keep; the distinct-count uses Spark's two-phase split, so a hot
+    normalized form never lands on one reducer).
+
+    Scale: normalization is a narrow codegen'd projection; the only
+    exchange ships (60-bit fp, 60-bit raw fp, doc_id) longs — payload
+    text never shuffles. Same posture as
+    :func:`dedup_exact_documents`, which stays the raw-bytes gate."""
+    toks = tokenize(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "))
+    )
+    joined = F.array_join(
+        F.filter(toks, lambda w: (w != "") & ~w.isin(*_NORM_STOPWORDS)), " "
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.md5("text").alias("raw_md5"),
+            md5_60(joined).alias("norm_fp"),
+        )
+        .groupBy("norm_fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("raw_md5").cast("bigint").alias("n_raw_variants"),
+        )
+    )

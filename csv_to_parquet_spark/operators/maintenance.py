@@ -282,3 +282,54 @@ def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "event_type", "valid_from", "valid_to")
+
+
+@CAT.query(
+    "maintenance_gdpr_erase",
+    oracle="""
+    WITH e AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(COUNT(e.c_custkey) AS BIGINT) AS n_erased,
+           CAST(COUNT(*) - COUNT(e.c_custkey) AS BIGINT) AS n_after
+    FROM orders o LEFT JOIN e ON o.o_custkey = e.c_custkey
+    GROUP BY o_orderstatus
+    """,
+)
+def maintenance_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure audit: given an erasure-request
+    key set (deterministic stand-in: custkeys ≡ 0 mod 97), report per
+    order status how many fact rows existed, how many the erasure
+    removes, and how many survive — the compliance report a pipeline
+    emits BEFORE rewriting files. The actual rewrite is the kept-rows
+    filter (``n_after`` side) written back partition-by-partition; at
+    100 TB you only rewrite partitions that contain at least one hit,
+    which is exactly what the per-key counts identify.
+
+    Plan: one left join of the fact table against the erasure key set
+    and one aggregation. The erasure frame is keyed on the dimension
+    key with no broadcast hint — request lists are usually tiny and
+    AQE will broadcast them when they are, but nothing breaks when a
+    regulator-scale list arrives (same posture as the ADVICE fix in
+    ``basket_association_rules``); counting ``e.c_custkey`` after a
+    left join gives kept/erased in the same pass as the totals, so
+    the fact table is scanned once."""
+    erase = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey"
+    )
+    return (
+        orders.join(erase, orders.o_custkey == erase.c_custkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.count("c_custkey").alias("n_erased"),
+            (F.count(F.lit(1)) - F.count("c_custkey"))
+            .cast("bigint")
+            .alias("n_after"),
+        )
+    )

@@ -1437,3 +1437,106 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "per_token_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking — FastCDC-style boundaries over token streams
+
+_CDC_MOD = 16  # expected chunk length = _CDC_MOD tokens (geometric)
+_CDC_PAIRS_SQL = shingles_sql(_TOKS_SQL, 2)
+
+
+@CAT.query(
+    "text_cdc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks, {_CDC_PAIRS_SQL} AS pairs
+      FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             list_filter(range(1, len(pairs) + 1),
+                         i -> ({md5_60_sql("pairs[i]")}) % {_CDC_MOD} = 0)
+               AS bounds
+      FROM t)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(bounds) + 1 AS BIGINT) AS n_chunks,
+           CAST(COALESCE(bounds[1], 0) AS BIGINT) AS first_boundary
+    FROM b
+    """,
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync family): a chunk
+    boundary falls BEFORE token i+1 wherever the rolling fingerprint
+    of the token pair (i, i+1) hits 0 mod {_CDC_MOD}, giving
+    geometric chunks of ~{_CDC_MOD} tokens whose frames move WITH the
+    content — an insertion early in a document shifts only the chunk
+    it lands in, unlike fixed-offset windows where every downstream
+    frame changes. This is the primitive under chunk-level dedup and
+    incremental corpus sync: chunk fingerprints from yesterday's
+    corpus still match today's except around the edit.
+
+    Emits per doc the token count, chunk count, and first boundary
+    position (0 = unchunked doc) — the audit a pipeline uses to size
+    its chunk store. Plan: a single narrow codegen'd projection
+    (tokenize → pair shingles → filter over an index sequence); no
+    explode, no shuffle, no Python. At 100 TB it is pure map work
+    over parquet splits."""
+    toks = tokenize("text")
+    pairs = shingles(toks, 2)
+    bounds = F.filter(
+        F.sequence(F.lit(1), F.size(pairs)),
+        lambda i: md5_60(F.element_at(pairs, i)) % _CDC_MOD == 0,
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(bounds) + 1).cast("bigint").alias("n_chunks"),
+        F.coalesce(F.try_element_at(bounds, F.lit(1)), F.lit(0))
+        .cast("bigint")
+        .alias("first_boundary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick bag-of-words features
+
+_HBOW_BUCKETS = 64
+
+
+@CAT.query(
+    "feat_hashed_bow",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+    SELECT doc_id,
+           ({md5_60_sql("tok")}) % {_HBOW_BUCKETS} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM occ GROUP BY doc_id, bucket
+    """,
+)
+def feat_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words (fastText/Vowpal-Wabbit input
+    encoding): every token maps to bucket = fingerprint mod
+    {_HBOW_BUCKETS} with NO vocabulary pass — the feature space is
+    fixed before the data is seen, so featurization is one pass,
+    embarrassingly parallel, and identical across training runs and
+    engines. Collisions are the accepted trade (two tokens sharing a
+    bucket); the bucket count is the knob.
+
+    Emits the sparse (doc_id, bucket, count) triplets a linear
+    classifier or quality-scoring model consumes. Plan: explode →
+     60-bit fingerprint map-side → groupBy (doc_id, bucket) with
+    map-side partial aggregation; the exchange ships only long
+    triplets, bounded by docs × {_HBOW_BUCKETS} regardless of token
+    volume. No vocabulary broadcast, no Python."""
+    occ = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokenize("text")).alias("tok")
+    )
+    return (
+        occ.select(
+            "doc_id", (md5_60(F.col("tok")) % _HBOW_BUCKETS).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

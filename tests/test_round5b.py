@@ -1,0 +1,104 @@
+"""Invariant tests for the round-5 second-wave operators.
+
+The oracle-parity suite proves cross-engine value equality; these pin
+the SEMANTIC invariants each operator promises — on synthetic frames
+engineered to exercise behavior the near-uniform testdata corpus
+cannot (e.g. documents that only collapse after normalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_normalized_dedup_collapses_case_punct_stopwords(spark, sf_smoke, tmp_path):
+    """Docs differing only in casing, punctuation, or stopwords must
+    share a norm_fp; docs with different content words must not."""
+    from csv_to_parquet_spark.operators import dedup
+
+    rows = [
+        (1, "Spark shuffles the data, fast!"),
+        (2, "spark shuffles a data fast"),  # stopword/case/punct variant
+        (3, "SPARK   shuffles -- data;; fast"),  # whitespace/punct variant
+        (4, "spark shuffles data slowly"),  # different content word
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    # route through a staged parquet dir so _docs() sees the same shape
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    out = dedup.dedup_normalized_exact(spark, str(tmp_path)).collect()
+    by_fp = {r.norm_fp: r for r in out}
+    assert len(by_fp) == 2, f"expected 2 normalized groups, got {out}"
+    big = max(by_fp.values(), key=lambda r: r.n_docs)
+    assert big.n_docs == 3 and big.keep_doc_id == 1
+    assert big.n_raw_variants == 3  # three distinct raw texts collapsed
+
+
+def test_cdc_chunks_boundaries_are_content_defined(spark, sf_smoke, tmp_path):
+    """The defining CDC property: an edit at the head of a document
+    must NOT move chunk boundaries in the unedited tail (they are
+    content-anchored), whereas fixed-offset windows would shift all
+    of them."""
+    from csv_to_parquet_spark.operators import textops
+
+    base = "alpha beta gamma delta " * 30  # long shared tail
+    rows = [(1, "zzz yyy " + base), (2, "qqq " + base)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    out = {r.doc_id: r for r in textops.text_cdc_chunks(spark, str(tmp_path)).collect()}
+    # same boundary pairs exist in the shared tail: chunk counts differ
+    # by at most the head perturbation (the head adds/removes at most
+    # one boundary), never proportionally to document length
+    assert abs(out[1].n_chunks - out[2].n_chunks) <= 1
+    # determinism: identical text -> identical chunking
+    again = {
+        r.doc_id: r for r in textops.text_cdc_chunks(spark, str(tmp_path)).collect()
+    }
+    assert {(r.n_tokens, r.n_chunks) for r in out.values()} == {
+        (r.n_tokens, r.n_chunks) for r in again.values()
+    }
+
+
+def test_hashed_bow_is_vocabulary_free_and_bounded(spark, sf_smoke):
+    """Buckets are in [0, 64); per-doc bucket totals reconstruct the
+    doc's token count (no token lost to the hashing trick)."""
+    from csv_to_parquet_spark.operators import textops
+
+    bow = textops.feat_hashed_bow(spark, sf_smoke)
+    agg = bow.agg(
+        F.min("bucket").alias("mn"),
+        F.max("bucket").alias("mx"),
+        F.sum("n").alias("total"),
+    ).collect()[0]
+    assert 0 <= agg.mn and agg.mx < 64
+    toks = textops.text_token_counts(spark, sf_smoke).agg(
+        F.sum("n_ws_tokens").alias("t")
+    ).collect()[0]
+    assert agg.total == toks.t
+
+
+def test_gdpr_erase_counts_are_consistent(spark, sf_smoke):
+    """n_before = n_erased + n_after per status, and every erased
+    order belongs to a requested key."""
+    from csv_to_parquet_spark.operators import maintenance
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    rep = maintenance.maintenance_gdpr_erase(spark, sf_smoke).collect()
+    assert rep and all(r.n_before == r.n_erased + r.n_after for r in rep)
+    orders = load_table(spark, sf_smoke, "orders")
+    expected_erased = orders.filter(F.col("o_custkey") % 97 == 0).count()
+    assert sum(r.n_erased for r in rep) == expected_erased
+
+
+def test_fixed_width_scan_is_typed_and_splittable_text(spark, sf_smoke):
+    """Read-back schema is fully typed (no strings-for-numbers) and
+    row count matches the staged table."""
+    from csv_to_parquet_spark.operators import formats
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    df = formats.source_fixed_width_scan(spark, sf_smoke)
+    types = dict(df.dtypes)
+    assert types["c_custkey"] == "bigint"
+    assert types["c_acctbal"] == "double"
+    assert df.count() == load_table(spark, sf_smoke, "customer").count()
