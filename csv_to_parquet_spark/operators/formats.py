@@ -423,3 +423,48 @@ def source_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, start, length, typ in _FW_COLS
         ]
     )
+
+
+@CAT.query(
+    "source_multiline_csv_scan",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def source_multiline_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-newline CSV ingestion: a field containing embedded line
+    breaks (free-text exports, address blocks) is legal CSV when
+    quoted, but a naive line-splitting reader shreds it. Spark's
+    ``multiLine=true`` parses records across line boundaries; this
+    stages documents with a synthetic two-line quoted field
+    (lang\\nsource), reads it back in multiLine mode, and splits the
+    field to prove byte-exact embedded-newline preservation.
+
+    Scale contract (the reason multiLine is opt-in): a multiLine CSV
+    file is NOT splittable — record boundaries can no longer be found
+    by scanning for newlines, so one file = one task, exactly like
+    ``source_gzip_csv_scan``'s codec ceiling. Bulk drops must arrive
+    as many moderate files; the default line-mode reader stays the
+    fast path for newline-free data. (The reference's Go reader,
+    converter/converter.go:349-356, delegates the same cases to
+    encoding/csv's quote handling.)"""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_STAGE, f"documents_ml_{tag}.csvdir")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat_ws("\n", "lang", "source").alias("ml_field"),
+            "n_chars",
+        ).write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("doc_id BIGINT, ml_field STRING, n_chars BIGINT")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return back.select(
+        "doc_id",
+        F.substring_index("ml_field", "\n", 1).alias("lang"),
+        F.substring_index("ml_field", "\n", -1).alias("source"),
+        "n_chars",
+    )

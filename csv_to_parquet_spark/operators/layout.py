@@ -322,3 +322,75 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@CAT.query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_date, event_type
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse backfill primitive:
+    ``mode("overwrite")`` with ``partitionOverwriteMode=dynamic``
+    replaces ONLY the partitions present in the incoming batch and
+    leaves every other partition's files untouched, which is how a
+    daily pipeline re-runs one bad day without rewriting (or even
+    listing) the other ~36,499 day partitions of a 100 TB table.
+    Static overwrite mode — the default — would truncate the whole
+    table first; the difference is the entire point of this entry.
+
+    Proof shape: the base write deliberately corrupts the earliest
+    day's counts (+1000), then a second write containing ONLY that
+    day's correct rows overwrites in dynamic mode. The read-back
+    equals the clean aggregation iff (a) the corrupted partition was
+    replaced and (b) no other partition was touched — both failure
+    modes (static truncation, no-op append) diverge from the oracle.
+
+    Scale: the repair batch is one partition's aggregation; the
+    overwrite's cost is proportional to the DIRTY data, not the
+    table. The only driver-side value is the 1-row min-date scalar
+    (bounded collect, house convention)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_WAREHOUSE, f"daily_counts_{tag}")
+    # NOT the writer's _SUCCESS: that lands after the FIRST (corrupted)
+    # write, so a crash between the two writes would leave a staged
+    # fixture that looks done but was never repaired. The marker is
+    # written by us, strictly after the dynamic-overwrite repair.
+    done = os.path.join(path, "_REPAIR_DONE")
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("event_date"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    if not os.path.exists(done):
+        first_day = agg.agg(F.min("event_date")).collect()[0][0]
+        corrupted = agg.withColumn(
+            "n_events",
+            F.when(
+                F.col("event_date") == F.lit(first_day),
+                F.col("n_events") + 1000,
+            ).otherwise(F.col("n_events")),
+        )
+        corrupted.write.mode("overwrite").partitionBy("event_date").parquet(path)
+        # the repair: only the bad day's rows, dynamic overwrite
+        (
+            agg.filter(F.col("event_date") == F.lit(first_day))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    back = spark.read.parquet(path)
+    return back.select(
+        F.col("event_date").cast("date").alias("event_date"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -102,3 +102,52 @@ def test_fixed_width_scan_is_typed_and_splittable_text(spark, sf_smoke):
     assert types["c_custkey"] == "bigint"
     assert types["c_acctbal"] == "double"
     assert df.count() == load_table(spark, sf_smoke, "customer").count()
+
+
+def test_multiline_fixture_really_embeds_newlines(spark, sf_smoke):
+    """The staged CSV must contain quoted embedded newlines: a naive
+    line-mode read shreds records (more raw lines than documents),
+    while the multiLine read reassembles exactly one row per doc."""
+    import os
+    import tempfile
+
+    from csv_to_parquet_spark.operators import formats
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert formats.source_multiline_csv_scan(spark, sf_smoke).count() == n_docs
+    tag = os.path.basename(os.path.normpath(sf_smoke)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), "csv2pq_formats", f"documents_ml_{tag}.csvdir"
+    )
+    raw_lines = spark.read.text(path).count()
+    assert raw_lines > n_docs  # embedded newlines shred a line-mode read
+
+
+def test_dynamic_overwrite_preserves_untouched_partitions(spark, sf_smoke):
+    """The repair batch contains one day, yet every day's partition
+    directory must survive on disk — static overwrite mode would have
+    truncated the others."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_spark.operators import layout
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    out = layout.sink_dynamic_partition_overwrite(spark, sf_smoke)
+    n_days = out.select("event_date").distinct().count()
+    expected_days = (
+        load_table(spark, sf_smoke, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert n_days == expected_days > 1
+    tag = os.path.basename(os.path.normpath(sf_smoke)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), "csv2pq_warehouse", f"daily_counts_{tag}"
+    )
+    part_dirs = [d for d in os.listdir(path) if d.startswith("event_date=")]
+    assert len(part_dirs) == expected_days
