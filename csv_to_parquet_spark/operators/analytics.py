@@ -1672,3 +1672,66 @@ def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("s div n_events").cast("bigint").alias("entropy_micro"),
         )
     )
+
+
+@CAT.query(
+    "agg_weighted_median_cents",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_returnflag,
+             {cents_sql("l_extendedprice")} AS v,
+             CAST(ROUND(l_quantity) AS BIGINT) AS w
+      FROM lineitem),
+    c AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM t)
+    SELECT l_returnflag,
+           MIN(v) FILTER (WHERE 2 * cum >= tot) AS weighted_median_cents,
+           CAST(MIN(tot) AS BIGINT) AS total_weight
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group WEIGHTED median — the statistic behind "the
+    median unit price, weighted by units sold", which plain
+    percentile_approx can neither weight nor make exact. Lower
+    weighted median: the smallest value v whose cumulative weight
+    reaches half the group total. All math is integer (price cents,
+    integral quantities), so the result is bit-identical across
+    engines and partition orders.
+
+    Plan: one hash exchange on the group key, a RANGE-frame running
+    sum inside each partition (the RANGE frame makes every tie row
+    carry the full tie-group weight — no row-order dependence), then
+    the conditional-min aggregation reuses the same partitioning, so
+    the whole operator is ONE shuffle. At 100 TB the per-group sort
+    is the cost; groups are the coarse return-flag classes here, so
+    a production run over finer keys relies on the same shape with
+    per-key sorts sized by the group, not the table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("v"),
+        F.round("l_quantity").cast("bigint").alias("w"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))).alias(
+            "weighted_median_cents"
+        ),
+        F.min("tot").cast("bigint").alias("total_weight"),
+    )

@@ -417,3 +417,64 @@ def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("encoded_cents"),
     )
+
+
+@CAT.query(
+    "quality_filter_attribution",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents),
+    s AS (
+      SELECT CASE
+               WHEN len(toks) < {_MIN_TOKENS} THEN 'min_tokens'
+               WHEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         AS DOUBLE) / nc < {_MIN_ALPHA} THEN 'alpha_ratio'
+               WHEN CAST(len(list_filter(toks,
+                         x -> lower(x) IN ({_STOP_SQL}))) AS DOUBLE)
+                    / len(toks) < {_MIN_STOP} THEN 'stopword_ratio'
+               ELSE 'kept'
+             END AS drop_rule
+      FROM t)
+    SELECT drop_rule, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY drop_rule
+    """,
+)
+def quality_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule drop attribution for the cleaning cascade — the report
+    that tells a pipeline operator WHY documents die, not just how
+    many survive. Each doc is attributed to the FIRST failing rule in
+    the cascade's fixed order (min_tokens → alpha_ratio →
+    stopword_ratio), matching how ``pipeline_corpus_clean`` would
+    short-circuit; 'kept' rows pass every gate. When a filter change
+    tanks corpus yield, this table is the diff you read first.
+
+    Plan: the same one-scan fused projection as the cleaning pipeline
+    — all three rule expressions are codegen'd into a single CASE,
+    and the only exchange is the 4-row groupBy. At 100 TB this is a
+    map-side-combined count per rule label: the report costs one scan
+    regardless of corpus size."""
+    toks = tokenize("text")
+    n_chars = F.length("text").cast("bigint")
+    stop_re = r"\s(?:" + "|".join(_STOPWORDS) + r")(?=\s)"
+    stop_hits = F.regexp_count(
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")), F.lit(stop_re)
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / n_chars
+    )
+    stage = (
+        F.when(F.size(toks) < _MIN_TOKENS, "min_tokens")
+        .when(alpha_ratio < _MIN_ALPHA, "alpha_ratio")
+        .when(stop_hits.cast("double") / F.size(toks) < _MIN_STOP, "stopword_ratio")
+        .otherwise("kept")
+        .alias("drop_rule")
+    )
+    return (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select(stage)
+        .groupBy("drop_rule")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -151,3 +151,40 @@ def test_dynamic_overwrite_preserves_untouched_partitions(spark, sf_smoke):
     )
     part_dirs = [d for d in os.listdir(path) if d.startswith("event_date=")]
     assert len(part_dirs) == expected_days
+
+
+def test_weighted_median_definition_on_known_frame(spark, tmp_path):
+    """Pin the lower-weighted-median definition on a hand-checkable
+    frame: values [10,20,30] with weights [1,1,10] -> median 30
+    (cum: 1,2,12 vs total 12, first 2*cum>=12 at v=30); equal
+    weights [1,1,1] -> middle value 20."""
+    from csv_to_parquet_spark.operators import analytics
+
+    li = spark.createDataFrame(
+        [("A", 0.10, 1.0), ("A", 0.20, 1.0), ("A", 0.30, 10.0),
+         ("B", 0.10, 1.0), ("B", 0.20, 1.0), ("B", 0.30, 1.0)],
+        "l_returnflag STRING, l_extendedprice DOUBLE, l_quantity DOUBLE",
+    )
+    path = str(tmp_path / "lineitem.parquet")
+    li.write.parquet(path)
+    out = {
+        r.l_returnflag: r
+        for r in analytics.agg_weighted_median_cents(spark, str(tmp_path)).collect()
+    }
+    assert out["A"].weighted_median_cents == 30 and out["A"].total_weight == 12
+    assert out["B"].weighted_median_cents == 20 and out["B"].total_weight == 3
+
+
+def test_filter_attribution_partitions_the_corpus(spark, sf_smoke):
+    """Every document lands in exactly one attribution bucket, and the
+    'kept' count equals the cleaning pipeline's pre-dedup survivors."""
+    from csv_to_parquet_spark.operators import pipelines
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    rep = {
+        r.drop_rule: r.n_docs
+        for r in pipelines.quality_filter_attribution(spark, sf_smoke).collect()
+    }
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(rep.values()) == n_docs
+    assert rep.get("kept", 0) > 0
