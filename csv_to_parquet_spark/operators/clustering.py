@@ -622,3 +622,87 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed Gram matrix — the covariance/PCA building block
+
+_GRAM_Q = 1_000_000  # micro-unit quantization: exact integer products
+
+
+@CAT.query(
+    "embedding_gram_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * {_GRAM_Q})
+                                      AS BIGINT)) AS qe
+      FROM embeddings),
+    cells AS (
+      SELECT i.i AS i, j.j AS j, qe[i.i] * qe[j.j] AS prod
+      FROM q,
+           LATERAL (SELECT unnest(range(1, len(qe) + 1)) AS i) i,
+           LATERAL (SELECT unnest(range(1, len(qe) + 1)) AS j) j
+      WHERE j.j >= i.i)
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(SUM(prod) AS BIGINT) AS gram_micro2
+    FROM cells GROUP BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Gram matrix Xᵀ X over the embedding corpus —
+    the one distributed pass behind covariance, PCA, whitening, and
+    least-squares normal equations. Embeddings are quantized to
+    integer micro-units so every engine and every partition-merge
+    order produces bit-identical sums (the same determinism
+    convention as ``cents()``; a double Σxᵢxⱼ would drift).
+
+    Scale shape — the part that matters at 100 TB: each Arrow batch
+    crosses to numpy ONCE and emits its 64×64 PARTIAL Gram as ≤2,080
+    upper-triangle triplets (one ``X.T @ X`` BLAS call per batch, not
+    64² work per row in codegen), so the shuffle carries
+    (partitions × 2,080) rows no matter how many vectors exist; the
+    final groupBy reduces partials. The d×d result is bounded by the
+    DIMENSION, never the corpus — the driver can then eigensolve the
+    4 KB matrix locally, which is the honest production division of
+    labor (distributed accumulation, local spectral step).
+
+    Overflow bound: |q|≤2²⁰-ish micro-units ⇒ per-row product ≤2⁴⁰;
+    int64 partials are safe to ~2²³ rows per batch and the BIGINT
+    final sum to ~2²³ batches; past that, promote the final
+    aggregation to decimal(38,0) exactly as ``corr_exact_value_k``
+    does (`analytics.py`). 1-based (i, j), upper triangle (j ≥ i).
+    """
+    import numpy as np  # vectorized batch math only — never per row
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            scaled = (
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * _GRAM_Q
+            )
+            # half-away-from-zero, matching SQL ROUND (np.rint would
+            # bankers-round and drift on exact .5 boundaries)
+            x = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+                np.int64
+            )
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu + 1, "j": ju + 1, "part": acc[iu, ju]}
+        )
+
+    partials = emb.mapInPandas(gram_partials, "i BIGINT, j BIGINT, part BIGINT")
+    return partials.groupBy("i", "j").agg(
+        F.sum("part").cast("bigint").alias("gram_micro2")
+    )

@@ -188,3 +188,37 @@ def test_filter_attribution_partitions_the_corpus(spark, sf_smoke):
     n_docs = load_table(spark, sf_smoke, "documents").count()
     assert sum(rep.values()) == n_docs
     assert rep.get("kept", 0) > 0
+
+
+def test_gram_matrix_exact_on_known_vectors(spark, tmp_path):
+    """Hand-checkable Gram: X = [[1,2],[3,4]] in micro-units ->
+    XtX = [[10,14],[14,20]] (x 1e12 for the quantization square)."""
+    from csv_to_parquet_spark.operators import clustering
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0], 0), (1, [3.0, 4.0], 0)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    emb.write.parquet(path)
+    out = {
+        (r.i, r.j): r.gram_micro2
+        for r in clustering.embedding_gram_matrix(spark, str(tmp_path)).collect()
+    }
+    unit = 10**12  # (1e6 quantization)^2
+    assert out == {
+        (1, 1): 10 * unit,
+        (1, 2): 14 * unit,
+        (2, 2): 20 * unit,
+    }
+
+
+def test_gram_matrix_shape_and_diagonal(spark, sf_smoke):
+    """Upper triangle of a 64-dim Gram = 2080 cells; diagonals are
+    sums of squares, hence non-negative."""
+    from csv_to_parquet_spark.operators import clustering
+
+    rows = clustering.embedding_gram_matrix(spark, sf_smoke).collect()
+    assert len(rows) == 64 * 65 // 2
+    assert all(r.gram_micro2 >= 0 for r in rows if r.i == r.j)
+    assert all(r.j >= r.i for r in rows)
