@@ -98,6 +98,10 @@ HEADLINE = [
     "graph_bfs_reachability",
     "feat_target_encoding",
     "embedding_prefix_rank_audit",
+    # round-5 second wave
+    "embedding_gram_matrix",
+    "text_cdc_chunks",
+    "agg_weighted_median_cents",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

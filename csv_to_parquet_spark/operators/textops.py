@@ -1484,9 +1484,18 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     over parquet splits."""
     toks = tokenize("text")
     pairs = shingles(toks, 2)
+    # index-aware transform: each pair is hashed exactly ONCE. The
+    # tempting `filter(sequence(1, size(pairs)), i ->
+    # hash(element_at(pairs, i)))` form re-evaluates the whole
+    # shingle-array expression per index after CollapseProject inlines
+    # it -- O(n^2) per document, measured 7.6 s vs 0.6 s at sf0.1
+    # (the same blowup class the winnowing operator hit in round 4).
     bounds = F.filter(
-        F.sequence(F.lit(1), F.size(pairs)),
-        lambda i: md5_60(F.element_at(pairs, i)) % _CDC_MOD == 0,
+        F.transform(
+            pairs,
+            lambda p, i: F.when(md5_60(p) % _CDC_MOD == 0, i + 1),
+        ),
+        lambda x: x.isNotNull(),
     )
     return _docs(spark, sf_dir).select(
         "doc_id",
