@@ -222,3 +222,32 @@ def test_gram_matrix_shape_and_diagonal(spark, sf_smoke):
     assert len(rows) == 64 * 65 // 2
     assert all(r.gram_micro2 >= 0 for r in rows if r.i == r.j)
     assert all(r.j >= r.i for r in rows)
+
+
+def test_pca_power_iter_finds_dominant_direction(spark, tmp_path):
+    """On a corpus with one dominant axis, the power-iteration
+    projection must rank vectors by their dominant-axis coordinate —
+    the defining property of PC1 (sign of the direction is
+    arbitrary, so compare by absolute rank order)."""
+    import numpy as np
+
+    from csv_to_parquet_spark.operators import clustering
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        v = rng.normal(0, 0.02, 8)
+        v[0] = (i - 30) * 0.1  # dominant spread on axis 0
+        rows.append((i, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    emb.write.parquet(path)
+    out = clustering.embedding_pca_power_iter(spark, str(tmp_path)).collect()
+    proj = {r.vec_id: r.proj_micro for r in out}
+    axis0 = {i: rows[i][1][0] for i in range(60)}
+    order_by_proj = sorted(proj, key=lambda k: proj[k])
+    order_by_axis = sorted(axis0, key=lambda k: axis0[k])
+    # PC1 order equals axis-0 order (or its exact reverse)
+    assert order_by_proj in (order_by_axis, order_by_axis[::-1])
