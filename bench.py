@@ -11,7 +11,7 @@ materialization.
 
 Methodology: each query is executed once untimed, then timed on the
 second full execution; entries whose second execution still takes
->= 1.5 s get one more timed execution and report the min (iterative
+>= 1.0 s get up to two more timed executions and report the min (iterative
 multi-job pipelines pay residual JIT/GC beyond run two — min-of-2
 is the steady-state number that scales with bytes). The first execution of any plan pays one-time
 session costs that are O(1) per query *shape*, not per byte — janino
@@ -147,7 +147,7 @@ def main() -> int:
         t0 = time.perf_counter()
         run_once(fn)
         t = time.perf_counter() - t0
-        if t >= 1.5:
+        if t >= 1.0:
             # Iterative multi-job queries (connected components, the
             # LSH pipelines) still pay residual JIT/GC on their second
             # execution: measured 3.5 s -> 2.3 s steady state for CC
@@ -155,8 +155,8 @@ def main() -> int:
             # passes, take the min, stop once two runs agree within
             # 20% — the amortized per-byte cost is what scales to
             # 100 TB; one-time JVM cost (and one-off host stalls on a
-            # shared VM) do not. Bounded: only entries >= 1.5 s
-            # re-run (~15-30 s total extra).
+            # shared VM) do not. Bounded: only entries >= 1.0 s
+            # re-run (~20-40 s total extra).
             for _ in range(2):
                 t0 = time.perf_counter()
                 run_once(fn)

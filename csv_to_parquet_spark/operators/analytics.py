@@ -1735,3 +1735,100 @@ def agg_weighted_median_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("tot").cast("bigint").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition — exact integer variant
+
+_SEAS_HALF = 5  # centered 11-month moving-average trend window
+
+
+@CAT.query(
+    "orders_seasonal_decompose",
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS ym,
+             CAST(SUM({cents_sql("o_totalprice")}) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY ym),
+    tr AS (
+      SELECT ym, revenue_cents,
+             CASE WHEN COUNT(*) OVER w = {2 * _SEAS_HALF + 1}
+                  THEN SUM(revenue_cents) OVER w // {2 * _SEAS_HALF + 1}
+             END AS trend_cents
+      FROM m
+      WINDOW w AS (ORDER BY ym
+                   ROWS BETWEEN {_SEAS_HALF} PRECEDING
+                            AND {_SEAS_HALF} FOLLOWING)),
+    s AS (
+      SELECT month(ym) AS moy,
+             SUM(revenue_cents - trend_cents) AS dev_sum,
+             COUNT(*) AS n
+      FROM tr WHERE trend_cents IS NOT NULL GROUP BY moy)
+    SELECT CAST(tr.ym AS DATE) AS ym, tr.revenue_cents, tr.trend_cents,
+           CAST(CASE WHEN s.dev_sum < 0
+                     THEN -((-s.dev_sum) // s.n)
+                     ELSE s.dev_sum // s.n END AS BIGINT) AS seasonal_cents
+    FROM tr JOIN s ON month(tr.ym) = s.moy
+    """,
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue —
+    trend = centered 11-month moving average (NULL at the series
+    edges where the window is partial), seasonal index = per
+    month-of-year mean deviation from trend. The moving-average +
+    month-index construction is the textbook decomposition
+    (Kendall/Stuart); divisions are sign-symmetric integer cents so
+    both engines agree to the bit — no float smoothing.
+
+    Scale shape worth stating precisely: the UNPARTITIONED window
+    runs AFTER the monthly aggregation, on a series whose length is
+    months-of-history — ~1,200 rows for a century of data — so the
+    single-partition sort is bounded by calendar time, never by the
+    fact table; the only full-data work is the one groupBy(month)
+    exchange. The 12-row seasonal index joins back broadcast. The
+    decomposition is over OBSERVED months (a wholly-absent month
+    shortens the series identically in both engines)."""
+    win = 2 * _SEAS_HALF + 1
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("ym"))
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.orderBy("ym").rowsBetween(-_SEAS_HALF, _SEAS_HALF)
+    tr = m.select(
+        "ym",
+        "revenue_cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == win,
+            F.expr(f"sum(revenue_cents) over (order by ym rows between "
+                   f"{_SEAS_HALF} preceding and {_SEAS_HALF} following) "
+                   f"div {win}"),
+        ).alias("trend_cents"),
+    )
+    s = (
+        tr.filter(F.col("trend_cents").isNotNull())
+        .groupBy(F.month("ym").alias("moy"))
+        .agg(
+            F.sum(F.col("revenue_cents") - F.col("trend_cents")).alias("dev_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "moy",
+            F.when(
+                F.col("dev_sum") < 0,
+                -F.expr("(-dev_sum) div n"),
+            )
+            .otherwise(F.expr("dev_sum div n"))
+            .cast("bigint")
+            .alias("seasonal_cents"),
+        )
+    )
+    return (
+        tr.join(F.broadcast(s), F.month(tr.ym) == s.moy)
+        .select(
+            F.col("ym").cast("date").alias("ym"),
+            "revenue_cents",
+            "trend_cents",
+            "seasonal_cents",
+        )
+    )

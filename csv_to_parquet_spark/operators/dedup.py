@@ -1594,3 +1594,73 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("raw_md5").cast("bigint").alias("n_raw_variants"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-document chain detection — shard-boundary artifacts
+
+_SPLIT_K = 8  # boundary fingerprint width in tokens
+
+
+@CAT.query(
+    "dedup_split_doc_chains",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS n_toks,
+             {md5_60_sql(f"array_to_string(toks[1:{_SPLIT_K}], ' ')")}
+               AS head_fp,
+             {md5_60_sql(
+                 f"array_to_string(toks[len(toks) - {_SPLIT_K - 1}:"
+                 f"len(toks)], ' ')"
+             )} AS tail_fp
+      FROM t WHERE len(toks) >= {_SPLIT_K}),
+    j AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM f a JOIN f b ON a.tail_fp = b.head_fp
+      WHERE a.doc_id <> b.doc_id)
+    SELECT doc_a, doc_b FROM j
+    """,
+)
+def dedup_split_doc_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document detection: doc A's last {_SPLIT_K} tokens equal
+    doc B's first {_SPLIT_K} — the signature of one source document
+    sharded across crawl records or shard boundaries (the overlap
+    region is duplicated at the cut). Pipelines re-join such chains
+    before training; chains also inflate n-gram counts and leak
+    "unique" spans across train/eval splits, so the audit matters
+    even when no re-join happens.
+
+    Plan: one narrow projection computes a 60-bit head and tail
+    fingerprint per doc (payload text never leaves the map side),
+    then a single self-equi-join on tail_fp = head_fp — shuffled by
+    fingerprint, so matching costs are bounded by boundary-collision
+    cardinality, never n². Docs shorter than {_SPLIT_K} tokens can't
+    carry a full boundary signature and are excluded in both
+    engines."""
+    toks = tokenize("text")
+    f = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _SPLIT_K)
+        .select(
+            "doc_id",
+            md5_60(F.array_join(F.slice("toks", 1, _SPLIT_K), " ")).alias(
+                "head_fp"
+            ),
+            md5_60(
+                F.array_join(
+                    F.slice("toks", -_SPLIT_K, _SPLIT_K), " "
+                )
+            ).alias("tail_fp"),
+        )
+    )
+    a = f.select(F.col("doc_id").alias("doc_a"), "tail_fp")
+    b = f.select(F.col("doc_id").alias("doc_b"), F.col("head_fp").alias("tail_fp"))
+    return a.join(b, "tail_fp").filter(F.col("doc_a") != F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )

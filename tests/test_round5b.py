@@ -251,3 +251,58 @@ def test_pca_power_iter_finds_dominant_direction(spark, tmp_path):
     order_by_axis = sorted(axis0, key=lambda k: axis0[k])
     # PC1 order equals axis-0 order (or its exact reverse)
     assert order_by_proj in (order_by_axis, order_by_axis[::-1])
+
+
+def test_split_doc_chains_detects_shard_overlap(spark, tmp_path):
+    """Doc 1's trailing 8 tokens repeated as doc 2's leading 8 tokens
+    (the shard-overlap signature) must produce exactly the (1, 2)
+    chain edge; unrelated docs stay unmatched."""
+    from csv_to_parquet_spark.operators import dedup
+
+    overlap = "o1 o2 o3 o4 o5 o6 o7 o8"
+    rows = [
+        (1, "a b c d e f g h i j " + overlap),
+        (2, overlap + " k l m n p q r s t"),
+        (3, "z y x w v u t s r q p o n m"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_split_doc_chains(spark, str(tmp_path)).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_seasonal_decompose_recovers_planted_seasonality(spark, tmp_path):
+    """Three years of flat monthly revenue with a December bump: the
+    December seasonal index must exceed every other month's, and the
+    trend must be NULL exactly at the 5-month series edges."""
+    import datetime
+
+    from csv_to_parquet_spark.operators import analytics
+
+    rows = []
+    k = 0
+    for year in (2020, 2021, 2022):
+        for month in range(1, 13):
+            amount = 1000.0 + (500.0 if month == 12 else 0.0)
+            rows.append((k, datetime.date(year, month, 15), amount))
+            k += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE"
+    )
+    path = str(tmp_path / "orders.parquet")
+    orders.write.parquet(path)
+    out = analytics.orders_seasonal_decompose(spark, str(tmp_path)).collect()
+    assert len(out) == 36
+    by_ym = sorted(out, key=lambda r: r.ym)
+    for i, r in enumerate(by_ym):
+        if i < 5 or i >= 31:
+            assert r.trend_cents is None
+        else:
+            assert r.trend_cents is not None
+    seasonal = {r.ym.month: r.seasonal_cents for r in out}
+    assert seasonal[12] == max(seasonal.values())
+    assert all(seasonal[12] > v for m, v in seasonal.items() if m != 12)
