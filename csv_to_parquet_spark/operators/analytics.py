@@ -1832,3 +1832,82 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_cents",
         )
     )
+
+
+@CAT.query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day),
+    m AS (
+      SELECT event_type, day, n,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+             SUM(n) OVER (PARTITION BY event_type) AS tot,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS run,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS k
+      FROM d),
+    c AS (
+      SELECT event_type, day,
+             n_days * run - k * tot AS cusum_scaled
+      FROM m)
+    SELECT event_type,
+           MIN(day) FILTER (WHERE ABS(cusum_scaled) =
+             (SELECT MAX(ABS(c2.cusum_scaled)) FROM c c2
+              WHERE c2.event_type = c.event_type)) AS change_day,
+           CAST(MAX(ABS(cusum_scaled)) AS BIGINT) AS peak_cusum_scaled
+    FROM c GROUP BY event_type
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type — the classical
+    level-shift detector: the cumulative sum of deviations from the
+    series mean peaks at the most likely changepoint (Page 1954;
+    the max-|CUSUM| location is the standard single-changepoint
+    estimator). Kept EXACT by scaling instead of dividing: with mean
+    = tot/n_days, n_days·(run_k − k·mean) = n_days·run_k − k·tot is
+    pure BIGINT — no float mean, no rounding, bit-identical engines.
+    Ties on the peak break to the earliest day.
+
+    Scale shape: the daily aggregation is the only full-data
+    exchange; the per-type windows then run over days-of-history
+    rows (calendar-bounded, like ``orders_seasonal_decompose``), and
+    the peak pick is a per-type aggregate. Overflow: n_days·run ≤
+    days·total-events — int64-safe until ~10¹⁴ events per type
+    (promote to decimal(38,0) past that, the
+    ``corr_exact_value_k`` pattern)."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    c = d.select(
+        "event_type",
+        "day",
+        (
+            F.count(F.lit(1)).over(wt)
+            * F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            - F.row_number().over(wo) * F.sum("n").over(wt)
+        ).alias("cusum_scaled"),
+    )
+    peak = c.groupBy("event_type").agg(
+        F.max(F.abs("cusum_scaled")).alias("peak_cusum_scaled")
+    )
+    return (
+        c.join(F.broadcast(peak), "event_type")
+        .filter(F.abs("cusum_scaled") == F.col("peak_cusum_scaled"))
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("change_day"),
+            F.max("peak_cusum_scaled").cast("bigint").alias(
+                "peak_cusum_scaled"
+            ),
+        )
+        .select("event_type", "change_day", "peak_cusum_scaled")
+    )

@@ -306,3 +306,39 @@ def test_seasonal_decompose_recovers_planted_seasonality(spark, tmp_path):
     seasonal = {r.ym.month: r.seasonal_cents for r in out}
     assert seasonal[12] == max(seasonal.values())
     assert all(seasonal[12] > v for m, v in seasonal.items() if m != 12)
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    """A series of 30 flat days with a level shift at day 16 must
+    peak its CUSUM exactly at the last pre-shift day (day 15)."""
+    import datetime
+
+    from csv_to_parquet_spark.operators import analytics
+
+    rows = []
+    eid = 0
+    for day in range(30):
+        n = 2 if day < 15 else 10  # shift after day 15
+        for _ in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 1, 12)
+                    + datetime.timedelta(days=day),
+                    1,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    path = str(tmp_path / "events.parquet")
+    events.write.parquet(path)
+    out = analytics.events_cusum_changepoint(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].change_day == datetime.date(2024, 1, 15)
