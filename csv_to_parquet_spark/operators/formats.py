@@ -468,3 +468,194 @@ def source_multiline_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("ml_field", "\n", -1).alias("source"),
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro source without spark-avro: pure-Python container codec
+#
+# The external spark-avro module is not bundled in this environment
+# (COVERAGE.md); rather than leave the format absent, this implements
+# the Avro 1.11 Object Container File spec (magic "Obj\x01", metadata
+# map, sync-marker-delimited blocks, zigzag-varint primitives —
+# https://avro.apache.org/docs/1.11.1/specification/) directly: a
+# driver-side writer stages fixture files, and the distributed read
+# path is binaryFile + an Arrow-batched mapInPandas decoder.
+
+_AVRO_MAGIC = b"Obj\x01"
+_AVRO_SYNC = bytes(range(16))  # fixed marker: deterministic fixtures
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "customer",
+    "fields": [
+        {"name": "c_custkey", "type": "long"},
+        {"name": "c_name", "type": "string"},
+        {"name": "c_acctbal", "type": "double"},
+        {"name": "c_mktsegment", "type": "string"},
+    ],
+}
+
+
+def _avro_zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _avro_write_file(path: str, rows: list[tuple]) -> None:
+    import json as _json
+    import struct
+
+    def enc_str(s: str) -> bytes:
+        b = s.encode("utf-8")
+        return _avro_zigzag(len(b)) + b
+
+    with open(path, "wb") as f:
+        f.write(_AVRO_MAGIC)
+        meta = {
+            "avro.schema": _json.dumps(_AVRO_SCHEMA).encode(),
+            "avro.codec": b"null",
+        }
+        f.write(_avro_zigzag(len(meta)))
+        for k, v in meta.items():
+            f.write(enc_str(k))
+            f.write(_avro_zigzag(len(v)) + v)
+        f.write(_avro_zigzag(0))  # end of metadata map
+        f.write(_AVRO_SYNC)
+        for i in range(0, len(rows), 200):  # multi-block files
+            chunk = rows[i : i + 200]
+            body = bytearray()
+            for key, name, bal, seg in chunk:
+                body += _avro_zigzag(int(key))
+                body += enc_str(name)
+                body += struct.pack("<d", float(bal))
+                body += enc_str(seg)
+            f.write(_avro_zigzag(len(chunk)))
+            f.write(_avro_zigzag(len(body)))
+            f.write(bytes(body))
+            f.write(_AVRO_SYNC)
+
+
+def _avro_decode_file(buf: bytes) -> list[tuple]:
+    import struct
+
+    assert buf[:4] == _AVRO_MAGIC, "not an Avro object container file"
+    pos = 4
+    # skip the metadata map (count-prefixed key/value runs, 0 ends)
+    while True:
+        n, pos = _avro_read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count is followed by a byte size
+            _size, pos = _avro_read_long(buf, pos)
+        for _ in range(abs(n)):
+            klen, pos = _avro_read_long(buf, pos)
+            pos += klen
+            vlen, pos = _avro_read_long(buf, pos)
+            pos += vlen
+    sync = buf[pos : pos + 16]
+    pos += 16
+    out = []
+    while pos < len(buf):
+        n_rec, pos = _avro_read_long(buf, pos)
+        _n_bytes, pos = _avro_read_long(buf, pos)
+        for _ in range(n_rec):
+            key, pos = _avro_read_long(buf, pos)
+            slen, pos = _avro_read_long(buf, pos)
+            name = buf[pos : pos + slen].decode("utf-8")
+            pos += slen
+            (bal,) = struct.unpack_from("<d", buf, pos)
+            pos += 8
+            slen, pos = _avro_read_long(buf, pos)
+            seg = buf[pos : pos + slen].decode("utf-8")
+            pos += slen
+            out.append((key, name, bal, seg))
+        assert buf[pos : pos + 16] == sync, "sync marker mismatch"
+        pos += 16
+    return out
+
+
+@CAT.query(
+    "source_avro_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+)
+def source_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ingestion WITHOUT the spark-avro module: customer staged
+    as 4 spec-compliant Object Container Files (zigzag-varint longs,
+    length-prefixed UTF-8 strings, little-endian doubles, null codec,
+    sync-delimited 200-record blocks), read back distributed via
+    ``binaryFile`` + a mapInPandas decoder — one Python crossing per
+    FILE, never per record.
+
+    Scale contract: Avro's sync markers make real files splittable
+    MID-file (spark-avro seeks to the next marker per split); this
+    fallback parallelizes at file granularity instead, which is the
+    same many-moderate-files ingest contract as the gzip source and
+    is how Avro drops arrive in practice (one file per producer
+    flush). With spark-avro deployed, swap this entry's reader for
+    ``spark.read.format("avro")`` — the staged fixtures are valid
+    Avro and serve as the compatibility test. (The staging collect is
+    fixture construction, not the read path — same disclosed-bounded
+    class as the JDBC fixture staging.)"""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    stage_dir = os.path.join(_STAGE, f"customer_avro_{tag}")
+    done = os.path.join(stage_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(stage_dir, exist_ok=True)
+        rows = [
+            (r.c_custkey, r.c_name, r.c_acctbal, r.c_mktsegment)
+            for r in load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+            .collect()
+        ]
+        for i in range(4):
+            _avro_write_file(
+                os.path.join(stage_dir, f"part-{i}.avro"), rows[i::4]
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = _avro_decode_file(bytes(content))
+                yield pd.DataFrame(
+                    recs,
+                    columns=[
+                        "c_custkey",
+                        "c_name",
+                        "c_acctbal",
+                        "c_mktsegment",
+                    ],
+                )
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(stage_dir, "*.avro")
+    )
+    return files.select("content").mapInPandas(
+        decode,
+        "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, "
+        "c_mktsegment STRING",
+    )

@@ -342,3 +342,57 @@ def test_cusum_finds_planted_level_shift(spark, tmp_path):
     out = analytics.events_cusum_changepoint(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0].change_day == datetime.date(2024, 1, 15)
+
+
+def test_avro_fixture_is_spec_compliant_and_multi_block(spark, sf_smoke):
+    """The staged files must carry the Avro magic, a parseable
+    metadata map naming the record schema, and (at sf with >200 rows
+    per file, multiple sync-delimited blocks); the decoder must
+    round-trip every row bit-exactly."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    from csv_to_parquet_spark.operators import formats
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    df = formats.source_avro_scan(spark, sf_smoke)
+    n = load_table(spark, sf_smoke, "customer").count()
+    assert df.count() == n
+    tag = os.path.basename(os.path.normpath(sf_smoke)).replace(".", "_")
+    files = sorted(
+        glob.glob(
+            os.path.join(
+                tempfile.gettempdir(),
+                "csv2pq_formats",
+                f"customer_avro_{tag}",
+                "*.avro",
+            )
+        )
+    )
+    assert len(files) == 4
+    buf = open(files[0], "rb").read()
+    assert buf[:4] == b"Obj\x01"
+    # metadata map must contain the schema with our record name
+    pos = 4
+    n_meta, pos = formats._avro_read_long(buf, pos)
+    metas = {}
+    for _ in range(n_meta):
+        klen, pos = formats._avro_read_long(buf, pos)
+        k = buf[pos : pos + klen].decode()
+        pos += klen
+        vlen, pos = formats._avro_read_long(buf, pos)
+        metas[k] = buf[pos : pos + vlen]
+        pos += vlen
+    assert json.loads(metas["avro.schema"])["name"] == "customer"
+    assert metas["avro.codec"] == b"null"
+
+
+def test_avro_zigzag_roundtrip():
+    from csv_to_parquet_spark.operators import formats
+
+    for v in (0, 1, -1, 63, -64, 2**40, -(2**40), 2**62, -(2**62)):
+        buf = formats._avro_zigzag(v)
+        got, pos = formats._avro_read_long(buf, 0)
+        assert got == v and pos == len(buf)
