@@ -1549,3 +1549,80 @@ def feat_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve — first-occurrence attribution of passages
+
+_NOVEL_N = 8  # passage width in tokens (matches dedup_repeated_passages)
+_NOVEL_SQL = shingles_sql(_TOKS_SQL, _NOVEL_N)
+
+
+@CAT.query(
+    "text_novelty_curve",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, {md5_60_sql("sh")} AS fp
+      FROM (SELECT doc_id, unnest({_NOVEL_SQL}) AS sh FROM documents)),
+    firsts AS (
+      SELECT fp, MIN(doc_id) AS first_doc FROM occ GROUP BY fp),
+    per_doc AS (
+      SELECT o.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_passages,
+             CAST(COUNT(*) FILTER (WHERE f.first_doc = o.doc_id)
+                  AS BIGINT) AS n_novel
+      FROM occ o JOIN firsts f ON o.fp = f.fp
+      GROUP BY o.doc_id)
+    SELECT doc_id, n_passages, n_novel,
+           CAST((n_novel * 1000000) // n_passages AS BIGINT)
+             AS novelty_ppm
+    FROM per_doc
+    """,
+)
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: for each document (in doc_id ingestion
+    order), the fraction of its {_NOVEL_N}-token passages that occur
+    for the FIRST time in that document — the growth-audit a corpus
+    team plots to decide when a source is mined out (novelty decays
+    toward boilerplate-only as a crawl saturates), and the dual of
+    ``dedup_repeated_passages`` (that op finds the repeated spans;
+    this one attributes first-sightings). Integer ppm keeps the
+    ratio engine-exact.
+
+    Plan: one passage explode fingerprinted map-side to 60-bit longs,
+    a groupBy(fp) min for first-occurrence, then a fp-keyed join back
+    to occurrences and a per-doc count — two shuffles of long pairs,
+    payload text never leaves the map side. Hot boilerplate
+    fingerprints skew the join key exactly like the repeated-passage
+    op; AQE's skew-join split covers both the same way. Docs shorter
+    than {_NOVEL_N} tokens have no passages and are absent, as in the
+    oracle."""
+    occ = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(shingles(tokenize("text"), _NOVEL_N)).alias("sh"),
+        )
+        .select("doc_id", md5_60(F.col("sh")).alias("fp"))
+    )
+    firsts = occ.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        occ.join(firsts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_passages",
+        "n_novel",
+        F.expr("(n_novel * 1000000) div n_passages")
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )

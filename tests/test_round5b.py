@@ -396,3 +396,24 @@ def test_avro_zigzag_roundtrip():
         buf = formats._avro_zigzag(v)
         got, pos = formats._avro_read_long(buf, 0)
         assert got == v and pos == len(buf)
+
+
+def test_novelty_curve_decays_for_repeated_content(spark, tmp_path):
+    """A doc repeating an earlier doc's text verbatim must score 0
+    novelty; the first doc scores 1e6 ppm; a half-copied doc lands
+    strictly between."""
+    from csv_to_parquet_spark.operators import textops
+
+    base = " ".join(f"w{i}" for i in range(16))
+    fresh = " ".join(f"x{i}" for i in range(9))
+    rows = [(1, base), (2, base), (3, base + " " + fresh)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    out = {
+        r.doc_id: r
+        for r in textops.text_novelty_curve(spark, str(tmp_path)).collect()
+    }
+    assert out[1].novelty_ppm == 1_000_000
+    assert out[2].novelty_ppm == 0
+    assert 0 < out[3].novelty_ppm < 1_000_000
