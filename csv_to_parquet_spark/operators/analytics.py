@@ -1911,3 +1911,93 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "change_day", "peak_cusum_scaled")
     )
+
+
+_FUNNEL_GAP_H = 48  # max allowed hours between consecutive funnel steps
+
+
+@CAT.query(
+    "events_funnel_max_gap",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+                      AND e.ts <= s1.t_view + INTERVAL {_FUNNEL_GAP_H} HOUR
+                      THEN e.ts END) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+                      AND e.ts <= s2.t_click + INTERVAL {_FUNNEL_GAP_H} HOUR
+                      THEN e.ts END) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id)
+    SELECT step, n_users FROM (
+      SELECT 'view' AS step, CAST(count(t_view) AS BIGINT) AS n_users,
+             1 AS ord FROM s1
+      UNION ALL
+      SELECT 'click_within_gap', CAST(count(t_click) AS BIGINT), 2 FROM s2
+      UNION ALL
+      SELECT 'purchase_within_gap', CAST(count(t_purchase) AS BIGINT), 3
+      FROM s3) ORDER BY ord
+    """,
+)
+def events_funnel_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel: view → click → purchase where each NEXT step
+    must land within {_FUNNEL_GAP_H} hours of the previous step's
+    completion — the conversion definition product analytics actually
+    uses (an unbounded funnel credits a purchase months later;
+    ``events_funnel_steps`` is that unconstrained baseline). The gap
+    constraint makes the steps SEQUENTIALLY dependent: step k's
+    deadline derives from step k−1's achieved time, so the funnel
+    cannot be one grouped aggregation.
+
+    Plan: one min-aggregation per step, each joined to the previous
+    step's per-user time — for k steps, k passes over events joined
+    on user_id, every exchange carrying (user_id, timestamp) pairs
+    only. At 100 TB the events scan dominates; pre-filtering each
+    pass to its step's event type prunes the join input map-side,
+    and all k joins co-partition on user_id so AQE reuses the
+    exchange layout. Conversion credit is first-eligible-event
+    (min within window), the standard strict-order attribution."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    gap = F.expr(f"INTERVAL {_FUNNEL_GAP_H} HOUR")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + gap)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = [
+        s1.agg(F.count("t_view").cast("bigint").alias("n_users")).select(
+            F.lit("view").alias("step"), "n_users", F.lit(1).alias("ord")
+        ),
+        s2.agg(F.count("t_click").cast("bigint").alias("n_users")).select(
+            F.lit("click_within_gap").alias("step"), "n_users", F.lit(2).alias("ord")
+        ),
+        s3.agg(F.count("t_purchase").cast("bigint").alias("n_users")).select(
+            F.lit("purchase_within_gap").alias("step"),
+            "n_users",
+            F.lit(3).alias("ord"),
+        ),
+    ]
+    out = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    return out.orderBy("ord").select("step", "n_users")

@@ -417,3 +417,24 @@ def test_novelty_curve_decays_for_repeated_content(spark, tmp_path):
     assert out[1].novelty_ppm == 1_000_000
     assert out[2].novelty_ppm == 0
     assert 0 < out[3].novelty_ppm < 1_000_000
+
+
+def test_max_gap_funnel_is_tighter_and_monotone(spark, sf_smoke):
+    """Gap-constrained step counts can never exceed the unconstrained
+    funnel's, and each step can only shrink the cohort."""
+    from csv_to_parquet_spark.operators import analytics
+
+    tight = {
+        r.step: r.n_users
+        for r in analytics.events_funnel_max_gap(spark, sf_smoke).collect()
+    }
+    loose = {
+        r.step: r.n_users
+        for r in analytics.events_funnel_steps(spark, sf_smoke).collect()
+    }
+    assert tight["view"] == loose["view"]
+    assert tight["click_within_gap"] <= loose["click_after_view"]
+    assert tight["purchase_within_gap"] <= loose["purchase_after_click"]
+    assert (
+        tight["view"] >= tight["click_within_gap"] >= tight["purchase_within_gap"]
+    )
