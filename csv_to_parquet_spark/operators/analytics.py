@@ -2001,3 +2001,70 @@ def events_funnel_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = counts[0].unionByName(counts[1]).unionByName(counts[2])
     return out.orderBy("ord").select("step", "n_users")
+
+
+@CAT.query(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    bounds AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    mau AS (
+      SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM (SELECT user_id, day + CAST(unnest(range(0, 30)) AS INTEGER) AS wday FROM ud),
+           bounds
+      WHERE wday BETWEEN bounds.d0 AND bounds.d1
+      GROUP BY wday)
+    SELECT dau.day, dau.dau, mau.mau,
+           CAST((dau.dau * 1000000) // mau.mau AS BIGINT)
+             AS stickiness_ppm
+    FROM dau JOIN mau ON dau.day = mau.wday
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement ratio every growth
+    team tracks (what share of the trailing-30-day audience showed up
+    today). MAU(d) counts distinct users active in the 30 days ENDING
+    at d; early days use the truncated available window, the standard
+    convention. Integer ppm keeps the ratio engine-exact.
+
+    Scale shape — same argument as ``events_rolling_wau``: the raw
+    log is FIRST collapsed to distinct (user, day) pairs (the one
+    full-data exchange), then each pair explodes into at most 30
+    window-membership rows — bounded amplification of the already
+    tiny distinct-pairs frame, never a day×log self-join and never a
+    30-day range scan per day. The count-distinct per window day
+    uses Spark's two-phase split, so one viral day cannot pin a
+    reducer."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    b = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    mau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"),
+            "day",
+        )
+        .select("user_id", F.expr("date_add(day, i)").alias("wday"))
+        .join(F.broadcast(b), F.col("wday").between(F.col("d0"), F.col("d1")))
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau.day == mau.wday)
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("(dau * 1000000) div mau").cast("bigint").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )

