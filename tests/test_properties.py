@@ -175,3 +175,60 @@ def test_typed_roundtrip(spark, tmp_path_factory, rows):
     )
     want = sorted((i, float(repr(fl)), b, s) for i, fl, b, s in rows)
     assert got == want
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_avro_zigzag_roundtrips_any_long(v):
+    """Avro zigzag-varint encode/decode is a bijection on int64."""
+    from csv_to_parquet_spark.operators.formats import (
+        _avro_read_long,
+        _avro_zigzag,
+    )
+
+    buf = _avro_zigzag(v)
+    got, pos = _avro_read_long(buf, 0)
+    assert got == v and pos == len(buf)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+                max_size=24,
+            ),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+        ),
+        max_size=25,
+    )
+)
+def test_avro_container_roundtrips_any_rows(rows):
+    """The pure-Python Avro writer/decoder round-trips arbitrary
+    (long, string, double, string) records bit-exactly — including
+    empty files, unicode, negative/subnormal doubles."""
+    import os
+    import tempfile
+
+    from csv_to_parquet_spark.operators.formats import (
+        _avro_decode_file,
+        _avro_write_file,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        _avro_write_file(p, rows)
+        got = _avro_decode_file(open(p, "rb").read())
+    assert got == [(k, n, float(b), s) for k, n, b, s in rows]
+
+
+@given(st.integers(min_value=-(2**70), max_value=2**70), st.sampled_from([1 << 26, 1 << 53]))
+def test_pca_shift_matches_sql_truncating_semantics(v, s):
+    """The fixed-point shift is sign-symmetric truncation — identical
+    to the SQL CASE both oracles use, for any sign and magnitude."""
+    out = -((-v) // s) if v < 0 else v // s
+    # reference semantics: trunc(v / s) in exact rational arithmetic
+    import fractions
+
+    assert out == int(fractions.Fraction(v, s))
