@@ -421,3 +421,45 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@CAT.query(
+    "join_lateral_top2_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def join_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join with per-row LIMIT — the SQL-standard
+    top-N-per-group surface (Spark 3.4+ decorrelates the correlated
+    limit; DuckDB executes LATERAL natively). Each customer's two
+    priciest orders, deterministic via the orderkey tiebreaker.
+    Customers with no orders drop (inner lateral), with fewer than 2
+    orders keep what exists — semantics a plain window-rank rewrite
+    must reproduce exactly, which is why this entry exercises the
+    LATERAL path itself rather than the `window_rank_top3_orders`
+    rewrite the optimizer ultimately plans both into.
+
+    Scale: Catalyst decorrelates to a partitioned rank over orders
+    (one hash exchange on o_custkey) joined back to customer — the
+    same physical shape as the window formulation, NOT a per-row
+    subquery execution; the LATERAL syntax is free at 100 TB."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lateral_customer_v"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "lateral_orders_v"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lateral_customer_v c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM lateral_orders_v o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
