@@ -683,6 +683,12 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            dims = {len(e) for e in pdf["embedding"]}
+            if len(dims) != 1:
+                raise ValueError(
+                    f"ragged embedding dimensions {sorted(dims)} — the "
+                    "Gram contract is a fixed-dimension corpus"
+                )
             scaled = (
                 np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 * _GRAM_Q
@@ -780,6 +786,8 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise the shifts (or accumulate in decimal(38,0), the
     ``corr_exact_value_k`` pattern)."""
     rows = embedding_gram_matrix(spark, sf_dir).collect()  # ≤2,080 cells
+    if not rows:
+        raise ValueError("embeddings table is empty — no PCA direction")
     d = max(r.j for r in rows)
     G = [[0] * d for _ in range(d)]
     for r in rows:

@@ -1643,7 +1643,11 @@ def dedup_split_doc_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry a full boundary signature and are excluded in both
     engines."""
     toks = tokenize("text")
-    f = (
+    # persist the tiny (doc_id, head_fp, tail_fp) frame: the self-join
+    # otherwise re-scans + re-tokenizes + re-hashes the text corpus on
+    # BOTH sides (verified: 2 FileScans, no possible exchange reuse —
+    # the sides shuffle on different keys)
+    f = _persist(
         _docs(spark, sf_dir)
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= _SPLIT_K)

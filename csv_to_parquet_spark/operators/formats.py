@@ -405,6 +405,7 @@ def source_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     format."""
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     path = os.path.join(_STAGE, f"customer_fw_{tag}.txt")
+    row_len = sum(length for _, _, length, _ in _FW_COLS)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "customer").select(
             F.format_string(
@@ -416,6 +417,20 @@ def source_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_mktsegment",
             ).alias("value")
         ).write.mode("overwrite").text(path)
+        # %-Ns pads but never truncates: an over-wide value would
+        # silently shift every later column at parse time. Fail the
+        # STAGING (one cheap count on the staged files) rather than
+        # let a width overflow corrupt reads downstream.
+        bad = (
+            spark.read.text(path)
+            .filter(F.length("value") != row_len)
+            .count()
+        )
+        if bad:
+            raise RuntimeError(
+                f"fixed-width staging produced {bad} rows wider than "
+                f"{row_len} chars — a column exceeded its declared width"
+            )
     lines = spark.read.text(path)
     return lines.select(
         *[
@@ -557,7 +572,8 @@ def _avro_write_file(path: str, rows: list[tuple]) -> None:
 def _avro_decode_file(buf: bytes) -> list[tuple]:
     import struct
 
-    assert buf[:4] == _AVRO_MAGIC, "not an Avro object container file"
+    if buf[:4] != _AVRO_MAGIC:
+        raise ValueError("not an Avro object container file")
     pos = 4
     # skip the metadata map (count-prefixed key/value runs, 0 ends)
     while True:
@@ -588,7 +604,8 @@ def _avro_decode_file(buf: bytes) -> list[tuple]:
             seg = buf[pos : pos + slen].decode("utf-8")
             pos += slen
             out.append((key, name, bal, seg))
-        assert buf[pos : pos + 16] == sync, "sync marker mismatch"
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("Avro sync marker mismatch (corrupt block)")
         pos += 16
     return out
 

@@ -32,6 +32,28 @@ _MIN_ALPHA = 0.5
 _MIN_STOP = 0.03
 
 
+def _gate_exprs():
+    """The three cleaning-gate expressions, shared by
+    :func:`pipeline_corpus_clean` (which filters on them) and
+    :func:`quality_filter_attribution` (which attributes drops to
+    them) so a threshold or regex change can never desynchronize the
+    report from the pipeline it explains. Returns
+    (toks, alpha_ratio, stop_ratio) columns over a ``text`` column."""
+    toks = tokenize("text")
+    n_chars = F.length("text").cast("bigint")
+    stop_re = r"\s(?:" + "|".join(_STOPWORDS) + r")(?=\s)"
+    stop_hits = F.regexp_count(
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")), F.lit(stop_re)
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / n_chars
+    )
+    stop_ratio = stop_hits.cast("double") / F.size(toks)
+    return toks, alpha_ratio, stop_ratio
+
+
+
 @CAT.query(
     "pipeline_corpus_clean",
     oracle=f"""
@@ -64,21 +86,13 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline is one lazy plan — Catalyst fuses the gates into the
     scan's filter and prunes every unused column.
     """
-    toks = tokenize("text")
-    n_chars = F.length("text").cast("bigint")
-    stop_re = r"\s(?:" + "|".join(_STOPWORDS) + r")(?=\s)"
-    stop_hits = F.regexp_count(
-        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")), F.lit(stop_re)
-    )
-    alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / n_chars
-    )
+    toks, alpha_ratio, stop_ratio = _gate_exprs()
     gated = (
         spread(load_table(spark, sf_dir, "documents"))
         .filter(
             (F.size(toks) >= _MIN_TOKENS)
             & (alpha_ratio >= _MIN_ALPHA)
-            & (stop_hits.cast("double") / F.size(toks) >= _MIN_STOP)
+            & (stop_ratio >= _MIN_STOP)
         )
         .select("doc_id", F.md5("text").alias("m"))
     )
@@ -456,19 +470,11 @@ def quality_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the only exchange is the 4-row groupBy. At 100 TB this is a
     map-side-combined count per rule label: the report costs one scan
     regardless of corpus size."""
-    toks = tokenize("text")
-    n_chars = F.length("text").cast("bigint")
-    stop_re = r"\s(?:" + "|".join(_STOPWORDS) + r")(?=\s)"
-    stop_hits = F.regexp_count(
-        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")), F.lit(stop_re)
-    )
-    alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / n_chars
-    )
+    toks, alpha_ratio, stop_ratio = _gate_exprs()
     stage = (
         F.when(F.size(toks) < _MIN_TOKENS, "min_tokens")
         .when(alpha_ratio < _MIN_ALPHA, "alpha_ratio")
-        .when(stop_hits.cast("double") / F.size(toks) < _MIN_STOP, "stopword_ratio")
+        .when(stop_ratio < _MIN_STOP, "stopword_ratio")
         .otherwise("kept")
         .alias("drop_rule")
     )

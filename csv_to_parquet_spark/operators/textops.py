@@ -1597,7 +1597,10 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     op; AQE's skew-join split covers both the same way. Docs shorter
     than {_NOVEL_N} tokens have no passages and are absent, as in the
     oracle."""
-    occ = (
+    # persist the (doc_id, fp) long pairs: both the first-occurrence
+    # aggregation and the join-back consume this frame, and without
+    # the boundary the corpus is scanned + tokenized + hashed twice
+    occ = _persist(
         _docs(spark, sf_dir)
         .select(
             "doc_id",

@@ -455,3 +455,7 @@ def test_dau_mau_bounds_and_truncated_window(spark, sf_smoke):
     for r in rows:
         assert r.dau <= r.mau
         assert r.stickiness_ppm <= 1_000_000
+    # while the 30-day window is still filling, it is [d0, d] — a
+    # superset of every earlier window, so MAU cannot decrease
+    for prev, cur in zip(rows[:29], rows[1:30]):
+        assert cur.mau >= prev.mau
