@@ -2068,3 +2068,78 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_GINI_STRIPE = 1 << 20  # value-range stripe width (cents) for the global rank
+
+
+@CAT.query(
+    "orders_revenue_gini",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rn FROM pc),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s0,
+             SUM(CAST(rn AS HUGEINT) * x) AS s1
+      FROM r)
+    SELECT n AS n_customers, s0 AS total_cents,
+           CAST(((2 * s1 - (n + 1) * s0) * 1000000) // (n * s0) AS BIGINT)
+             AS gini_ppm
+    FROM s
+    """,
+)
+def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer revenue — the standard
+    inequality index (G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over ascending
+    xᵢ), reported in integer ppm. Complements ``lineitem_pareto_abc``:
+    ABC classifies members, Gini is the single audited concentration
+    number a health dashboard tracks over time.
+
+    Scale shape: the global rank over per-customer totals reuses the
+    striped two-phase prefix-sum of ``hist_equi_depth_price`` — rank
+    within value-range stripes, add broadcast stripe offsets — so
+    there is NO single-partition sort over the customer dimension
+    (which is corpus-sized, unlike a calendar). The rank-weighted
+    moment Σ rn·x accumulates as decimal(38,0): at 10⁹ customers,
+    rn·x ≈ 10¹⁶ per row and the sum tops int64 — same promotion
+    pattern as ``corr_exact_value_k``. All inputs non-negative, so
+    truncating division agrees across engines without the
+    sign-symmetric guard."""
+    pc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("x"))
+    )
+    pc = pc.withColumn("stripe", F.expr(f"x div {_GINI_STRIPE}"))
+    w_in = Window.partitionBy("stripe").orderBy("x", "o_custkey")
+    within = pc.withColumn("rn_in", F.row_number().over(w_in))
+    w_off = Window.orderBy("stripe").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pc.groupBy("stripe")
+        .agg(F.count(F.lit(1)).alias("stripe_n"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("stripe_n").over(w_off), F.lit(0))
+        )
+        .select("stripe", "offset")
+    )
+    ranked = within.join(F.broadcast(offsets), "stripe").withColumn(
+        "rn", F.col("rn_in") + F.col("offset")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s0"),
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("x")).alias("s1"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("s0").alias("total_cents"),
+        F.expr(
+            "cast(((2 * s1 - (n + 1) * s0) * 1000000) div (n * s0) as bigint)"
+        ).alias("gini_ppm"),
+    )

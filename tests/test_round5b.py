@@ -459,3 +459,30 @@ def test_dau_mau_bounds_and_truncated_window(spark, sf_smoke):
     # superset of every earlier window, so MAU cannot decrease
     for prev, cur in zip(rows[:29], rows[1:30]):
         assert cur.mau >= prev.mau
+
+
+def test_gini_known_distributions(spark, tmp_path):
+    """Gini pinned on hand-checkable frames: perfectly equal revenue
+    -> 0 ppm; one customer owning everything -> (n-1)/n of 1e6."""
+    from csv_to_parquet_spark.operators import analytics
+
+    equal = [(i, i, 100.0) for i in range(10)]
+    df = spark.createDataFrame(
+        equal, "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+    )
+    p1 = tmp_path / "eq"
+    p1.mkdir()
+    df.write.parquet(str(p1 / "orders.parquet"))
+    out = analytics.orders_revenue_gini(spark, str(p1)).collect()[0]
+    assert out.gini_ppm == 0 and out.n_customers == 10
+
+    # 10 customers, one gets all the revenue: G = (n-1)/n = 0.9
+    skew = [(i, i, 0.01) for i in range(9)] + [(9, 9, 10_000.0)]
+    df2 = spark.createDataFrame(
+        skew, "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+    )
+    p2 = tmp_path / "sk"
+    p2.mkdir()
+    df2.write.parquet(str(p2 / "orders.parquet"))
+    out2 = analytics.orders_revenue_gini(spark, str(p2)).collect()[0]
+    assert 880_000 <= out2.gini_ppm <= 900_000  # ~0.9 minus the 9 cents
