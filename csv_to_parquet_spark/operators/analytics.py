@@ -2143,3 +2143,73 @@ def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(((2 * s1 - (n + 1) * s0) * 1000000) div (n * s0) as bigint)"
         ).alias("gini_ppm"),
     )
+
+
+@CAT.query(
+    "events_gap_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             -- epoch_us floor-diff, NOT date_diff: date_diff counts
+             -- millisecond-boundary crossings, diverging from the
+             -- elapsed-time floor by 1 when sub-ms components differ
+             CAST((epoch_us(ts) -
+                   epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))) // 1000
+                  AS BIGINT) AS gap_ms
+      FROM events)
+    SELECT CAST(FLOOR(LOG2(gap_ms)) AS BIGINT) AS log2_ms_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_ms) AS BIGINT) AS min_ms,
+           CAST(MAX(gap_ms) AS BIGINT) AS max_ms
+    FROM g WHERE gap_ms IS NOT NULL AND gap_ms > 0
+    GROUP BY log2_ms_bucket
+    """,
+)
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution (log2 millisecond buckets) — the
+    burstiness profile read BEFORE choosing a session timeout: human
+    activity is bimodal (within-burst seconds vs between-visit
+    hours), and the empty band between the modes is where
+    ``events_sessionize_rows``'s threshold belongs. Exact integer
+    milliseconds; zero-gap duplicates are excluded (they are
+    same-instant records, not gaps), NULL first-events drop.
+
+    Plan: one hash exchange on user_id for the lag window (ordered by
+    ts with the event_id tiebreaker, so ties are deterministic), then
+    a ~40-bucket groupBy. Per-user window state is the user's own
+    history — the partition-by-entity shape that scales with users,
+    not with the table."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(
+                        F.lag(F.col("ts").cast("timestamp")).over(w)
+                    )
+                )
+                / F.lit(1000)
+            )
+            .cast("bigint")
+            .alias("gap_ms"),
+        )
+        .filter(F.col("gap_ms").isNotNull() & (F.col("gap_ms") > 0))
+    )
+    return (
+        g.select(
+            F.floor(F.log2("gap_ms")).cast("bigint").alias("log2_ms_bucket"),
+            "gap_ms",
+        )
+        .groupBy("log2_ms_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_ms").cast("bigint").alias("min_ms"),
+            F.max("gap_ms").cast("bigint").alias("max_ms"),
+        )
+    )

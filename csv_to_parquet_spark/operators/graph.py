@@ -406,3 +406,51 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select(
         F.col("node").alias("part_key"), F.col("hop").cast("bigint").alias("hop")
     )
+
+
+@CAT.query(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      GROUP BY v)
+    SELECT CAST(FLOOR(LOG2(deg)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg
+    FROM deg GROUP BY log2_bucket
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph —
+    the scale-free/power-law diagnostic read before choosing a graph
+    algorithm's partitioning: a straight line across log buckets
+    means hub vertices exist and key-partitioned wedge/message joins
+    will skew (exactly why ``graph_triangle_count`` orients edges by
+    degree). Bucket = floor(log2(deg)) on exact integer degrees —
+    deg ≥ 1 by construction, and both engines take log2 of the same
+    BIGINT so bucket membership is exact.
+
+    Plan: the shared canonical-edge frame, one union-explode to
+    vertex incidences, a degree groupBy, and a 2nd tiny groupBy over
+    ~60 possible buckets. At 100 TB the degree aggregation is the
+    only real exchange; map-side partials absorb the hub keys'
+    incidence mass before the shuffle."""
+    e = persist_tracked(_edges(spark, sf_dir))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.select(F.floor(F.log2("deg")).cast("bigint").alias("log2_bucket"), "deg")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("deg").cast("bigint").alias("min_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+        )
+    )

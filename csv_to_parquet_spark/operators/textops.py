@@ -1629,3 +1629,52 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source vocabulary growth / lexical-diversity profile
+
+
+@CAT.query(
+    "text_vocab_profile_by_source",
+    oracle=f"""
+    WITH occ AS (
+      SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents),
+    tc AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM occ GROUP BY source, tok)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           CAST((COUNT(*) * 1000000) // SUM(c) AS BIGINT) AS ttr_ppm
+    FROM tc GROUP BY source
+    """,
+)
+def text_vocab_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: token volume, distinct
+    vocabulary, hapax legomena (once-only terms), and type-token
+    ratio in integer ppm — the Heaps'-law quantities a corpus team
+    compares across sources to spot template farms (tiny vocabulary,
+    near-zero hapax share) versus organic text (hapax typically a
+    large fraction of vocabulary), and to size tokenizer training.
+
+    Plan: one explode, a (source, token) count with map-side
+    partials, then a per-source rollup of the (already tiny)
+    vocabulary frame. At 100 TB the only full-volume exchange is the
+    token count, keyed by (source, token) — Zipf-head words are
+    spread across sources and absorbed by the partial aggregation."""
+    occ = _docs(spark, sf_dir).select(
+        "source", F.explode(tokenize("text")).alias("tok")
+    )
+    tc = occ.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.expr("(count(1) * 1000000) div sum(c)").cast("bigint").alias(
+            "ttr_ppm"
+        ),
+    )
