@@ -267,3 +267,53 @@ def mm_audio_energy_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "energy"])
 
     return _payloads(spark, sf_dir).mapInPandas(energies, schema)
+
+
+@CAT.query(
+    "mm_payload_dedup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, md5(text) AS payload_md5,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents)
+    SELECT payload_md5,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(n_bytes) AS BIGINT) AS n_bytes,
+           CAST((COUNT(*) - 1) * MIN(n_bytes) AS BIGINT)
+             AS reclaimable_bytes
+    FROM p GROUP BY payload_md5
+    """,
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over OPAQUE binary payloads — the multimodal
+    counterpart of ``dedup_exact_documents``: images/audio/video
+    dedupe on content bytes before any decode (the same blob arrives
+    via many crawl paths), and at 100 TB the reclaimable-bytes column
+    is the storage-bill argument for running it. No codec involved,
+    so unlike the feature stubs this entry is fully real: md5 over
+    the binary column is a JVM-side projection, and the one shuffle
+    carries (16-byte digest, doc_id, length) — payload bytes NEVER
+    move. Production variant: store payloads content-addressed by
+    this digest and the dedup is a directory listing.
+
+    (Perceptual near-dup — pHash over decoded pixels — needs the
+    codec and belongs with the mapInPandas stubs; byte-exact dedup
+    deliberately does not.)"""
+    p = _payloads(spark, sf_dir)
+    return (
+        p.select(
+            "doc_id",
+            F.md5("payload").alias("payload_md5"),
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").cast("bigint").alias("n_bytes"),
+            ((F.count(F.lit(1)) - 1) * F.min("n_bytes"))
+            .cast("bigint")
+            .alias("reclaimable_bytes"),
+        )
+    )
