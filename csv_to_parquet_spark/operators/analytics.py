@@ -2213,3 +2213,104 @@ def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_ms").cast("bigint").alias("max_ms"),
         )
     )
+
+
+_ABC_CUTOFF = "1998-01-01"  # fixed period split (data spans 1995..2001)
+
+_ABC_PERIOD_SQL = f"""
+      SELECT CASE WHEN o_orderdate < DATE '{_ABC_CUTOFF}' THEN 1 ELSE 2 END
+               AS period,
+             o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY period, o_custkey
+"""
+
+
+@CAT.query(
+    "orders_abc_migration",
+    oracle=f"""
+    WITH r AS ({_ABC_PERIOD_SQL}),
+    t AS (SELECT period, CAST(SUM(rev) AS BIGINT) AS total
+          FROM r GROUP BY period),
+    c AS (
+      SELECT r.period, r.o_custkey,
+             CAST(SUM(rev) OVER (PARTITION BY r.period
+                                 ORDER BY rev DESC, o_custkey)
+                  AS BIGINT) AS cum,
+             t.total
+      FROM r JOIN t ON r.period = t.period),
+    k AS (
+      SELECT period, o_custkey,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM c),
+    m AS (
+      SELECT COALESCE(p1.o_custkey, p2.o_custkey) AS o_custkey,
+             COALESCE(p1.cls, 'N') AS class_p1,
+             COALESCE(p2.cls, 'N') AS class_p2
+      FROM (SELECT * FROM k WHERE period = 1) p1
+      FULL OUTER JOIN (SELECT * FROM k WHERE period = 2) p2
+        ON p1.o_custkey = p2.o_custkey)
+    SELECT class_p1, class_p2, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM m GROUP BY class_p1, class_p2
+    """,
+)
+def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-class migration matrix: every customer is Pareto-classed
+    (A ≤ 80% cumulative revenue, B ≤ 95%, C tail — the
+    ``lineitem_pareto_abc`` convention) independently in two periods,
+    and the matrix counts transitions, with 'N' for absent-in-period
+    (churned or newly acquired) — the report behind "which A
+    accounts slipped" that a static ABC snapshot cannot answer.
+
+    Scale: per-period revenue collapses fact rows first (map-side
+    cents partials); the cumulative windows partition BY PERIOD over
+    the customer-dimension frame (same bounded-window contract as
+    the Pareto op — and the striped-rank escape hatch of
+    ``orders_revenue_gini`` applies verbatim if the customer
+    dimension outgrows it). The full-outer class join ships (key,
+    1-char class) pairs; the result is at most 16 cells."""
+    cutoff = F.lit(_ABC_CUTOFF).cast("date")
+    r = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.when(F.col("o_orderdate") < cutoff, 1).otherwise(2).alias("period"),
+            "o_custkey",
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    t = r.groupBy("period").agg(F.sum("rev").cast("bigint").alias("total"))
+    wc = (
+        Window.partitionBy("period")
+        .orderBy(F.desc("rev"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = (
+        r.withColumn("cum", F.sum("rev").over(wc).cast("bigint"))
+        .join(F.broadcast(t), "period")
+        .select(
+            "period",
+            "o_custkey",
+            F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+            .otherwise("C")
+            .alias("cls"),
+        )
+    )
+    p1 = k.filter(F.col("period") == 1).select(
+        F.col("o_custkey").alias("k1"), F.col("cls").alias("c1")
+    )
+    p2 = k.filter(F.col("period") == 2).select(
+        F.col("o_custkey").alias("k2"), F.col("cls").alias("c2")
+    )
+    return (
+        p1.join(p2, p1.k1 == p2.k2, "full_outer")
+        .select(
+            F.coalesce("c1", F.lit("N")).alias("class_p1"),
+            F.coalesce("c2", F.lit("N")).alias("class_p2"),
+        )
+        .groupBy("class_p1", "class_p2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

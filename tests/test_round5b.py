@@ -486,3 +486,22 @@ def test_gini_known_distributions(spark, tmp_path):
     df2.write.parquet(str(p2 / "orders.parquet"))
     out2 = analytics.orders_revenue_gini(spark, str(p2)).collect()[0]
     assert 880_000 <= out2.gini_ppm <= 900_000  # ~0.9 minus the 9 cents
+
+
+def test_abc_migration_partitions_all_customers(spark, sf_smoke):
+    """Matrix cells sum to the distinct customers active in EITHER
+    period, and no cell pairs 'N' with 'N'."""
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_spark.operators import analytics
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    cells = analytics.orders_abc_migration(spark, sf_smoke).collect()
+    assert all(not (r.class_p1 == "N" and r.class_p2 == "N") for r in cells)
+    n_customers = (
+        load_table(spark, sf_smoke, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in cells) == n_customers
