@@ -679,3 +679,87 @@ def stream_kafka_shaped_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_stateful_user_counters (applyInPandasWithState) above; a
 # transformWithState port is a mechanical swap once protobuf exists.
 # ---------------------------------------------------------------------------
+
+
+@CAT.query(
+    "stream_exactly_once_sink",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once foreachBatch sink via idempotent batch-partition
+    overwrite — THE pattern that upgrades Structured Streaming's
+    at-least-once replay into end-to-end exactly-once on a plain
+    parquet sink: each micro-batch writes its rows under
+    ``batch_id=N`` with dynamic partition overwrite, so a batch
+    REPLAYED after a failure-before-checkpoint-commit rewrites its
+    own partition byte-identically instead of appending duplicates
+    (the append-mode sibling, ``stream_foreach_batch_rollup``,
+    deduplicates at read time instead; this sink stores exactly-once).
+
+    The replay is not hypothetical here: after the stream drains,
+    the LAST batch's partition is deliberately re-written through
+    the same sink path — simulating the crash-replay — and the
+    returned frame is read from the sink afterwards, so the oracle
+    match itself proves idempotency. Scale: each overwrite touches
+    only the replayed batch's partition (the
+    ``sink_dynamic_partition_overwrite`` mechanism), never the
+    accumulated history."""
+    ev = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="e1once_out_")
+    ckpt = tempfile.mkdtemp(prefix="e1once_ckpt_")
+    seen: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        (
+            batch_df.groupBy(F.date_trunc("day", "ts").alias("day_start"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(cents("value")).alias("value_cents"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # deliberate replay of the last batch through the same sink path:
+    # read its stored partition back and overwrite it with itself
+    last = max(seen)
+    # materialize the replayed rows BEFORE overwriting: the read and
+    # the write share the directory, and a lazy scan could race the
+    # commit's delete-old-files step
+    replay = spark.createDataFrame(
+        spark.read.parquet(f"{out_dir}/batch_id={last}").collect(),
+        schema="day_start TIMESTAMP, n_events BIGINT, value_cents BIGINT",
+    )
+    (
+        replay.withColumn("batch_id", F.lit(last))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("day_start").cast("timestamp_ntz").alias("day_start"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
