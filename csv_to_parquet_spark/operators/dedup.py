@@ -1668,3 +1668,124 @@ def dedup_split_doc_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "tail_fp").filter(F.col("doc_a") != F.col("doc_b")).select(
         "doc_a", "doc_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard (PPJoin-style candidate generation)
+# ---------------------------------------------------------------------------
+
+# Exact rational for JACCARD_THRESHOLD = 0.6 — the prefix length must
+# be computed with integer ceil, not float, or a rounding-up float
+# could SHORTEN a prefix and break candidate completeness.
+_TAU_NUM, _TAU_DEN = 3, 5
+
+
+def jaccard_prefix_filter_pairs(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard >= 0.6 pairs via PPJoin-style prefix filtering
+    (Chaudhuri et al. 2006; Xiao et al. 2008) over a (doc_id, sh)
+    distinct-pairs frame.
+
+    Candidate scheme: order every doc's shingle set by a single GLOBAL
+    total order — (document frequency asc, shingle) — and index only
+    the first ``p = n - ceil(tau*n) + 1`` shingles per doc. Two docs
+    are candidates iff their prefixes share a shingle.
+
+    Completeness (lossless, unlike the df-capped index): J(A,B) >= tau
+    implies |A∩B| >= ceil(tau*|A|) and >= ceil(tau*|B|); the smallest
+    common shingle under the global order then sits within the first
+    ``n - ceil(tau*n) + 1`` positions of BOTH docs, so every qualifying
+    pair shares a prefix shingle. Candidates are then verified with the
+    exact set intersection, so the output equals the brute-force oracle
+    with zero caveats.
+
+    Scale: rarest-first ordering puts each doc's least-frequent
+    shingles in its prefix, so prefix postings are the SHORT tail of
+    the df distribution — the self-join fan-out per shingle is bounded
+    by its (small) prefix-df, not its corpus df. Index size is
+    ~(1-tau) of the full inverted index; boilerplate shingles (high
+    df) land in suffixes and never generate candidates. Full shingle
+    arrays ship only for verified candidates, ids-only everywhere
+    else. One shuffle each for dfreq, the doc_id window, the
+    prefix-prefix join, and the verify joins.
+    """
+    sh = _persist(sh)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("rk", F.row_number().over(w.orderBy("df", "sh")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w))
+    )
+    # p = n - ceil(tau*n) + 1, integer-exact: ceil(3n/5) = (3n+4) div 5
+    p = (
+        F.col("n_sh")
+        - ((_TAU_NUM * F.col("n_sh") + (_TAU_DEN - 1)) / _TAU_DEN).cast("bigint")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rk") <= p).select("doc_id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("n_sh")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("sa"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("sb"),
+        F.col("n_sh").alias("nb"),
+    )
+    c = F.size(F.array_intersect("sa", "sb"))
+    j = c.cast("double") / (F.col("na") + F.col("nb") - c)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(j >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+@CAT.query(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS c,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM t a, t b WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+    FROM p
+    WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via LOSSLESS prefix
+    filtering — the alternative candidate scheme to
+    :func:`dedup_ngram_jaccard`'s df-capped inverted index.
+
+    Same output contract and brute-force oracle as the capped-index
+    variant, but with a provable completeness guarantee instead of the
+    "all-common-shingles-are-stop-shingles" caveat: prefix filtering
+    never drops a qualifying pair, at the cost of ranking every doc's
+    shingles by global document frequency first (one extra shuffle).
+    The right default when the corpus has heavy boilerplate AND missed
+    near-dups are unacceptable (e.g. benchmark decontamination).
+    """
+    return jaccard_prefix_filter_pairs(_doc_shingles(spark, sf_dir))

@@ -454,3 +454,66 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("deg").cast("bigint").alias("max_deg"),
         )
     )
+
+
+@CAT.query(
+    "graph_common_neighbors",
+    oracle="""
+    WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM sp GROUP BY s),
+    c AS (SELECT a.s AS supp_a, b.s AS supp_b, CAST(count(*) AS BIGINT) AS common
+          FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+          GROUP BY a.s, b.s)
+    SELECT supp_a, supp_b, common,
+           ROUND(CAST(common AS DOUBLE) / (da.d + db.d - common), 6) AS jaccard
+    FROM c
+    JOIN deg da ON da.s = supp_a
+    JOIN deg db ON db.s = supp_b
+    ORDER BY CAST(common AS DOUBLE) / (da.d + db.d - common) DESC,
+             supp_a, supp_b
+    LIMIT 100
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 supplier pairs by neighborhood Jaccard over the
+    bipartite supplier→part graph (the link-prediction / entity-
+    resolution primitive: "how alike are two nodes' neighbor sets").
+
+    Plan: distinct (supplier, part) edges → self-join on the PART key
+    (only suppliers sharing a part ever meet — never all supplier
+    pairs) → pair-count = |N(a) ∩ N(b)| → join per-supplier degrees →
+    exact integer Jaccard numerator/denominator, double only at the
+    final ratio. Top-100 with key tiebreakers compiles to
+    TakeOrderedAndProject — no global sort.
+
+    Scale: fan-out per part is (suppliers-per-part)², bounded by the
+    schema's fixed part→supplier multiplicity (4 in TPC-H) — the
+    quadratic hub risk of common-neighbor joins does not exist on this
+    graph. On a power-law graph the mitigation is the same df-cap used
+    by the shingle index (drop parts supplied by more than K
+    suppliers; each dropped hub contributes <= deg² pairs all of
+    near-zero Jaccard).
+    """
+    sp = persist_tracked(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = sp.select(F.col("s").alias("supp_a"), "p")
+    b = sp.select(F.col("s").alias("supp_b"), F.col("p").alias("p2"))
+    common = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("supp_a") < F.col("supp_b")))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("s").alias("supp_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("s").alias("supp_b"), F.col("d").alias("db"))
+    j = F.col("common").cast("double") / (F.col("da") + F.col("db") - F.col("common"))
+    return (
+        common.join(da, "supp_a")
+        .join(db, "supp_b")
+        .orderBy(j.desc(), "supp_a", "supp_b")
+        .limit(100)
+        .select("supp_a", "supp_b", "common", F.round(j, 6).alias("jaccard"))
+    )

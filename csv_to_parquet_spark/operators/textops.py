@@ -1678,3 +1678,173 @@ def text_vocab_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ttr_ppm"
         ),
     )
+
+
+@CAT.query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos,
+             regexp_replace(lower(toks[i]), '[^a-z]', '', 'g') AS w
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents) d,
+           unnest(range(1, len(toks) + 1)) AS u(i)),
+    ph AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w = '' OR w IN ({_STOP_SQL}) THEN 1 ELSE 0 END
+               AS is_delim,
+             SUM(CASE WHEN w = '' OR w IN ({_STOP_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM tok),
+    mem AS (SELECT doc_id, phrase_id, w FROM ph WHERE is_delim = 0),
+    pl AS (SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+           FROM mem GROUP BY doc_id, phrase_id),
+    wd AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM mem JOIN pl USING (doc_id, phrase_id)
+      GROUP BY w)
+    SELECT word, freq, deg, (deg * 1000000) // freq AS score_micro
+    FROM wd
+    ORDER BY score_micro DESC, word
+    LIMIT 50
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 RAKE keywords (Rose et al. 2010) — corpus-level word
+    scores ``deg(w)/freq(w)`` in exact integer micro-units.
+
+    RAKE splits text into candidate phrases at stopwords/punctuation;
+    a word's degree is the summed length of every phrase it occurs in
+    (its co-occurrence mass), its frequency the number of occurrences.
+    High ``deg/freq`` = a word that lives in long content phrases —
+    a keyword — vs. one that appears alone everywhere.
+
+    Plan: posexplode tokens (position preserved) → normalize to
+    [a-z]+ → phrase ids via a running stopword/punct-delimiter count
+    (one window over (doc, pos) — the gaps-and-islands shape, no
+    self-join) → phrase lengths by (doc, phrase) → join members back
+    for degree mass → one corpus-level groupBy(word). Score is
+    ``(deg * 10^6) div freq`` — floor division on positive BIGINTs,
+    bit-identical in any engine and accumulation order. Top-50 with a
+    word tiebreaker compiles to TakeOrderedAndProject.
+
+    Scale: everything is narrow until the (doc, pos) window, whose
+    partition key is the document — no skew beyond the longest single
+    document. The final groupBy(word) has map-side partial
+    aggregation; phrase frames carry ids + small ints only.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "tok")
+    )
+    w = F.regexp_replace(F.lower("tok"), "[^a-z]", "")
+    is_delim = (w == "") | w.isin(*_STOPWORDS)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    ph = d.select(
+        "doc_id",
+        w.alias("w"),
+        is_delim.cast("int").alias("is_delim"),
+        F.sum(is_delim.cast("int")).over(win).alias("phrase_id"),
+    )
+    mem = ph.filter(F.col("is_delim") == 0).select("doc_id", "phrase_id", "w")
+    pl = mem.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    wd = (
+        mem.join(pl, ["doc_id", "phrase_id"])
+        .groupBy(F.col("w").alias("word"))
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+    )
+    score = F.expr("(deg * CAST(1000000 AS BIGINT)) div freq")
+    return (
+        wd.select("word", "freq", "deg", score.alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "word")
+        .limit(50)
+    )
+
+
+#: Stopword-density thresholds (ppm of tokens) swept by
+#: quality_threshold_sweep — 0 keeps everything by construction.
+_SWEEP_THRS = (0, 25_000, 50_000, 100_000, 150_000, 200_000, 250_000, 300_000)
+
+
+@CAT.query(
+    "quality_threshold_sweep",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(length(text) AS BIGINT) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> lower(x) IN ({_STOP_SQL}))) AS hits
+      FROM documents),
+    s AS (SELECT n_chars,
+                 (CAST(hits AS BIGINT) * 1000000) // n_toks AS sr_ppm
+          FROM t),
+    k AS (SELECT CAST(thr AS BIGINT) AS thr,
+                 CAST(count(*) AS BIGINT) AS docs_kept,
+                 CAST(sum(n_chars) AS BIGINT) AS chars_kept
+          FROM s JOIN (VALUES {", ".join(f"({t})" for t in _SWEEP_THRS)})
+                      AS th(thr) ON CAST(thr AS BIGINT) <= sr_ppm
+          GROUP BY thr)
+    SELECT thr, docs_kept, chars_kept,
+           (docs_kept * 1000000) // (MAX(docs_kept) OVER ()) AS kept_ppm
+    FROM k ORDER BY thr
+    """,
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration sweep: for each stopword-density cutoff,
+    how many documents (and how much text) survive — the table a
+    pipeline owner reads before picking a quality threshold, computed
+    in ONE corpus scan instead of one query per candidate cutoff.
+
+    Per doc: stopword density in integer ppm (``hits·10⁶ div
+    n_tokens`` — same regexp-count hit definition as
+    :func:`text_quality_scores`, floor division so every engine
+    agrees bit-for-bit). Each doc then emits one row per PASSED
+    threshold via a bounded ``filter``+``explode`` over the 8-element
+    literal array — an ≤8× narrow fan-out, not a join — and one
+    groupBy(threshold) with map-side partials folds the corpus to ≤8
+    rows. The kept-share ppm divides by the threshold-0 row (which
+    keeps everything by construction) via a MAX window over the ≤8
+    aggregated rows — the single-partition window is bounded by the
+    threshold count, never the corpus.
+    """
+    stop_re = r"\s(?:" + "|".join(_STOPWORDS) + r")(?=\s)"
+    hits = F.regexp_count(
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")), F.lit(stop_re)
+    ).cast("bigint")
+    n_toks = F.size(tokenize("text")).cast("bigint")
+    per = _docs(spark, sf_dir).select(
+        F.length("text").cast("bigint").alias("n_chars"),
+        hits.alias("hits"),
+        n_toks.alias("n_toks"),
+    ).select(
+        "n_chars",
+        F.expr("(hits * CAST(1000000 AS BIGINT)) div n_toks").alias("sr_ppm"),
+    )
+    thrs = F.array(*[F.lit(t).cast("bigint") for t in _SWEEP_THRS])
+    ex = per.select(
+        "n_chars",
+        F.explode(F.filter(thrs, lambda t: t <= F.col("sr_ppm"))).alias("thr"),
+    )
+    agg = ex.groupBy("thr").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("total", F.max("docs_kept").over(w))
+        .select(
+            "thr",
+            "docs_kept",
+            "chars_kept",
+            F.expr("(docs_kept * CAST(1000000 AS BIGINT)) div total").alias(
+                "kept_ppm"
+            ),
+        )
+        .orderBy("thr")
+    )

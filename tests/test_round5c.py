@@ -1,0 +1,163 @@
+"""Invariant tests for the round-5 third-wave operators.
+
+The oracle-parity suite proves cross-engine value equality on the
+driver corpus; these pin each operator's SEMANTIC guarantee on
+engineered fixtures the near-uniform testdata cannot exercise — most
+importantly the prefix filter's losslessness in exactly the regime
+where the df-capped index is allowed to drop pairs.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+
+def _brute_jaccard(sets: dict[int, set[str]], tau: float) -> set[tuple]:
+    out = set()
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        c = len(sa & sb)
+        j = c / (len(sa) + len(sb) - c)
+        if j >= tau:
+            out.add((a, b, round(j, 6)))
+    return out
+
+
+def test_prefix_filter_is_lossless_where_capped_index_drops(spark):
+    """A near-dup pair whose every common shingle is high-df (pure
+    boilerplate overlap) is the documented blind spot of the df-capped
+    inverted index. Prefix filtering must still find it: completeness
+    is a theorem, not a cap-tuning outcome."""
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # 12 docs all containing the same boilerplate shingles B0..B4;
+    # docs 100/101 are near-dups whose ONLY shingles are boilerplate.
+    boiler = [f"B{i}" for i in range(5)]
+    rows = [(100, s) for s in boiler] + [(101, s) for s in boiler]
+    for d in range(10):
+        rows += [(d, s) for s in boiler]
+        rows += [(d, f"U{d}_{k}") for k in range(20)]  # unique filler
+    sh = spark.createDataFrame(rows, "doc_id BIGINT, sh STRING")
+
+    sets: dict[int, set[str]] = {}
+    for doc_id, s in rows:
+        sets.setdefault(doc_id, set()).add(s)
+    expect = _brute_jaccard(sets, 0.6)
+    assert (100, 101, 1.0) in expect
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_prefix_filter_pairs(sh).collect()
+    }
+    assert got == expect, f"prefix filter diverged: {got ^ expect}"
+
+    # the capped index DOES drop the boilerplate-only pair at a df cap
+    # below 12 — the contrast that motivates shipping both schemes
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(sh, df_cap=8).collect()
+    }
+    assert (100, 101) not in capped
+    release_caches()
+
+
+def test_prefix_filter_matches_brute_force_on_random_corpus(spark):
+    """End-to-end losslessness on an adversarial mix: subsets,
+    supersets, disjoint docs, identical docs, single-shingle docs."""
+    import random
+
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.dedup import jaccard_prefix_filter_pairs
+
+    rng = random.Random(7)
+    vocab = [f"s{i}" for i in range(40)]
+    sets: dict[int, set[str]] = {}
+    for d in range(30):
+        sets[d] = set(rng.sample(vocab, rng.randint(1, 12)))
+    sets[30] = set(sets[0])  # identical twin
+    sets[31] = set(list(sets[1])[:-1]) or {"s0"}  # near-subset
+    rows = [(d, s) for d, ss in sets.items() for s in ss]
+    sh = spark.createDataFrame(rows, "doc_id BIGINT, sh STRING")
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_prefix_filter_pairs(sh).collect()
+    }
+    assert got == _brute_jaccard(sets, 0.6)
+    release_caches()
+
+
+def test_rake_scores_hand_computed(spark, tmp_path):
+    """RAKE on a two-phrase doc with known degree/frequency masses.
+
+    'red apples and red wine.' → phrases [red apples], [red wine]
+    (split at stopword 'and'; '.' stripped by normalization):
+      deg(red)=2+2=4 freq(red)=2 → 2.0
+      deg(apples)=2 freq=1 → 2.0 ; deg(wine)=2 freq=1 → 2.0
+    Adding a second doc 'red' gives red deg=4+1=5 freq=3 → 1.666666.
+    """
+    from csv_to_parquet_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "red apples and red wine."), (2, "red")],
+        "doc_id BIGINT, text STRING",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.word: r for r in textops.text_rake_keywords(spark, str(tmp_path)).collect()}
+    assert out["red"].freq == 3 and out["red"].deg == 5
+    assert out["red"].score_micro == 1_666_666
+    assert out["apples"].score_micro == 2_000_000
+    assert out["wine"].score_micro == 2_000_000
+    # stopword never emitted as a keyword
+    assert "and" not in out
+
+
+def test_threshold_sweep_monotone_and_anchored(spark, sf_smoke):
+    """docs_kept/chars_kept are non-increasing in the threshold, the
+    0-threshold row keeps the whole corpus, and kept_ppm is exactly
+    docs_kept·10⁶ div total."""
+    from csv_to_parquet_spark.operators import textops
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    rows = textops.quality_threshold_sweep(spark, sf_smoke).collect()
+    assert rows[0].thr == 0
+    total = load_table(spark, sf_smoke, "documents").count()
+    assert rows[0].docs_kept == total and rows[0].kept_ppm == 1_000_000
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.thr < cur.thr
+        assert prev.docs_kept >= cur.docs_kept
+        assert prev.chars_kept >= cur.chars_kept
+        assert cur.kept_ppm == cur.docs_kept * 1_000_000 // total
+
+
+def test_common_neighbors_invariants(spark, sf_smoke):
+    """Canonical pair order, Jaccard in (0,1], and the intersection
+    bound common <= min(|N(a)|,|N(b)|) via J<=1; spot-check one pair's
+    common count against a direct recount."""
+    from csv_to_parquet_spark.operators import graph
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    rows = graph.graph_common_neighbors(spark, sf_smoke).collect()
+    assert rows, "smoke corpus should produce supplier pairs"
+    for r in rows:
+        assert r.supp_a < r.supp_b
+        assert 0 < r.jaccard <= 1.0
+        assert r.common >= 1
+
+    r0 = rows[0]
+    sp = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    na = {x.p for x in sp.filter(F.col("s") == r0.supp_a).collect()}
+    nb = {x.p for x in sp.filter(F.col("s") == r0.supp_b).collect()}
+    assert r0.common == len(na & nb)
