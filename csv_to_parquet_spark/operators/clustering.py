@@ -816,3 +816,113 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", proj.cast("bigint").alias("proj_micro"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encode + reconstruction audit
+
+_PQ_M = 8  # subspaces (64-dim embeddings → 8 dims each)
+_PQ_K = 16  # centroids per subspace codebook
+_PQ_Q = 1_000_000  # micro-unit quantization, same convention as the Gram op
+
+
+@CAT.query(
+    "embedding_pq_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * {_PQ_Q})
+                                      AS BIGINT)) AS qe
+      FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qe AS cb
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {_PQ_K})),
+    dist AS (
+      SELECT v.vec_id, s.s AS subspace, seeds.code,
+             list_sum([(v.qe[i] - seeds.cb[i]) * (v.qe[i] - seeds.cb[i])
+                       for i in range((s.s - 1) * {64 // _PQ_M} + 1,
+                                      s.s * {64 // _PQ_M} + 1)]) AS d2
+      FROM q v,
+           (SELECT unnest(range(1, {_PQ_M} + 1)) AS s) s,
+           seeds),
+    best AS (
+      SELECT vec_id, subspace, MIN(d2) AS err FROM dist GROUP BY 1, 2)
+    SELECT d.vec_id, CAST(d.subspace AS BIGINT) AS subspace,
+           CAST(MIN(d.code) AS BIGINT) AS code,
+           CAST(b.err AS BIGINT) AS err_micro2
+    FROM dist d
+    JOIN best b ON d.vec_id = b.vec_id AND d.subspace = b.subspace
+               AND d.d2 = b.err
+    GROUP BY d.vec_id, d.subspace, b.err
+    """,
+)
+def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011) with an exact
+    per-subspace reconstruction-error audit — the vector-compression
+    counterpart of the scalar ``embedding_quantize_error``: split each
+    64-dim embedding into {_PQ_M} subvectors, assign each to its
+    nearest of {_PQ_K} codebook centroids, and report (code, squared
+    error) per subspace. 8 codes × 4 bits replace 256 float bytes;
+    the summed err_micro2 is the compression loss an ANN index built
+    on these codes inherits.
+
+    Exactness: embeddings quantize to integer micro-units (the Gram
+    convention), so every distance is an exact BIGINT and the argmin
+    (ties → smallest code) is deterministic in any engine. The
+    codebook is the PQ *init* step — the subvectors of the {_PQ_K}
+    lowest-vec_id embeddings, the deterministic seeding a Lloyd
+    refinement (``cluster_kmeans_assign`` shows the exact-arithmetic
+    template) would start from; keeping the audit at init keeps the
+    whole operator oracle-exact.
+
+    Scale: the codebook is a bounded {_PQ_K}-row collect (like the
+    k-means model); each Arrow batch computes all (batch × K)
+    subspace distances in one numpy broadcast — the corpus never
+    shuffles at all; output is (n · M) small integer rows. np.argmin
+    returns the FIRST minimal index, matching the oracle's MIN(code)
+    tiebreak.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d_sub = 64 // _PQ_M
+
+    def quant(arr: "np.ndarray") -> "np.ndarray":
+        scaled = arr.astype(np.float64) * _PQ_Q
+        return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+            np.int64
+        )
+
+    seed_rows = (
+        emb.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
+    )
+    codebook = quant(np.stack([r.embedding for r in seed_rows]))  # (K, 64)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = quant(np.stack(pdf["embedding"].to_numpy()))  # (B, 64)
+            out_vec, out_sub, out_code, out_err = [], [], [], []
+            for s in range(_PQ_M):
+                sl = slice(s * d_sub, (s + 1) * d_sub)
+                # (B, 1, d) - (1, K, d) → (B, K) integer distances
+                diff = x[:, None, sl] - codebook[None, :, sl]
+                d2 = (diff * diff).sum(axis=2)
+                out_vec.append(pdf["vec_id"].to_numpy())
+                out_sub.append(np.full(len(pdf), s + 1, dtype=np.int64))
+                out_code.append(d2.argmin(axis=1).astype(np.int64))
+                out_err.append(d2.min(axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_vec),
+                    "subspace": np.concatenate(out_sub),
+                    "code": np.concatenate(out_code),
+                    "err_micro2": np.concatenate(out_err),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id BIGINT, subspace BIGINT, code BIGINT, err_micro2 BIGINT"
+    )

@@ -484,3 +484,59 @@ def quality_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("drop_rule")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@CAT.query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS en_docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq_docs
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, total_chars,
+           total_chars // n_docs AS avg_chars,
+           n_langs,
+           (en_docs * 1000000) // n_docs AS en_ppm,
+           ((n_docs - uniq_docs) * 1000000) // n_docs AS dup_ppm
+    FROM s ORDER BY source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source "dataset card" — the one-scan summary table a corpus
+    release ships: volume (docs, chars, avg length), language spread
+    (distinct langs, English share), and exact duplicate rate (docs
+    minus distinct text fingerprints).
+
+    All ratios are integer floor-division ppm — order-independent and
+    bit-identical cross-engine. The two COUNT(DISTINCT)s make Spark
+    plan an Expand (each input row replicated per distinct-aggregate)
+    — a 2× map-side blowup that stays fully partial-aggregated before
+    the single shuffle on ``source``; the md5 fingerprint (not the
+    text) is what ships. At 100 TB the alternative — approx sketches —
+    loses the exact-dup audit; the Expand is the honest price and
+    scales linearly.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("en_docs"),
+        F.countDistinct(F.md5("text")).alias("uniq_docs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.expr("total_chars div n_docs").alias("avg_chars"),
+        "n_langs",
+        F.expr("(en_docs * CAST(1000000 AS BIGINT)) div n_docs").alias("en_ppm"),
+        F.expr(
+            "((n_docs - uniq_docs) * CAST(1000000 AS BIGINT)) div n_docs"
+        ).alias("dup_ppm"),
+    ).orderBy("source")

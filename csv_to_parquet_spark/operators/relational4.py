@@ -565,3 +565,77 @@ def contingency_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@CAT.query(
+    "skyline_parts",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2),
+    g AS (
+      SELECT price_cents, MAX(size) AS size,
+             CAST(SUM(CASE WHEN size = m THEN n_parts ELSE 0 END) AS BIGINT)
+               AS n_parts
+      FROM (SELECT *, MAX(size) OVER (PARTITION BY price_cents) AS m FROM d)
+      GROUP BY price_cents),
+    r AS (
+      SELECT price_cents, size, n_parts,
+             MAX(size) OVER (ORDER BY price_cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS rm
+      FROM g)
+    SELECT price_cents, size, n_parts
+    FROM r WHERE rm IS NULL OR size > rm
+    ORDER BY price_cents
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size — the points no other part dominates, with the
+    count of parts at each frontier point.
+
+    The classic sort-based skyline: aggregate to distinct
+    (price_cents, size) points (keeping per-price max size, since a
+    same-price smaller part is dominated outright), then one running
+    MAX(size) over price order — a point survives iff its size
+    strictly exceeds every cheaper point's. Money in integer cents so
+    dominance comparisons are exact in both engines.
+
+    Scale: both windows run AFTER aggregation — the per-price window
+    partitions by price, and the global-order running max covers one
+    row per DISTINCT price, not per part (a bounded domain: the 2-D
+    dominance frontier's input is |price domain| rows regardless of
+    table size). The corpus-sized work is a single map-side-combined
+    groupBy. For >2 dimensions the sort trick no longer applies and
+    the standard distributed answer is grid/angular partitioning +
+    local-skyline-then-merge; at 2-D this exact plan is optimal.
+    """
+    d = (
+        _t(spark, sf_dir, "part")
+        .groupBy(
+            cents("p_retailprice").alias("price_cents"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    wp = Window.partitionBy("price_cents")
+    g = (
+        d.withColumn("m", F.max("size").over(wp))
+        .groupBy("price_cents")
+        .agg(
+            F.max("size").alias("size"),
+            F.sum(F.when(F.col("size") == F.col("m"), F.col("n_parts")).otherwise(0)).alias(
+                "n_parts"
+            ),
+        )
+    )
+    wr = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        g.withColumn("rm", F.max("size").over(wr))
+        .filter(F.col("rm").isNull() | (F.col("size") > F.col("rm")))
+        .select("price_cents", "size", "n_parts")
+        .orderBy("price_cents")
+    )

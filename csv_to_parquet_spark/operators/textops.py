@@ -1848,3 +1848,90 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
     )
+
+
+#: Misra-Gries counters per partition / heavy-hitter threshold
+#: denominator. Completeness needs _MG_K + 1 > _HH_DEN: an item with
+#: global count > N/_HH_DEN must exceed n_p/(_MG_K+1) in at least one
+#: partition (pigeonhole), so it survives that partition's summary.
+_MG_K = 300
+_HH_DEN = 200
+
+
+@CAT.query(
+    "text_heavy_hitters_mg",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t)
+    SELECT t AS token, cnt, (cnt * 1000000) // total AS ppm
+    FROM c, n WHERE cnt * {_HH_DEN} > total
+    """,
+)
+def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens above 0.5% of the corpus, found with per-partition
+    Misra-Gries summaries + an exact recount — the bounded-memory
+    heavy-hitter shape for streams/corpora whose vocabulary does NOT
+    fit in an aggregation hash table.
+
+    Phase 1 (mapInPandas, O(_MG_K) state per partition): each
+    partition folds its documents' token counts into a Misra-Gries
+    summary — merge a batch's exact counts, and whenever more than
+    _MG_K counters exist, subtract the (K+1)-th largest value from
+    all and drop the non-positive (the mergeable-summaries weighted
+    decrement; Agarwal et al. 2012). Guarantee: an item with
+    partition count > n_p/(K+1) always survives, so with K+1 > den
+    every global heavy hitter is emitted by ≥1 partition — candidates
+    are a SUPERSET, never missing a true hitter.
+
+    Phase 2 (exact): semi-join the token stream against the
+    broadcast candidate set (≤ partitions·K ids), recount exactly,
+    filter cnt·den > N. False candidates die here, so the output is
+    deterministic and oracle-exact even though each summary's content
+    depends on partition order.
+
+    This is the one catalog query that is legitimately a custom
+    per-partition sequential algorithm (SURVEY §7 case (c)): the
+    whole point is state strictly smaller than the key space, which
+    no groupBy expresses. The Python crossing ships one token-array
+    row per document, Arrow-batched.
+    """
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select(tokenize("text").alias("toks"))
+
+    def mg(batches):
+        from collections import Counter
+
+        counters: Counter = Counter()
+        for pdf in batches:
+            bc = Counter()
+            for toks in pdf["toks"]:
+                bc.update(toks)
+            counters.update(bc)
+            if len(counters) > _MG_K:
+                m = sorted(counters.values(), reverse=True)[_MG_K]
+                counters = Counter(
+                    {t: c - m for t, c in counters.items() if c > m}
+                )
+        yield pd.DataFrame({"t": pd.Series(list(counters), dtype="object")})
+
+    cand = docs.mapInPandas(mg, "t string").distinct()
+    toks = _docs(spark, sf_dir).select(F.explode(tokenize("text")).alias("t"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    exact = (
+        toks.join(F.broadcast(cand), "t", "left_semi")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_DEN > F.col("total"))
+        .select(
+            F.col("t").alias("token"),
+            "cnt",
+            F.expr("(cnt * CAST(1000000 AS BIGINT)) div total").alias("ppm"),
+        )
+    )

@@ -41,8 +41,31 @@ CAT = Catalog()
 _uniq = count()
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, sf_dir: str, flush_days: int | None = None
+) -> DataFrame:
     """events.parquet as a file-source stream.
+
+    ``flush_days``: if set, stage two far-future sentinel rows — a
+    ``click`` at +flush_days and a ``purchase`` at +2·flush_days
+    (user_id −1). Outer stream-stream joins and other eviction-driven
+    emissions only release state when the watermark PASSES it — on a
+    drained finite stream, rows inside the final watermark window
+    would otherwise never emit their unmatched side. The sentinels
+    must carry REAL event types: placing ``withWatermark`` ahead of
+    the consumer's event_type filter does NOT protect a differently-
+    typed sentinel, because Catalyst pushes the deterministic filter
+    below the EventTimeWatermark node and the per-side max event time
+    is then computed post-filter (verified: a ``__flush__``-typed row
+    left the watermark at max-real-purchase−delay and withheld the
+    latest purchase's NULL row). With typed sentinels each join input
+    sees one far-future row; the global watermark advances to
+    min(sides)−delay = click-sentinel−delay, past every real row but
+    strictly BELOW the purchase sentinel's own eviction bound — so
+    the sentinel never emits and never matches (its timestamps
+    violate any bounded join window against real rows). In production
+    the equivalent is the stream simply continuing; the sentinels
+    exist only because availableNow drains a bounded fixture.
 
     A streaming file source needs a declared schema, so the stored
     timestamp unit is detected from the parquet footer (the batch
@@ -67,6 +90,34 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) and pf.metadata.schema.column(ts_idx).physical_type == "INT64"
     d = tempfile.mkdtemp(prefix="events_stream_src_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    if flush_days is not None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # bounded fixture staging: one column scanned driver-side to
+        # find max(ts), one 1-row file written — nothing corpus-sized
+        ts_type = pf.schema_arrow.field(ts_idx).type
+        mx = pc.max(
+            pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"]).column(
+                "ts"
+            )
+        ).value
+        unit_per_day = 86_400 * (10**9 if ts_is_nanos else 10**6)
+        flush = int(mx) + flush_days * unit_per_day
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([-1, -2], type=pa.int64()),
+                "ts": pa.array(
+                    [flush, flush + flush_days * unit_per_day],
+                    type=pa.int64(),
+                ).cast(ts_type),
+                "user_id": pa.array([-1, -1], type=pa.int64()),
+                "event_type": pa.array(["click", "purchase"], type=pa.string()),
+                "value": pa.array([0.0, 0.0], type=pa.float64()),
+                "props": pa.array(["", ""], type=pa.string()),
+            }
+        )
+        pq.write_table(sentinel, os.path.join(d, "zz_flush.parquet"))
     ts_decl = "BIGINT" if ts_is_nanos else "TIMESTAMP"
     schema = (
         f"event_id BIGINT, ts {ts_decl}, user_id BIGINT, "
@@ -763,3 +814,74 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_cents").alias("value_cents"),
         )
     )
+
+
+@CAT.query(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase, attributed to
+    same-user clicks in the preceding 10 minutes — or emitted with a
+    NULL click once the watermark proves no match can arrive.
+
+    The outer side is what distinguishes this from
+    :func:`stream_stream_join_purchase_click`: matched rows emit
+    immediately, but an UNMATCHED purchase emits only when state
+    eviction proves completeness — i.e. when the watermark passes the
+    end of its match window. Two consequences the batch mindset
+    misses, both encoded here:
+
+    - The staged far-future sentinels (a click at +30 days, a
+      purchase at +60; see :func:`_events_stream`) advance BOTH
+      sides' watermarks past every real row. They must carry the real
+      event types: Catalyst pushes the type filter below the
+      watermark node, so a dummy-typed row would be dropped before
+      the per-side max-event-time is computed — measured here as the
+      latest purchase's NULL row being withheld forever. The
+      purchase sentinel itself never emits: the global watermark is
+      capped by the (earlier) click sentinel, so its state is never
+      evicted, and its timestamp can't satisfy the bounded join
+      window against any real click.
+    - The join condition time-bounds BOTH directions, so Spark evicts
+      buffered rows instead of holding stream state forever — the
+      same state-boundedness contract as the inner variant.
+
+    availableNow + the sentinel make the drained result equal the
+    batch LEFT JOIN exactly (NULL click_id rows included), which is
+    what the oracle checks.
+    """
+    p = (
+        _events_stream(spark, sf_dir, flush_days=30)
+        .withWatermark("ts", "1 minute")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        _events_stream(spark, sf_dir, flush_days=30)
+        .withWatermark("ts", "1 minute")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id")
+    return _run_to_memory(joined, mode="append")

@@ -207,6 +207,7 @@ _BNLJ_ALLOW = {
     "graph_triangle_count",  # 1-row count aggregates broadcast-combined
     "profile_key_skew",  # 1-row summary × 1-row top-key broadcast
     "events_rolling_wau",  # 1-row date-bounds broadcast clamp
+    "text_heavy_hitters_mg",  # 1-row corpus token-total broadcast
     "events_dau_mau_stickiness",  # 1-row date-bounds broadcast clamp
     "dq_constraint_report",  # 1-row rule counts × 1-row totals broadcasts
     "basket_association_rules",  # 1-row basket-total broadcast for lift

@@ -161,3 +161,76 @@ def test_common_neighbors_invariants(spark, sf_smoke):
     na = {x.p for x in sp.filter(F.col("s") == r0.supp_a).collect()}
     nb = {x.p for x in sp.filter(F.col("s") == r0.supp_b).collect()}
     assert r0.common == len(na & nb)
+
+
+def test_mg_heavy_hitters_exact_under_eviction(spark, tmp_path):
+    """Vocabulary 10× the counter budget forces real Misra-Gries
+    evictions; the planted heavy hitter must still surface with its
+    EXACT count (candidate superset + exact recount)."""
+    from csv_to_parquet_spark.operators import textops
+
+    filler = [f"w{i:04d}" for i in range(3000)]  # each appears once
+    docs, chunk = [], 50
+    for d in range(0, 3000, chunk):
+        words = filler[d : d + chunk] + ["HOT"] * 5  # HOT ≈ 9% of tokens
+        docs.append((d, " ".join(words)))
+    frame = spark.createDataFrame(docs, "doc_id BIGINT, text STRING").repartition(8)
+    frame.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.token: r for r in textops.text_heavy_hitters_mg(spark, str(tmp_path)).collect()}
+    n_total = 3000 + 5 * 60
+    assert set(out) == {"HOT"}  # nothing else crosses N/200
+    assert out["HOT"].cnt == 300
+    assert out["HOT"].ppm == 300 * 1_000_000 // n_total
+
+
+def test_pq_seed_vectors_have_zero_error(spark, sf_smoke):
+    """The 16 lowest-vec_id embeddings ARE the codebook, so their own
+    encoding must be lossless (err 0) in every subspace; all codes in
+    [0, 16), all 8 subspaces present for every vector."""
+    from csv_to_parquet_spark.operators import clustering
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    out = clustering.embedding_pq_audit(spark, sf_smoke).collect()
+    n = load_table(spark, sf_smoke, "embeddings").count()
+    assert len(out) == 8 * n
+    for r in out:
+        assert 1 <= r.subspace <= 8 and 0 <= r.code < 16 and r.err_micro2 >= 0
+    seed_set = set(sorted({r.vec_id for r in out})[:16])
+    seed_errs = [r.err_micro2 for r in out if r.vec_id in seed_set]
+    assert seed_errs and all(e == 0 for e in seed_errs)
+
+
+def test_stream_left_outer_no_sentinel_leak(spark, sf_smoke):
+    """The far-future flush sentinels must never appear in the
+    drained result — neither as a purchase row nor as a match."""
+    from csv_to_parquet_spark.streaming import jobs
+
+    rows = jobs.stream_stream_left_outer(spark, sf_smoke).collect()
+    assert rows
+    assert all(r.purchase_id >= 0 for r in rows)
+    assert all(r.click_id is None or r.click_id >= 0 for r in rows)
+    assert any(r.click_id is None for r in rows)  # outer rows exist
+
+
+def test_skyline_is_a_frontier(spark, sf_smoke):
+    """Sorted by price the skyline's sizes must be strictly
+    increasing (the defining 2-D frontier shape), and no point may
+    dominate another."""
+    from csv_to_parquet_spark.operators import relational4
+
+    pts = relational4.skyline_parts(spark, sf_smoke).collect()
+    assert pts
+    for a, b in zip(pts, pts[1:]):
+        assert a.price_cents < b.price_cents and a.size < b.size
+
+
+def test_dataset_card_totals(spark, sf_smoke):
+    from csv_to_parquet_spark.operators import pipelines
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    rows = pipelines.pipeline_dataset_card(spark, sf_smoke).collect()
+    total = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert 0 <= r.en_ppm <= 1_000_000 and 0 <= r.dup_ppm <= 1_000_000
+        assert r.avg_chars == r.total_chars // r.n_docs
