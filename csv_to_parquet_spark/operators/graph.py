@@ -517,3 +517,84 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("supp_a", "supp_b", "common", F.round(j, 6).alias("jaccard"))
     )
+
+
+#: k-core threshold and fixed peeling rounds (unrolled in the oracle
+#: exactly like PageRank's iterations).
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(prev_e: str, out_e: str) -> str:
+    """One peeling round: drop vertices whose degree in ``prev_e``
+    is < k, keep only edges between survivors."""
+    return f"""
+    d_{out_e} AS (
+      SELECT u, count(*) AS deg FROM
+        (SELECT a AS u FROM {prev_e} UNION ALL SELECT b FROM {prev_e})
+      GROUP BY u),
+    s_{out_e} AS (SELECT u FROM d_{out_e} WHERE deg >= {_KCORE_K}),
+    {out_e} AS (
+      SELECT a, b FROM {prev_e}
+      WHERE a IN (SELECT u FROM s_{out_e})
+        AND b IN (SELECT u FROM s_{out_e}))
+    """
+
+
+@CAT.query(
+    "graph_kcore_peeling",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    {_kcore_round_sql("e", "e1")},
+    {_kcore_round_sql("e1", "e2")},
+    {_kcore_round_sql("e2", "e3")},
+    df AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS deg FROM
+        (SELECT a AS u FROM e3 UNION ALL SELECT b FROM e3)
+      GROUP BY u)
+    SELECT u AS part, deg FROM df WHERE deg >= {_KCORE_K}
+    """,
+)
+def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the co-purchase graph by iterative peeling:
+    repeatedly delete vertices of degree < k (and their edges), a
+    fixed {_KCORE_ROUNDS} rounds — the dense-subgraph primitive
+    behind spam-cluster mining and graph sparsification.
+
+    The fixed round count keeps the operator oracle-exact: the DuckDB
+    side unrolls the identical rounds as CTEs (the PageRank
+    convention), so both engines compute the same partially-peeled
+    fixpoint; on graphs this size peeling converges well before round
+    {_KCORE_ROUNDS} (survivor degrees are all ≥ k, making the output
+    THE k-core, not an approximation of it — a property the emitted
+    deg ≥ k filter certifies row-by-row).
+
+    Scale: each round is one degree aggregation plus one semi-join of
+    the edge list against the survivor set — hash-partitioned on the
+    vertex id throughout, edges only shrink. An open-ended production
+    variant loops to convergence with the connected-components
+    checkpoint cadence (dedup.py); the per-round plan is identical.
+    """
+    e = persist_tracked(_edges(spark, sf_dir))
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("a").alias("u"))
+            .unionAll(e.select(F.col("b").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        surv = deg.filter(F.col("deg") >= _KCORE_K).select("u")
+        e = persist_tracked(
+            e.join(surv.withColumnRenamed("u", "a"), "a", "left_semi").join(
+                surv.withColumnRenamed("u", "b"), "b", "left_semi"
+            )
+        )
+    final_deg = (
+        e.select(F.col("a").alias("u"))
+        .unionAll(e.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return final_deg.filter(F.col("deg") >= _KCORE_K).select(
+        F.col("u").alias("part"), "deg"
+    )

@@ -333,3 +333,98 @@ def maintenance_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_after"),
         )
     )
+
+
+@CAT.query(
+    "ivm_incremental_agg",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 20 != 0),
+    ins AS (SELECT * FROM orders WHERE o_orderkey % 20 = 0),
+    final AS (
+      SELECT o_orderdate, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(ROUND(o_totalprice * 1.05 * 100) AS BIGINT)
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             END AS cents
+      FROM base
+      UNION ALL
+      SELECT o_orderdate, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM ins)
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM final GROUP BY 1, 2, 3
+    """,
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: refresh a materialized
+    (year, month, status) revenue aggregate from a CDC delta batch
+    WITHOUT rescanning the base table's updated rows — the standard
+    signed-delta algebra (insert → +1/+cents, update → retraction
+    −1/−old PLUS re-insert +1/+new) folded into the stored partials.
+
+    Fixture: the base snapshot is orders with key % 20 != 0; the
+    delta batch inserts the remaining orders and applies a +5% price
+    update to base rows with key % 7 == 0. The maintained view is
+    computed as ``agg(base) ∪ signed-agg(delta) → re-agg``, so the
+    refresh cost is |delta| + |groups| — the whole point of IVM; the
+    oracle instead aggregates the final table state directly, proving
+    the incremental result IS the full recompute (counts cancel
+    exactly because retraction and re-insert carry signed counts).
+
+    Scale: the base aggregate would be a stored table in production
+    (here recomputed once to stand in for it); the delta path touches
+    only delta rows, partials are map-side combined, and the final
+    merge groups ≤ |groups| + |delta groups| rows. Groups whose count
+    reaches zero are dropped by the n > 0 filter — the retraction
+    edge case that naive "add the delta" implementations miss.
+    """
+    from csv_to_parquet_spark.functions import cents
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    grp = [
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.col("o_orderstatus"),
+    ]
+    base = orders.filter(F.col("o_orderkey") % 20 != 0)
+    inserts = orders.filter(F.col("o_orderkey") % 20 == 0)
+    updated = base.filter(F.col("o_orderkey") % 7 == 0)
+
+    v_base = base.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents("o_totalprice")).alias("c")
+    )
+    delta = (
+        inserts.select(
+            *grp, F.lit(1).alias("dn"), cents("o_totalprice").alias("dc")
+        )
+        .unionAll(
+            updated.select(
+                *grp,
+                F.lit(-1).alias("dn"),
+                (-cents("o_totalprice")).alias("dc"),
+            )
+        )
+        .unionAll(
+            updated.select(
+                *grp,
+                F.lit(1).alias("dn"),
+                cents(F.col("o_totalprice") * 1.05).alias("dc"),
+            )
+        )
+    )
+    d_agg = delta.groupBy("yr", "mo", "o_orderstatus").agg(
+        F.sum("dn").alias("n"), F.sum("dc").alias("c")
+    )
+    return (
+        v_base.unionAll(d_agg)
+        .groupBy("yr", "mo", "o_orderstatus")
+        .agg(F.sum("n").alias("n_orders"), F.sum("c").alias("revenue_cents"))
+        .filter(F.col("n_orders") > 0)
+        .select("yr", "mo", "o_orderstatus", "n_orders", "revenue_cents")
+    )

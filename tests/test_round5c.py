@@ -234,3 +234,99 @@ def test_dataset_card_totals(spark, sf_smoke):
     for r in rows:
         assert 0 <= r.en_ppm <= 1_000_000 and 0 <= r.dup_ppm <= 1_000_000
         assert r.avg_chars == r.total_chars // r.n_docs
+
+
+def test_kcore_survivors_have_core_degree(spark, sf_smoke):
+    """Every emitted vertex must retain degree >= k inside the peeled
+    subgraph — the property that certifies the output is the k-core
+    (not just 'nodes that survived some rounds')."""
+    from csv_to_parquet_spark.operators import graph
+    from csv_to_parquet_spark.operators.cache import release_caches
+
+    rows = graph.graph_kcore_peeling(spark, sf_smoke).collect()
+    release_caches()
+    assert all(r.deg >= 3 for r in rows)
+
+
+def test_ivm_zero_count_groups_are_dropped(spark, sf_smoke):
+    """No group may surface with a non-positive count, and the
+    incremental result must equal a direct full recompute done in
+    Spark itself (engine-internal consistency, independent of the
+    DuckDB oracle)."""
+    from csv_to_parquet_spark.functions import cents
+    from csv_to_parquet_spark.operators import maintenance
+    from csv_to_parquet_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    inc = maintenance.ivm_incremental_agg(spark, sf_smoke)
+    rows = {(r.yr, r.mo, r.o_orderstatus): r for r in inc.collect()}
+    assert rows and all(r.n_orders > 0 for r in rows.values())
+
+    orders = load_table(spark, sf_smoke, "orders")
+    price = F.when(
+        (F.col("o_orderkey") % 20 != 0) & (F.col("o_orderkey") % 7 == 0),
+        cents(F.col("o_totalprice") * 1.05),
+    ).otherwise(cents("o_totalprice"))
+    full = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(price).alias("revenue_cents"),
+        )
+        .collect()
+    )
+    assert {
+        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.revenue_cents)
+        for r in full
+    } == {k: (r.n_orders, r.revenue_cents) for k, r in rows.items()}
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, sf_smoke, tmp_path):
+    """Kill a file-sink stream mid-run, restart from the same
+    checkpoint, and verify exactly-once end-to-end: every input row
+    in the output exactly once, no loss, no duplicates — the
+    recovery contract production pipelines rely on."""
+    import time
+
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
+    ev.repartition(4).write.parquet(src)
+    n_total = ev.count()
+
+    def start():
+        s = (
+            spark.readStream.schema("event_id BIGINT, user_id BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()  # mid-run kill (at least one batch committed, not all)
+    q.awaitTermination()
+
+    q2 = start()  # resume from the SAME checkpoint
+    q2.awaitTermination()
+
+    final = spark.read.parquet(out)
+    assert final.count() == n_total
+    assert final.select("event_id").distinct().count() == n_total
