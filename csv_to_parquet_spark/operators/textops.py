@@ -1935,3 +1935,47 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cnt * CAST(1000000 AS BIGINT)) div total").alias("ppm"),
         )
     )
+
+
+#: Per-group sample size for the deterministic top-k-by-hash sampler.
+_GROUP_SAMPLE_K = 5
+
+
+@CAT.query(
+    "sample_group_topk_hash",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY {md5_60_sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+               AS rk
+      FROM documents)
+    SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_GROUP_SAMPLE_K}
+    """,
+)
+def sample_group_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k documents per (lang, source) stratum, chosen by
+    ordering each stratum on a deterministic doc-id hash — the
+    reproducible stand-in for per-group reservoir sampling (same
+    members in every engine, run, and partitioning; an RNG reservoir
+    is none of those). The per-group rank also gives a stable
+    eval-set ordering for free.
+
+    Plan: one narrow hash projection, one window partitioned by the
+    stratum, filter rk <= k. Scale: the window sorts WITHIN strata
+    only — fine while strata fit a partition. For a jumbo stratum the
+    upgrade is the classic two-phase top-k (per-partition top-k via
+    the same hash order, then re-rank the <= k·P survivors), same
+    contract; the hash-order statistic it computes is identical.
+    """
+    h = md5_60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "source")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _GROUP_SAMPLE_K)
+        .select("lang", "source", "doc_id", "rk")
+    )

@@ -925,3 +925,64 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("purchase_id", "click_id", "user_id")
     return _run_to_memory(joined, mode="append", state_partitions=8)
+
+
+@CAT.query(
+    "stream_stream_full_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — completes the streaming join
+    matrix (inner / left / full): matched purchase-click pairs emit
+    immediately, unmatched PURCHASES emit with NULL click once the
+    watermark passes their match window, and unmatched CLICKS emit
+    with NULL purchase once no future purchase can claim them
+    (watermark > click_ts + 10 min, the mirror-image eviction bound).
+
+    Sentinel bookkeeping is the same as the left-outer variant, with
+    one extra obligation proven here: the CLICK sentinel must also
+    never emit. Its eviction bound is its own ts + 10 min, while the
+    global watermark is capped at (click-sentinel ts − delay) by that
+    very row — strictly below the bound — and the purchase sentinel
+    (60 days later) caps nothing. Both sentinels therefore sit in
+    state forever and the drained result equals the batch FULL JOIN.
+    """
+    p = (
+        _events_stream(spark, sf_dir, flush_days=30)
+        .withWatermark("ts", "1 minute")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        _events_stream(spark, sf_dir, flush_days=30)
+        .withWatermark("ts", "1 minute")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+    )
+    return _run_to_memory(joined, mode="append", state_partitions=8)

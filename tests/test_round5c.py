@@ -330,3 +330,38 @@ def test_stream_checkpoint_resume_exactly_once(spark, sf_smoke, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == n_total
     assert final.select("event_id").distinct().count() == n_total
+
+
+def test_full_outer_covers_both_null_sides(spark, sf_smoke):
+    """The full-outer stream join must contain NULL rows on BOTH
+    sides, no sentinel ids, and exactly the left-outer result when
+    click-null rows are dropped."""
+    from csv_to_parquet_spark.streaming import jobs
+
+    full = jobs.stream_stream_full_outer(spark, sf_smoke).collect()
+    assert any(r.click_id is None for r in full)
+    assert any(r.purchase_id is None for r in full)
+    for r in full:
+        assert (r.purchase_id is None or r.purchase_id >= 0)
+        assert (r.click_id is None or r.click_id >= 0)
+    left = {
+        (r.purchase_id, r.click_id)
+        for r in jobs.stream_stream_left_outer(spark, sf_smoke).collect()
+    }
+    assert {
+        (r.purchase_id, r.click_id) for r in full if r.purchase_id is not None
+    } == left
+
+
+def test_group_topk_sample_is_deterministic_and_bounded(spark, sf_smoke):
+    from csv_to_parquet_spark.operators import textops
+
+    a = textops.sample_group_topk_hash(spark, sf_smoke).collect()
+    b = textops.sample_group_topk_hash(spark, sf_smoke).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_group: dict[tuple, list] = {}
+    for r in a:
+        per_group.setdefault((r.lang, r.source), []).append(r.rk)
+    for rks in per_group.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 5
