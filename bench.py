@@ -106,6 +106,7 @@ HEADLINE = [
     "dedup_jaccard_prefix_filter",
     "text_heavy_hitters_mg",
     "embedding_pq_audit",
+    "knn_pq_adc",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

@@ -826,6 +826,24 @@ _PQ_K = 16  # centroids per subspace codebook
 _PQ_Q = 1_000_000  # micro-unit quantization, same convention as the Gram op
 
 
+def _pq_quant(arr):
+    """Embedding floats → integer micro-units, half-away-from-zero
+    (matches SQL ROUND; np.rint would bankers-round on .5)."""
+    import numpy as np
+
+    scaled = arr.astype(np.float64) * _PQ_Q
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+
+def _pq_codebook(emb: DataFrame):
+    """The deterministic PQ codebook: quantized rows of the _PQ_K
+    lowest-vec_id embeddings, code c = rank c. Bounded collect."""
+    import numpy as np
+
+    seed_rows = emb.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
+    return _pq_quant(np.stack([r.embedding for r in seed_rows]))  # (K, 64)
+
+
 @CAT.query(
     "embedding_pq_audit",
     oracle=f"""
@@ -887,23 +905,13 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     d_sub = 64 // _PQ_M
-
-    def quant(arr: "np.ndarray") -> "np.ndarray":
-        scaled = arr.astype(np.float64) * _PQ_Q
-        return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
-            np.int64
-        )
-
-    seed_rows = (
-        emb.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
-    )
-    codebook = quant(np.stack([r.embedding for r in seed_rows]))  # (K, 64)
+    codebook = _pq_codebook(emb)
 
     def encode(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = quant(np.stack(pdf["embedding"].to_numpy()))  # (B, 64)
+            x = _pq_quant(np.stack(pdf["embedding"].to_numpy()))  # (B, 64)
             out_vec, out_sub, out_code, out_err = [], [], [], []
             for s in range(_PQ_M):
                 sl = slice(s * d_sub, (s + 1) * d_sub)
@@ -925,4 +933,145 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return emb.select("vec_id", "embedding").mapInPandas(
         encode, "vec_id BIGINT, subspace BIGINT, code BIGINT, err_micro2 BIGINT"
+    )
+
+
+#: ADC search: query set (same convention as similarity.N_QUERIES)
+#: and result depth.
+_ADC_QUERIES = 8
+_ADC_TOPK = 10
+
+
+@CAT.query(
+    "knn_pq_adc",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * {_PQ_Q})
+                                      AS BIGINT)) AS qe
+      FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qe AS cb
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {_PQ_K})),
+    dist AS (
+      SELECT v.vec_id, s.s AS subspace, seeds.code,
+             list_sum([(v.qe[i] - seeds.cb[i]) * (v.qe[i] - seeds.cb[i])
+                       for i in range((s.s - 1) * {64 // _PQ_M} + 1,
+                                      s.s * {64 // _PQ_M} + 1)]) AS d2
+      FROM q v, (SELECT unnest(range(1, {_PQ_M} + 1)) AS s) s, seeds),
+    best AS (
+      SELECT vec_id, subspace, MIN(d2) AS err FROM dist GROUP BY 1, 2),
+    codes AS (
+      SELECT d.vec_id, d.subspace, MIN(d.code) AS code
+      FROM dist d
+      JOIN best b ON d.vec_id = b.vec_id AND d.subspace = b.subspace
+                 AND d.d2 = b.err
+      GROUP BY d.vec_id, d.subspace),
+    qu AS (SELECT vec_id AS query_id, qe FROM q
+           WHERE vec_id < {_ADC_QUERIES}),
+    lut AS (
+      SELECT qu.query_id, s.s AS subspace, seeds.code,
+             list_sum([(qu.qe[i] - seeds.cb[i]) * (qu.qe[i] - seeds.cb[i])
+                       for i in range((s.s - 1) * {64 // _PQ_M} + 1,
+                                      s.s * {64 // _PQ_M} + 1)]) AS d2
+      FROM qu, (SELECT unnest(range(1, {_PQ_M} + 1)) AS s) s, seeds),
+    adc AS (
+      SELECT l.query_id, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS dist_micro2
+      FROM codes c
+      JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+      GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, vec_id, dist_micro2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist_micro2, vec_id) AS rk
+      FROM adc)
+    SELECT query_id, vec_id, dist_micro2, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_ADC_TOPK}
+    """,
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-{_ADC_TOPK} search over PQ codes —
+    the FAISS-style third leg of the ANN family next to hyperplane-LSH
+    and IVF (similarity.py), and unlike those two it is ORACLE-EXACT:
+    PQ codes and lookup-table distances are deterministic integers, so
+    the ranking has no float or randomness anywhere.
+
+    ADC shape: the corpus is represented ONLY by its codes
+    ({_PQ_M} small ints per vector — the compressed index a 100 TB
+    corpus actually stores); per query, the distance to every possible
+    (subspace, code) cell is precomputed driver-side into a
+    {_ADC_QUERIES}·{_PQ_M}·{_PQ_K}-row lookup table from the bounded
+    codebook + query collects, and scanning the index is then one
+    broadcast LUT join + a SUM over subspaces — no embedding column is
+    ever read again, no shuffle carries vectors. Top-k per query is a
+    window over the ≤ n·queries scored rows with the (dist, vec_id)
+    tiebreak.
+
+    The audit companion (``embedding_pq_audit``) reports exactly the
+    quantization error this search trades for its 64× compression;
+    the exact baseline for recall measurement is
+    ``knn_bruteforce_cosine``.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d_sub = 64 // _PQ_M
+    codebook = _pq_codebook(emb)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _pq_quant(np.stack(pdf["embedding"].to_numpy()))
+            out_vec, out_sub, out_code = [], [], []
+            for s in range(_PQ_M):
+                sl = slice(s * d_sub, (s + 1) * d_sub)
+                diff = x[:, None, sl] - codebook[None, :, sl]
+                d2 = (diff * diff).sum(axis=2)
+                out_vec.append(pdf["vec_id"].to_numpy())
+                out_sub.append(np.full(len(pdf), s + 1, dtype=np.int64))
+                out_code.append(d2.argmin(axis=1).astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_vec),
+                    "subspace": np.concatenate(out_sub),
+                    "code": np.concatenate(out_code),
+                }
+            )
+
+    codes = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id BIGINT, subspace BIGINT, code BIGINT"
+    )
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < _ADC_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    lut_rows = []
+    for r in q_rows:
+        qq = _pq_quant(np.array(r.embedding))
+        for s in range(_PQ_M):
+            sl = slice(s * d_sub, (s + 1) * d_sub)
+            d2 = ((qq[sl][None, :] - codebook[:, sl]) ** 2).sum(axis=1)
+            lut_rows.extend(
+                (r.vec_id, s + 1, c, int(d2[c])) for c in range(_PQ_K)
+            )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id BIGINT, subspace BIGINT, code BIGINT, d2 BIGINT"
+    )
+
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("dist_micro2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist_micro2", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _ADC_TOPK)
+        .select("query_id", "vec_id", "dist_micro2", "rk")
     )

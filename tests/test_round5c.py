@@ -365,3 +365,41 @@ def test_group_topk_sample_is_deterministic_and_bounded(spark, sf_smoke):
     for rks in per_group.values():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 5
+
+
+def test_pq_adc_distances_recompute(spark, sf_smoke):
+    """ADC ranking invariants plus an end-to-end recompute: for one
+    (query, result) pair, the emitted dist_micro2 must equal the sum
+    over subspaces of the LUT distance to that vector's assigned
+    code, rebuilt directly from raw embeddings in numpy."""
+    import numpy as np
+
+    from csv_to_parquet_spark.operators import clustering
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    out = clustering.knn_pq_adc(spark, sf_smoke).collect()
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r.dist_micro2 for r in rows]
+        assert dists == sorted(dists)
+
+    emb = {
+        r.vec_id: np.array(r.embedding)
+        for r in load_table(spark, sf_smoke, "embeddings").collect()
+    }
+    cb = clustering._pq_quant(
+        np.stack([emb[v] for v in sorted(emb)[:16]])
+    )
+    r0 = min(out, key=lambda r: (r.query_id, r.rk))
+    qq = clustering._pq_quant(emb[r0.query_id])
+    xx = clustering._pq_quant(emb[r0.vec_id])
+    total = 0
+    for s in range(8):
+        sl = slice(s * 8, (s + 1) * 8)
+        code = int(((xx[sl][None, :] - cb[:, sl]) ** 2).sum(axis=1).argmin())
+        total += int(((qq[sl] - cb[code, sl]) ** 2).sum())
+    assert total == r0.dist_micro2
