@@ -232,3 +232,69 @@ def test_pca_shift_matches_sql_truncating_semantics(v, s):
     import fractions
 
     assert out == int(fractions.Fraction(v, s))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering principle (dedup.jaccard_prefix_filter_pairs) —
+# pure-math property: for ANY two sets with J >= tau under ANY total
+# order, the prefixes of length n - ceil(tau*n) + 1 intersect.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.sets(st.integers(0, 60), min_size=1, max_size=25),
+    st.sets(st.integers(0, 60), min_size=1, max_size=25),
+    st.randoms(use_true_random=False),
+)
+def test_prefix_filter_principle(a, b, rnd):
+    tau_num, tau_den = 3, 5  # tau = 0.6, the shipped threshold
+    c = len(a & b)
+    j_qualifies = c * tau_den >= tau_num * (len(a) + len(b) - c)
+    order = sorted(a | b, key=lambda x: rnd.random())
+    pos = {v: i for i, v in enumerate(order)}
+
+    def prefix(s):
+        n = len(s)
+        p = n - (tau_num * n + tau_den - 1) // tau_den + 1
+        return set(sorted(s, key=pos.__getitem__)[:p])
+
+    if j_qualifies:
+        assert prefix(a) & prefix(b), (
+            f"qualifying pair missed: a={sorted(a)} b={sorted(b)} "
+            f"order={order}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries batched-merge survivor guarantee
+# (textops.text_heavy_hitters_mg): after folding arbitrary batches
+# with the offset-subtraction merge, any item with total count
+# > n/(K+1) must still hold a counter.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 40), min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 10),
+)
+def test_misra_gries_batched_merge_never_drops_heavy_items(batches, k):
+    from collections import Counter
+
+    counters: Counter = Counter()
+    for batch in batches:
+        counters.update(Counter(batch))
+        if len(counters) > k:
+            m = sorted(counters.values(), reverse=True)[k]
+            counters = Counter({t: c - m for t, c in counters.items() if c > m})
+
+    exact = Counter(x for b in batches for x in b)
+    n = sum(exact.values())
+    for item, cnt in exact.items():
+        if cnt * (k + 1) > n:
+            assert item in counters, (
+                f"heavy item {item} (cnt {cnt}, n {n}, k {k}) evicted"
+            )
