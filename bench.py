@@ -263,12 +263,20 @@ def main() -> int:
 
     recall: dict[str, float] = {}
     exact = _topk_sets(queries["knn_bruteforce_cosine"](spark, sf_dir))
-    for ann_name in ("knn_lsh_ann", "knn_ivf_ann"):
+    # knn_pq_adc is oracle-exact (integer ADC distances) but PQ is a
+    # lossy representation — its recall vs true cosine is the honest
+    # compression-quality number, reported alongside the two
+    # rows-only ANN paths. ADC ranks by L2 and may include the query
+    # itself; drop self before comparing against the self-excluding
+    # cosine baseline.
+    for ann_name in ("knn_lsh_ann", "knn_ivf_ann", "knn_pq_adc"):
         if ann_name not in queries:
             continue
         got = _topk_sets(queries[ann_name](spark, sf_dir))
         per_q = [
-            len(got.get(q, set()) & s) / len(s) for q, s in exact.items() if s
+            len((got.get(q, set()) - {q}) & s) / len(s)
+            for q, s in exact.items()
+            if s
         ]
         recall[ann_name] = round(sum(per_q) / len(per_q), 4) if per_q else 0.0
         release_caches()

@@ -1011,7 +1011,15 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     The audit companion (``embedding_pq_audit``) reports exactly the
     quantization error this search trades for its 64× compression;
     the exact baseline for recall measurement is
-    ``knn_bruteforce_cosine``.
+    ``knn_bruteforce_cosine``. Measured recall@10 vs that baseline
+    (bench artifact): ~0.19 on the uniform driver corpus, ~0.33 on
+    the 50-cluster fixture — bounded by the deliberately minimal
+    codebook ({_PQ_K} init-only centroids, sized to survive the
+    50-row smoke corpus), not by the ADC machinery. Production PQ
+    uses 256 Lloyd-trained centroids per subspace; the exact-
+    arithmetic training template is ``cluster_kmeans_assign``, and
+    every pipeline stage here (codes, LUT, broadcast join) is
+    unchanged by K.
     """
     import numpy as np
 
