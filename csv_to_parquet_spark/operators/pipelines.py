@@ -540,3 +540,87 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "((n_docs - uniq_docs) * CAST(1000000 AS BIGINT)) div n_docs"
         ).alias("dup_ppm"),
     ).orderBy("source")
+
+
+#: Shard count for the training manifest.
+_MANIFEST_SHARDS = 8
+
+
+@CAT.query(
+    "pipeline_training_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, lang, md5(text) AS m,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang, m, nc, CAST(len(toks) AS BIGINT) AS nt FROM t
+      WHERE len(toks) >= {_MIN_TOKENS}
+        AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / nc >= {_MIN_ALPHA}
+        AND CAST(len(list_filter(toks, x -> lower(x) IN ({_STOP_SQL}))) AS DOUBLE)
+            / len(toks) >= {_MIN_STOP}),
+    keep AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY m ORDER BY doc_id) AS rn
+        FROM q) WHERE rn = 1)
+    SELECT {md5_60_sql("CAST(doc_id AS VARCHAR)")} % {_MANIFEST_SHARDS}
+             AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM keep GROUP BY shard ORDER BY shard
+    """,
+)
+def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composite: quality/language gates → exact dedup
+    (keep lowest doc_id per content hash) → deterministic shard
+    assignment → the per-shard MANIFEST a training job consumes
+    (docs, tokens, chars, language spread per shard). One lazy plan:
+    the same fused gates as :func:`pipeline_corpus_clean`, one dedup
+    shuffle on the content hash carrying only (hash, id, small ints),
+    one manifest groupBy over {_MANIFEST_SHARDS} shards.
+
+    Keep-first needs the keeper's METRICS, not just its id, so the
+    dedup aggregation is ``min_by(struct(...), doc_id)`` — one pass,
+    no join-back of the winner against the corpus (the two-shuffle
+    shape a SELECT-then-rejoin would cost). Shard = doc_id-hash mod
+    {_MANIFEST_SHARDS}: reshuffling-stable as the corpus grows, the
+    property batch ids or row_numbers lack.
+    """
+    toks, alpha_ratio, stop_ratio = _gate_exprs()
+    per = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .filter(
+            (F.size(toks) >= _MIN_TOKENS)
+            & (alpha_ratio >= _MIN_ALPHA)
+            & (stop_ratio >= _MIN_STOP)
+        )
+        .select(
+            F.md5("text").alias("m"),
+            F.struct(
+                F.col("doc_id"),
+                F.col("lang"),
+                F.length("text").cast("bigint").alias("nc"),
+                F.size(tokenize("text")).cast("bigint").alias("nt"),
+            ).alias("s"),
+        )
+    )
+    keep = per.groupBy("m").agg(
+        F.min_by("s", F.col("s.doc_id")).alias("k")
+    ).select("k.*")
+    shard = F.pmod(
+        md5_60(F.col("doc_id").cast("string")), F.lit(_MANIFEST_SHARDS)
+    )
+    return (
+        keep.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nc").alias("n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )

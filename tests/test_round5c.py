@@ -403,3 +403,19 @@ def test_pq_adc_distances_recompute(spark, sf_smoke):
         code = int(((xx[sl][None, :] - cb[:, sl]) ** 2).sum(axis=1).argmin())
         total += int(((qq[sl] - cb[code, sl]) ** 2).sum())
     assert total == r0.dist_micro2
+
+
+def test_training_manifest_consistent_with_clean_pipeline(spark, sf_smoke):
+    """The manifest's total doc count must equal the cleaning
+    pipeline's surviving-doc count (same gates, same dedup), and
+    shard ids must cover only [0, 8)."""
+    from csv_to_parquet_spark.operators import pipelines
+
+    rows = pipelines.pipeline_training_manifest(spark, sf_smoke).collect()
+    assert all(0 <= r.shard < 8 for r in rows)
+    total = sum(r.n_docs for r in rows)
+    kept = pipelines.pipeline_corpus_clean(spark, sf_smoke).count()
+    assert total == kept
+    for r in rows:
+        assert r.n_tokens >= r.n_docs  # gates require >= 20 tokens/doc
+        assert 1 <= r.n_langs
