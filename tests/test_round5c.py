@@ -419,3 +419,45 @@ def test_training_manifest_consistent_with_clean_pipeline(spark, sf_smoke):
     for r in rows:
         assert r.n_tokens >= r.n_docs  # gates require >= 20 tokens/doc
         assert 1 <= r.n_langs
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Engineered 93%-one-key skew: with AQE skew-join enabled and
+    fixture-scaled thresholds, the FINAL adaptive plan must mark the
+    join skew=true and read the hot shuffle partition as split
+    (AQEShuffleRead ... skewed) — the runtime re-plan the repo's
+    100 TB posture leans on for join skew (hand-salting covers
+    aggregations: agg_salted_skew)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 280_000, F.lit(0))
+            .otherwise((F.col("id") % 1000) + 1)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 300_000  # every left row matches
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead coalesced and skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
