@@ -55,6 +55,16 @@ HEAVY = [
     "graph_bfs_reachability",  # frontier sizes change with graph density
     "events_type_entropy",  # fixed-point ln() over larger per-user counts
     "stream_kafka_shaped_decode",  # micro-batch agg over staged messages
+    # round-5 third wave (dedup_jaccard_prefix_filter joins the excluded
+    # brute-force-oracle family above; everything else is tractable)
+    "stream_stream_left_outer",  # outer-state eviction timing vs more rows
+    "stream_stream_full_outer",  # two-sided eviction bounds at scale
+    "text_heavy_hitters_mg",  # real MG eviction pressure needs volume
+    "knn_pq_adc",  # integer-distance rank ties densify with corpus
+    "skyline_parts",  # frontier tie structure shifts with more points
+    "graph_kcore_peeling",  # peeling convergence on the denser graph
+    "graph_common_neighbors",  # float-Jaccard top-100 tie ordering
+    "pipeline_training_manifest",  # dedup keep-first + shard sums
 ]
 
 QUERIES = entry_mod.queries()
