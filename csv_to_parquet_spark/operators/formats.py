@@ -676,3 +676,75 @@ def source_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, "
         "c_mktsegment STRING",
     )
+
+
+@CAT.query(
+    "source_json_corrupt_tolerant",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 7 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 7 != 0 THEN length(text) ELSE 0 END)
+                AS BIGINT) AS chars_good
+    FROM documents
+    """,
+)
+def source_json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance on the JSON source — the reference's
+    F1 contract (converter.go: skip bad rows, keep converting) carried
+    to semi-structured ingest: a JSONL fixture where every 7th
+    document's line is TRUNCATED mid-object must parse the good lines
+    to typed columns and route the bad ones to ``_corrupt_record``
+    (PERMISSIVE), never failing the job and never silently dropping.
+
+    The fixture is staged DISTRIBUTED (documents → rendered JSON lines
+    → ``write.text``; corruption is decided by doc_id, so nothing
+    corpus-sized touches the driver), and the oracle never parses
+    JSON at all — it derives the exact expected good/corrupt counts
+    and good-line char mass from the same doc_id rule, which is what
+    makes a "how does the engine handle garbage" behavior
+    hash-checkable cross-engine.
+
+    Output: one row — total lines, parsed lines, corrupt lines, and
+    the n_chars sum recovered from the parsed payload (proving values,
+    not just counts, survive).
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_STAGE, f"documents_corrupt_{tag}.jsonl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        did = F.col("doc_id").cast("string")
+        good = F.concat(
+            F.lit('{"doc_id": '),
+            did,
+            F.lit(', "lang": "'),
+            F.col("lang"),
+            F.lit('", "n_chars": '),
+            F.length("text").cast("string"),
+            F.lit("}"),
+        )
+        bad = F.concat(F.lit('{"doc_id": '), did, F.lit(', "lang": "'))
+        line = F.when(F.col("doc_id") % 7 == 0, bad).otherwise(good)
+        docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.col("_corrupt_record").isNull().cast("bigint")
+        ).alias("n_good"),
+        F.sum(
+            F.col("_corrupt_record").isNotNull().cast("bigint")
+        ).alias("n_corrupt"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias(
+            "chars_good"
+        ),
+    )

@@ -461,3 +461,48 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_json_corrupt_lines_are_isolated_not_fatal(spark, sf_smoke):
+    """PERMISSIVE must keep the job alive and quarantine exactly the
+    planted truncated lines."""
+    from csv_to_parquet_spark.operators import formats
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    row = formats.source_json_corrupt_tolerant(spark, sf_smoke).collect()[0]
+    docs = load_table(spark, sf_smoke, "documents")
+    assert row.n_rows == docs.count()
+    assert row.n_corrupt == docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert row.n_good + row.n_corrupt == row.n_rows
+
+
+def test_scan_split_count_follows_max_partition_bytes(spark, tmp_path):
+    """The knob that sizes scan tasks at 100 TB: a multi-row-group
+    parquet file must split into more input partitions when
+    spark.sql.files.maxPartitionBytes shrinks."""
+    path = str(tmp_path / "wide.parquet")
+    (
+        spark.range(0, 400_000)
+        .select(
+            F.col("id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad1"),
+            F.sha2((F.col("id") + 1).cast("string"), 256).alias("pad2"),
+        )
+        .coalesce(1)
+        .write.option("parquet.block.size", 256 * 1024)
+        .parquet(path)
+    )
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # NOTE: with a large cap the split count is still floored by
+        # leafNodeDefaultParallelism (totalSize/defaultParallelism) so
+        # cores stay busy — the invariant is monotonic growth as the
+        # cap shrinks, not "one split at the default".
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        coarse = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        fine = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+    assert fine > coarse, (coarse, fine)
+    assert fine >= 16, f"expected ~1MB-grained splits, got {fine}"
