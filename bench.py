@@ -266,15 +266,16 @@ def main() -> int:
     # knn_pq_adc is oracle-exact (integer ADC distances) but PQ is a
     # lossy representation — its recall vs true cosine is the honest
     # compression-quality number, reported alongside the two
-    # rows-only ANN paths. ADC ranks by L2 and may include the query
-    # itself; drop self before comparing against the self-excluding
-    # cosine baseline.
+    # rows-only ANN paths. Caveat on the ADC number: it ranks by L2
+    # over codes and its top-10 includes the query itself (the
+    # baseline excludes self), so one of its 10 slots is structurally
+    # spent — ADC recall@10 is capped at 0.9 as reported.
     for ann_name in ("knn_lsh_ann", "knn_ivf_ann", "knn_pq_adc"):
         if ann_name not in queries:
             continue
         got = _topk_sets(queries[ann_name](spark, sf_dir))
         per_q = [
-            len((got.get(q, set()) - {q}) & s) / len(s)
+            len(got.get(q, set()) & s) / len(s)
             for q, s in exact.items()
             if s
         ]

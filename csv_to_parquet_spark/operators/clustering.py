@@ -844,6 +844,44 @@ def _pq_codebook(emb: DataFrame):
     return _pq_quant(np.stack([r.embedding for r in seed_rows]))  # (K, 64)
 
 
+def _pq_encode(emb: DataFrame, codebook, with_err: bool) -> DataFrame:
+    """Shared PQ encoder (audit + ADC search MUST agree on codes):
+    one mapInPandas pass assigning every (vector, subspace) its
+    nearest-centroid code via a numpy broadcast; ``with_err`` adds
+    the integer reconstruction error column. np.argmin returns the
+    FIRST minimal index, matching the oracles' MIN(code) tiebreak."""
+    import numpy as np
+
+    d_sub = 64 // _PQ_M
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _pq_quant(np.stack(pdf["embedding"].to_numpy()))  # (B, 64)
+            out = {"vec_id": [], "subspace": [], "code": [], "err_micro2": []}
+            for s in range(_PQ_M):
+                sl = slice(s * d_sub, (s + 1) * d_sub)
+                # (B, 1, d) - (1, K, d) -> (B, K) integer distances
+                diff = x[:, None, sl] - codebook[None, :, sl]
+                d2 = (diff * diff).sum(axis=2)
+                out["vec_id"].append(pdf["vec_id"].to_numpy())
+                out["subspace"].append(np.full(len(pdf), s + 1, dtype=np.int64))
+                out["code"].append(d2.argmin(axis=1).astype(np.int64))
+                if with_err:
+                    out["err_micro2"].append(d2.min(axis=1))
+            if not with_err:
+                del out["err_micro2"]
+            yield pd.DataFrame(
+                {k: np.concatenate(v) for k, v in out.items()}
+            )
+
+    schema = "vec_id BIGINT, subspace BIGINT, code BIGINT"
+    if with_err:
+        schema += ", err_micro2 BIGINT"
+    return emb.select("vec_id", "embedding").mapInPandas(encode, schema)
+
+
 @CAT.query(
     "embedding_pq_audit",
     oracle=f"""
@@ -901,39 +939,8 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns the FIRST minimal index, matching the oracle's MIN(code)
     tiebreak.
     """
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
-    d_sub = 64 // _PQ_M
-    codebook = _pq_codebook(emb)
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = _pq_quant(np.stack(pdf["embedding"].to_numpy()))  # (B, 64)
-            out_vec, out_sub, out_code, out_err = [], [], [], []
-            for s in range(_PQ_M):
-                sl = slice(s * d_sub, (s + 1) * d_sub)
-                # (B, 1, d) - (1, K, d) → (B, K) integer distances
-                diff = x[:, None, sl] - codebook[None, :, sl]
-                d2 = (diff * diff).sum(axis=2)
-                out_vec.append(pdf["vec_id"].to_numpy())
-                out_sub.append(np.full(len(pdf), s + 1, dtype=np.int64))
-                out_code.append(d2.argmin(axis=1).astype(np.int64))
-                out_err.append(d2.min(axis=1))
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_vec),
-                    "subspace": np.concatenate(out_sub),
-                    "code": np.concatenate(out_code),
-                    "err_micro2": np.concatenate(out_err),
-                }
-            )
-
-    return emb.select("vec_id", "embedding").mapInPandas(
-        encode, "vec_id BIGINT, subspace BIGINT, code BIGINT, err_micro2 BIGINT"
-    )
+    return _pq_encode(emb, _pq_codebook(emb), with_err=True)
 
 
 #: ADC search: query set (same convention as similarity.N_QUERIES)
@@ -1026,31 +1033,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     d_sub = 64 // _PQ_M
     codebook = _pq_codebook(emb)
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = _pq_quant(np.stack(pdf["embedding"].to_numpy()))
-            out_vec, out_sub, out_code = [], [], []
-            for s in range(_PQ_M):
-                sl = slice(s * d_sub, (s + 1) * d_sub)
-                diff = x[:, None, sl] - codebook[None, :, sl]
-                d2 = (diff * diff).sum(axis=2)
-                out_vec.append(pdf["vec_id"].to_numpy())
-                out_sub.append(np.full(len(pdf), s + 1, dtype=np.int64))
-                out_code.append(d2.argmin(axis=1).astype(np.int64))
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_vec),
-                    "subspace": np.concatenate(out_sub),
-                    "code": np.concatenate(out_code),
-                }
-            )
-
-    codes = emb.select("vec_id", "embedding").mapInPandas(
-        encode, "vec_id BIGINT, subspace BIGINT, code BIGINT"
-    )
+    codes = _pq_encode(emb, codebook, with_err=False)
 
     q_rows = (
         emb.filter(F.col("vec_id") < _ADC_QUERIES)
@@ -1063,8 +1046,10 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(_PQ_M):
             sl = slice(s * d_sub, (s + 1) * d_sub)
             d2 = ((qq[sl][None, :] - codebook[:, sl]) ** 2).sum(axis=1)
+            # iterate the ACTUAL codebook size: a corpus smaller than
+            # _PQ_K yields a short codebook (mirrors the oracle LIMIT)
             lut_rows.extend(
-                (r.vec_id, s + 1, c, int(d2[c])) for c in range(_PQ_K)
+                (r.vec_id, s + 1, c, int(d2[c])) for c in range(len(d2))
             )
     lut = spark.createDataFrame(
         lut_rows, "query_id BIGINT, subspace BIGINT, code BIGINT, d2 BIGINT"

@@ -564,10 +564,13 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixed round count keeps the operator oracle-exact: the DuckDB
     side unrolls the identical rounds as CTEs (the PageRank
     convention), so both engines compute the same partially-peeled
-    fixpoint; on graphs this size peeling converges well before round
-    {_KCORE_ROUNDS} (survivor degrees are all ≥ k, making the output
-    THE k-core, not an approximation of it — a property the emitted
-    deg ≥ k filter certifies row-by-row).
+    state. The final deg >= k filter is round R+1's REMOVAL step, not
+    a certificate: if peeling has not converged by then, a survivor
+    may count edges to vertices that same filter drops, so the output
+    equals the true k-core exactly when round R+1 removes no edges
+    needed by another survivor — which holds once peeling converges,
+    and is asserted against a run-to-fixpoint recompute in
+    tests/test_round5c.py on the fixture graphs.
 
     Scale: each round is one degree aggregation plus one semi-join of
     the edge list against the survivor set — hash-partitioned on the

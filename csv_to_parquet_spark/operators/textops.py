@@ -1785,10 +1785,13 @@ _SWEEP_THRS = (0, 25_000, 50_000, 100_000, 150_000, 200_000, 250_000, 300_000)
                  (CAST(hits AS BIGINT) * 1000000) // n_toks AS sr_ppm
           FROM t),
     k AS (SELECT CAST(thr AS BIGINT) AS thr,
-                 CAST(count(*) AS BIGINT) AS docs_kept,
-                 CAST(sum(n_chars) AS BIGINT) AS chars_kept
-          FROM s JOIN (VALUES {", ".join(f"({t})" for t in _SWEEP_THRS)})
-                      AS th(thr) ON CAST(thr AS BIGINT) <= sr_ppm
+                 CAST(SUM(CASE WHEN CAST(thr AS BIGINT) <= sr_ppm
+                               THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+                 CAST(SUM(CASE WHEN CAST(thr AS BIGINT) <= sr_ppm
+                               THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS chars_kept
+          FROM s CROSS JOIN (VALUES {", ".join(f"({t})" for t in _SWEEP_THRS)})
+                            AS th(thr)
           GROUP BY thr)
     SELECT thr, docs_kept, chars_kept,
            (docs_kept * 1000000) // (MAX(docs_kept) OVER ()) AS kept_ppm
@@ -1804,11 +1807,12 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per doc: stopword density in integer ppm (``hits·10⁶ div
     n_tokens`` — same regexp-count hit definition as
     :func:`text_quality_scores`, floor division so every engine
-    agrees bit-for-bit). Each doc then emits one row per PASSED
-    threshold via a bounded ``filter``+``explode`` over the 8-element
-    literal array — an ≤8× narrow fan-out, not a join — and one
-    groupBy(threshold) with map-side partials folds the corpus to ≤8
-    rows. The kept-share ppm divides by the threshold-0 row (which
+    agrees bit-for-bit). Each doc then emits one row per threshold
+    (with a pass flag) via a bounded ``explode`` over the 8-element
+    literal array — an 8× narrow fan-out, not a join — and one
+    groupBy(threshold) with map-side partials folds the corpus to
+    exactly 8 rows, including docs_kept=0 rows for cutoffs that kill
+    everything. The kept-share ppm divides by the threshold-0 row (which
     keeps everything by construction) via a MAX window over the ≤8
     aggregated rows — the single-partition window is bounded by the
     threshold count, never the corpus.
@@ -1827,13 +1831,17 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(hits * CAST(1000000 AS BIGINT)) div n_toks").alias("sr_ppm"),
     )
     thrs = F.array(*[F.lit(t).cast("bigint") for t in _SWEEP_THRS])
-    ex = per.select(
-        "n_chars",
-        F.explode(F.filter(thrs, lambda t: t <= F.col("sr_ppm"))).alias("thr"),
-    )
+    # explode EVERY threshold (not just passed ones) so a cutoff that
+    # kills the whole corpus still emits its docs_kept=0 row — absence
+    # would read as "not swept", the wrong signal on a calibration
+    # table. Still a bounded 8x narrow fan-out, no join.
+    passed = F.col("thr") <= F.col("sr_ppm")
+    ex = per.select("n_chars", "sr_ppm", F.explode(thrs).alias("thr"))
     agg = ex.groupBy("thr").agg(
-        F.count(F.lit(1)).alias("docs_kept"),
-        F.sum("n_chars").alias("chars_kept"),
+        F.sum(passed.cast("bigint")).alias("docs_kept"),
+        F.sum(F.when(passed, F.col("n_chars")).otherwise(0)).alias(
+            "chars_kept"
+        ),
     )
     w = Window.partitionBy()
     return (
@@ -1903,6 +1911,7 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(tokenize("text").alias("toks"))
 
     def mg(batches):
+        import heapq
         from collections import Counter
 
         counters: Counter = Counter()
@@ -1912,7 +1921,9 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bc.update(toks)
             counters.update(bc)
             if len(counters) > _MG_K:
-                m = sorted(counters.values(), reverse=True)[_MG_K]
+                # (K+1)-th largest via a bounded heap: O(V log K) per
+                # batch, not a full O(V log V) sort of the counter map
+                m = heapq.nlargest(_MG_K + 1, counters.values())[-1]
                 counters = Counter(
                     {t: c - m for t, c in counters.items() if c > m}
                 )
