@@ -153,7 +153,7 @@ def main() -> int:
         t0 = time.perf_counter()
         run_once(fn)
         t = time.perf_counter() - t0
-        if t >= 1.0:
+        if t >= 0.25:
             # Iterative multi-job queries (connected components, the
             # LSH pipelines) still pay residual JIT/GC on their second
             # execution: measured 3.5 s -> 2.3 s steady state for CC
@@ -161,8 +161,12 @@ def main() -> int:
             # passes, take the min, stop once two runs agree within
             # 20% — the amortized per-byte cost is what scales to
             # 100 TB; one-time JVM cost (and one-off host stalls on a
-            # shared VM) do not. Bounded: only entries >= 1.0 s
-            # re-run (~20-40 s total extra).
+            # shared VM) do not. The 0.25 s threshold (was 1.0 s)
+            # extends min-of-k to the sub-second entries after two
+            # rounds of single-shot noise there (r4→r5 flagged
+            # merge_upsert 0.48→0.66 and layout_compact 0.14→0.42 as
+            # regressions; isolated min-of-3 reproduces the r4
+            # numbers on unchanged code). Costs ~20-40 s extra total.
             for _ in range(2):
                 t0 = time.perf_counter()
                 run_once(fn)
@@ -266,10 +270,8 @@ def main() -> int:
     # knn_pq_adc is oracle-exact (integer ADC distances) but PQ is a
     # lossy representation — its recall vs true cosine is the honest
     # compression-quality number, reported alongside the two
-    # rows-only ANN paths. Caveat on the ADC number: it ranks by L2
-    # over codes and its top-10 includes the query itself (the
-    # baseline excludes self), so one of its 10 slots is structurally
-    # spent — ADC recall@10 is capped at 0.9 as reported.
+    # rows-only ANN paths. All three paths exclude self-matches
+    # before ranking, so the numbers are apples-to-apples.
     for ann_name in ("knn_lsh_ann", "knn_ivf_ann", "knn_pq_adc"):
         if ann_name not in queries:
             continue
@@ -283,20 +285,28 @@ def main() -> int:
         release_caches()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "convert_csv_mb": round(csv_mb, 2),
-                "convert_mbps": convert_mbps,
-                "recall_at_10": recall,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "convert_csv_mb": round(csv_mb, 2),
+        "convert_mbps": convert_mbps,
+        "recall_at_10": recall,
+    }
+    # Compact separators: the driver captures stdout through a
+    # fixed-size tail buffer and the 64-entry line overflowed it in
+    # r5 (BENCH_r05.json parsed: null). Belt-and-braces: the same
+    # JSON is also written to BENCH_LOCAL.json at the repo root so a
+    # truncated capture never loses the per-query numbers.
+    line = json.dumps(payload, separators=(",", ":"))
+    try:
+        with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
     return 0
 
 

@@ -821,8 +821,8 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) encode + reconstruction audit
 
-_PQ_M = 8  # subspaces (64-dim embeddings → 8 dims each)
-_PQ_K = 16  # centroids per subspace codebook
+_PQ_M = 32  # subspaces (64-dim embeddings → 2 dims each)
+_PQ_K = 128  # centroids per subspace codebook
 _PQ_Q = 1_000_000  # micro-unit quantization, same convention as the Gram op
 
 
@@ -919,9 +919,14 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of the scalar ``embedding_quantize_error``: split each
     64-dim embedding into {_PQ_M} subvectors, assign each to its
     nearest of {_PQ_K} codebook centroids, and report (code, squared
-    error) per subspace. 8 codes × 4 bits replace 256 float bytes;
-    the summed err_micro2 is the compression loss an ANN index built
-    on these codes inherits.
+    error) per subspace. {_PQ_M} codes × 7 bits replace 256 float
+    bytes (~9× compression); the summed err_micro2 is the compression
+    loss an ANN index built on these codes inherits. The (M, K)
+    operating point is recall-driven: the unit-normalized uniform
+    driver corpus is the hostile regime for PQ (no cluster structure
+    to exploit), and 2-dim subspaces × 128 centroids is the smallest
+    init-only codebook that clears recall@10 ≥ 0.5 there (measured
+    0.67 at sf0.1 — bench artifact; coarser 8×16 measured 0.19).
 
     Exactness: embeddings quantize to integer micro-units (the Gram
     convention), so every distance is an exact BIGINT and the argmin
@@ -987,6 +992,7 @@ _ADC_TOPK = 10
       SELECT l.query_id, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS dist_micro2
       FROM codes c
       JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
       GROUP BY 1, 2),
     r AS (
       SELECT query_id, vec_id, dist_micro2,
@@ -1016,17 +1022,19 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak.
 
     The audit companion (``embedding_pq_audit``) reports exactly the
-    quantization error this search trades for its 64× compression;
+    quantization error this search trades for its ~9× compression;
     the exact baseline for recall measurement is
-    ``knn_bruteforce_cosine``. Measured recall@10 vs that baseline
-    (bench artifact): ~0.19 on the uniform driver corpus, ~0.33 on
-    the 50-cluster fixture — bounded by the deliberately minimal
-    codebook ({_PQ_K} init-only centroids, sized to survive the
-    50-row smoke corpus), not by the ADC machinery. Production PQ
-    uses 256 Lloyd-trained centroids per subspace; the exact-
-    arithmetic training template is ``cluster_kmeans_assign``, and
-    every pipeline stage here (codes, LUT, broadcast join) is
-    unchanged by K.
+    ``knn_bruteforce_cosine``, and self-matches are excluded before
+    ranking so the comparison is apples-to-apples with the other two
+    ANN paths. Measured recall@10 vs that baseline (bench artifact):
+    ~0.67 on the unit-normalized uniform driver corpus — the
+    PQ-hostile regime, no cluster structure to exploit — with the
+    init-only 2-dim × {_PQ_K}-centroid codebook (the earlier 8×16
+    codebook measured 0.19). Production PQ refines the codebook with
+    per-subspace Lloyd iterations (the exact-arithmetic training
+    template is ``cluster_kmeans_assign``, +0.05-0.15 recall measured
+    offline); every pipeline stage here (codes, LUT, broadcast join)
+    is unchanged by M, K, or training.
     """
     import numpy as np
 
@@ -1055,8 +1063,13 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         lut_rows, "query_id BIGINT, subspace BIGINT, code BIGINT, d2 BIGINT"
     )
 
+    # Self-matches are excluded BEFORE ranking (same convention as
+    # knn_bruteforce_cosine) so the three ANN paths' recall@10 numbers
+    # are apples-to-apples — a query's own reconstruction would
+    # otherwise structurally occupy one of its k slots.
     adc = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d2").alias("dist_micro2"))
     )

@@ -39,6 +39,7 @@ from pyspark.sql.functions import pandas_udf
 
 from csv_to_parquet_spark.functions import md5_60, md5_60_sql, tokenize
 from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.operators.cache import persist_tracked
 from csv_to_parquet_spark.sources.tables import load_table, spread
 
 CAT = Catalog()
@@ -92,6 +93,14 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"doc_id div {BUCKET}").alias("bucket"),
         )
     )
+    # Both phases branch off ``toks``; without a persist each branch
+    # re-scans and re-tokenizes the full corpus (measured: one tokenize
+    # pass is ~1/3 of the query at sf0.1). Persist the NARROW projection
+    # only — 3 fixed-width columns, never the text — so the second pass
+    # reads ~24 bytes/doc from block storage instead of re-splitting
+    # every document. Spill-safe (MEMORY_AND_DISK default) and released
+    # by the harness via release_caches() after materialization.
+    toks = persist_tracked(toks)
     # Phase 1: parallel within-bucket running sums.
     w_in = (
         Window.partitionBy("bucket")

@@ -293,6 +293,13 @@ def test_ann_recall_clustered_corpus(spark, tmp_path, queries):
         got = topk(ann_name)
         recall = len(exact & got) / len(exact)
         assert recall >= 0.9, f"{ann_name} clustered recall {recall:.3f} < 0.9"
+    # PQ-ADC is bounded by quantization loss, not candidate pruning,
+    # so its clustered bound is lower than the two exact-scoring ANN
+    # paths (measured 0.75 here, 0.67 on the uniform corpus with the
+    # 2-dim × 128-centroid init codebook).
+    got = topk("knn_pq_adc")
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, f"knn_pq_adc clustered recall {recall:.3f} < 0.6"
 
 
 def test_pair_banding_envelope():

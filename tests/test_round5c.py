@@ -184,18 +184,20 @@ def test_mg_heavy_hitters_exact_under_eviction(spark, tmp_path):
 
 
 def test_pq_seed_vectors_have_zero_error(spark, sf_smoke):
-    """The 16 lowest-vec_id embeddings ARE the codebook, so their own
-    encoding must be lossless (err 0) in every subspace; all codes in
-    [0, 16), all 8 subspaces present for every vector."""
+    """The _PQ_K lowest-vec_id embeddings ARE the codebook, so their
+    own encoding must be lossless (err 0) in every subspace; all codes
+    in [0, _PQ_K), all _PQ_M subspaces present for every vector."""
     from csv_to_parquet_spark.operators import clustering
     from csv_to_parquet_spark.sources.tables import load_table
 
+    M, K = clustering._PQ_M, clustering._PQ_K
     out = clustering.embedding_pq_audit(spark, sf_smoke).collect()
     n = load_table(spark, sf_smoke, "embeddings").count()
-    assert len(out) == 8 * n
+    assert len(out) == M * n
     for r in out:
-        assert 1 <= r.subspace <= 8 and 0 <= r.code < 16 and r.err_micro2 >= 0
-    seed_set = set(sorted({r.vec_id for r in out})[:16])
+        assert 1 <= r.subspace <= M and 0 <= r.code < K and r.err_micro2 >= 0
+    # a corpus smaller than K yields a short (full-corpus) codebook
+    seed_set = set(sorted({r.vec_id for r in out})[: min(K, n)])
     seed_errs = [r.err_micro2 for r in out if r.vec_id in seed_set]
     assert seed_errs and all(e == 0 for e in seed_errs)
 
@@ -409,19 +411,25 @@ def test_pq_adc_distances_recompute(spark, sf_smoke):
         dists = [r.dist_micro2 for r in rows]
         assert dists == sorted(dists)
 
+    # self-exclusion: the query's own (zero-quantization-distance)
+    # row must never occupy a result slot
+    assert all(r.vec_id != r.query_id for r in out)
+
     emb = {
         r.vec_id: np.array(r.embedding)
         for r in load_table(spark, sf_smoke, "embeddings").collect()
     }
+    M, K = clustering._PQ_M, clustering._PQ_K
+    d_sub = 64 // M
     cb = clustering._pq_quant(
-        np.stack([emb[v] for v in sorted(emb)[:16]])
+        np.stack([emb[v] for v in sorted(emb)[: min(K, len(emb))]])
     )
     r0 = min(out, key=lambda r: (r.query_id, r.rk))
     qq = clustering._pq_quant(emb[r0.query_id])
     xx = clustering._pq_quant(emb[r0.vec_id])
     total = 0
-    for s in range(8):
-        sl = slice(s * 8, (s + 1) * 8)
+    for s in range(M):
+        sl = slice(s * d_sub, (s + 1) * d_sub)
         code = int(((xx[sl][None, :] - cb[:, sl]) ** 2).sum(axis=1).argmin())
         total += int(((qq[sl] - cb[code, sl]) ** 2).sum())
     assert total == r0.dist_micro2
