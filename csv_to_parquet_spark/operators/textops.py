@@ -1884,15 +1884,19 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-hitter shape for streams/corpora whose vocabulary does NOT
     fit in an aggregation hash table.
 
-    Phase 1 (mapInPandas, O(_MG_K) state per partition): each
-    partition folds its documents' token counts into a Misra-Gries
-    summary — merge a batch's exact counts, and whenever more than
-    _MG_K counters exist, subtract the (K+1)-th largest value from
-    all and drop the non-positive (the mergeable-summaries weighted
-    decrement; Agarwal et al. 2012). Guarantee: an item with
-    partition count > n_p/(K+1) always survives, so with K+1 > den
-    every global heavy hitter is emitted by ≥1 partition — candidates
-    are a SUPERSET, never missing a true hitter.
+    Phase 1 (mapInPandas, O(_MG_K + one document's vocabulary) state
+    per partition): each partition folds its documents' token counts
+    into a Misra-Gries summary — merge one DOCUMENT's exact counts,
+    and whenever more than _MG_K counters exist, subtract the
+    (K+1)-th largest value from all and drop the non-positive (the
+    mergeable-summaries weighted decrement; Agarwal et al. 2012).
+    Decrementing per document, not per Arrow batch, is what bounds
+    the state: a batch's union vocabulary is O(batch bytes), a single
+    document's is capped by document length. Guarantee: an item with
+    partition count > n_p/(K+1) always survives (each decrement
+    removes ≥ (K+1)·m total weight), so with K+1 > den every global
+    heavy hitter is emitted by ≥1 partition — candidates are a
+    SUPERSET, never missing a true hitter.
 
     Phase 2 (exact): semi-join the token stream against the
     broadcast candidate set (≤ partitions·K ids), recount exactly,
@@ -1916,17 +1920,16 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         counters: Counter = Counter()
         for pdf in batches:
-            bc = Counter()
             for toks in pdf["toks"]:
-                bc.update(toks)
-            counters.update(bc)
-            if len(counters) > _MG_K:
-                # (K+1)-th largest via a bounded heap: O(V log K) per
-                # batch, not a full O(V log V) sort of the counter map
-                m = heapq.nlargest(_MG_K + 1, counters.values())[-1]
-                counters = Counter(
-                    {t: c - m for t, c in counters.items() if c > m}
-                )
+                counters.update(toks)
+                if len(counters) > _MG_K:
+                    # (K+1)-th largest via a bounded heap: O(V log K)
+                    # per decrement (V ≤ K + doc vocab), not a full
+                    # O(V log V) sort of the counter map
+                    m = heapq.nlargest(_MG_K + 1, counters.values())[-1]
+                    counters = Counter(
+                        {t: c - m for t, c in counters.items() if c > m}
+                    )
         yield pd.DataFrame({"t": pd.Series(list(counters), dtype="object")})
 
     cand = docs.mapInPandas(mg, "t string").distinct()
