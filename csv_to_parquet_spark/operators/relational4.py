@@ -567,6 +567,14 @@ def contingency_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Price-cents per skyline range bucket: the cross-range maxima table
+#: has |price domain|/_SKYLINE_RANGE rows (driver-small by
+#: construction), while each range's running max stays a parallel
+#: partitioned window — the two-phase scan that keeps a
+#: high-cardinality price domain off a single task.
+_SKYLINE_RANGE = 10_000
+
+
 @CAT.query(
     "skyline_parts",
     oracle="""
@@ -604,14 +612,20 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly exceeds every cheaper point's. Money in integer cents so
     dominance comparisons are exact in both engines.
 
-    Scale: both windows run AFTER aggregation — the per-price window
-    partitions by price, and the global-order running max covers one
-    row per DISTINCT price, not per part (a bounded domain: the 2-D
-    dominance frontier's input is |price domain| rows regardless of
-    table size). The corpus-sized work is a single map-side-combined
-    groupBy. For >2 dimensions the sort trick no longer applies and
-    the standard distributed answer is grid/angular partitioning +
-    local-skyline-then-merge; at 2-D this exact plan is optimal.
+    Scale: both windows run AFTER aggregation, so the corpus-sized
+    work is a single map-side-combined groupBy and the frontier pass
+    sees one row per DISTINCT price. The running max itself is the
+    two-phase distributed scan (same pattern as ``pack_token_budget``)
+    rather than a single global-order window: a parallel within-range
+    running max (window partitioned by a price-range bucket) plus a
+    per-range maxima table — |domain|/range rows, cumulated on one
+    task and broadcast back — so a high-cardinality price domain
+    never serializes through one task. ``greatest`` of the two
+    prefixes equals the global running max exactly (null only at the
+    very first point, matching the window's empty frame). For >2
+    dimensions the sort trick no longer applies and the standard
+    distributed answer is grid/angular partitioning + local-skyline-
+    then-merge; at 2-D this exact plan is optimal.
     """
     d = (
         _t(spark, sf_dir, "part")
@@ -632,9 +646,25 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    wr = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    # two-phase running max over price order: within-range window
+    # (parallel) + broadcast exclusive cross-range prefix maxima
+    g = g.withColumn("rng", F.expr(f"price_cents div {_SKYLINE_RANGE}"))
+    w_in = (
+        Window.partitionBy("rng")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = g.withColumn("rm_in", F.max("size").over(w_in))
+    w_off = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        g.groupBy("rng")
+        .agg(F.max("size").alias("rng_max"))
+        .withColumn("rm_prev", F.max("rng_max").over(w_off))
+        .select("rng", "rm_prev")
+    )
     return (
-        g.withColumn("rm", F.max("size").over(wr))
+        within.join(F.broadcast(offsets), "rng")
+        .withColumn("rm", F.greatest("rm_in", "rm_prev"))
         .filter(F.col("rm").isNull() | (F.col("size") > F.col("rm")))
         .select("price_cents", "size", "n_parts")
         .orderBy("price_cents")

@@ -1993,3 +1993,146 @@ def sample_group_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _GROUP_SAMPLE_K)
         .select("lang", "source", "doc_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: PII redaction rewrite + bigram-LM surprisal
+# ---------------------------------------------------------------------------
+
+
+def _redact_sql(col: str) -> str:
+    """DuckDB mirror of the redaction chain — SAME patterns, SAME
+    order ('g' = replace all, matching Spark's regexp_replace)."""
+    e = f"regexp_replace({col}, '{_PII_EMAIL}', '[EMAIL]', 'g')"
+    i = f"regexp_replace({e}, '{_PII_IPV4}', '[IP]', 'g')"
+    return f"regexp_replace({i}, '{_PII_PHONE}', '[PHONE]', 'g')"
+
+
+@CAT.query(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(text, '{_PII_IPV4}'))
+              + len(regexp_extract_all(text, '{_PII_PHONE}'))
+              AS BIGINT) AS n_redacted,
+           CAST(length(text) AS BIGINT) AS len_before,
+           CAST(length({_redact_sql("text")}) AS BIGINT) AS len_after,
+           {md5_60_sql(_redact_sql("text"))} AS redacted_hash
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction REWRITE — the publish-side counterpart of
+    :func:`text_pii_scan`: replace email / IPv4 / phone-shaped spans
+    with typed placeholder tokens instead of dropping the document
+    (the standard treatment when the text is valuable but the spans
+    are not). Emits per-doc redaction count, before/after lengths,
+    and a hash of the redacted text so the oracle pins the REWRITE
+    itself, not just the counts.
+
+    Replacement order (email → IPv4 → phone) is part of the contract
+    and identical in both engines: the placeholder tokens contain no
+    digits, so an earlier replacement can never create or destroy a
+    later pattern's match. Same RE2-compatible patterns as the scan
+    (no lookaround — Java and DuckDB agree). Pure codegen'd
+    regexp_replace/regexp_count projections: one narrow map at any
+    scale, no shuffle, no Python."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_IPV4,
+            "[IP]",
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    n_red = (
+        F.regexp_count("text", F.lit(_PII_EMAIL))
+        + F.regexp_count("text", F.lit(_PII_IPV4))
+        + F.regexp_count("text", F.lit(_PII_PHONE))
+    ).cast("bigint")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_red.alias("n_redacted"),
+        F.length("text").cast("bigint").alias("len_before"),
+        F.length(redacted).cast("bigint").alias("len_after"),
+        md5_60(redacted).alias("redacted_hash"),
+    )
+
+
+_BIGRAMS_SQL = shingles_sql(_TOKS_SQL, 2)
+
+
+@CAT.query(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH big AS (
+      SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg
+      FROM documents WHERE len(trim(text)) > 0),
+    fbg AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY bg),
+    fw AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS cw
+           FROM fbg GROUP BY 1),
+    scored AS (
+      SELECT big.doc_id,
+             CAST(FLOOR(ln(CAST(fbg.c AS DOUBLE) / fw.cw) * {_LM_SCALE})
+                  AS BIGINT) AS lp
+      FROM big
+      JOIN fbg ON big.bg = fbg.bg
+      JOIN fw ON split_part(big.bg, ' ', 1) = fw.w1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(lp) AS BIGINT) AS neg_logprob_micro,
+           CAST((-SUM(lp)) // COUNT(*) AS BIGINT) AS per_bigram_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal per document — one order up
+    from :func:`text_unigram_logprob` and a materially better
+    LM-perplexity quality-filter proxy (it penalizes improbable token
+    TRANSITIONS, which is what separates shuffled-word noise from
+    natural text that unigram frequency alone cannot see).
+
+    Model: corpus-trained MLE, P(w2|w1) = c(w1 w2) / c(w1 ·), where
+    the continuation denominator c(w1 ·) is derived by AGGREGATING
+    THE BIGRAM MODEL ITSELF (sum of c over bigrams starting with w1)
+    — a vocabulary-sized second agg instead of a second corpus scan;
+    both engines derive it identically so no smoothing is needed
+    (every scored bigram is in the model by construction).
+
+    Same fixed-point exactness contract as the unigram op: per-bigram
+    log-probabilities floor to integer micro-nats and the document
+    score is an order-independent BIGINT sum.
+
+    Plan: one bigram explode feeds the model agg and the scoring
+    join; the first-token key is a narrow split on the (vocab-sized)
+    model, never on the corpus; both scoring joins are key-shuffles
+    that AQE skew-splits on hot bigrams. No Python anywhere."""
+    big = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(shingles(tokenize("text"), 2)).alias("bg"),
+        )
+    )
+    big = _persist(big)
+    fbg = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    w1 = F.split(F.col("bg"), " ", 2)[0]
+    fw = fbg.groupBy(w1.alias("w1")).agg(F.sum("c").alias("cw"))
+    lp = F.floor(
+        F.log(F.col("c").cast("double") / F.col("cw")) * _LM_SCALE
+    ).cast("bigint")
+    scored = (
+        big.join(fbg, "bg")
+        .join(fw, w1 == F.col("w1"))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("lp")).cast("bigint").alias("neg_logprob_micro"),
+        F.expr("(-sum(lp)) div count(*)").cast("bigint").alias(
+            "per_bigram_micro"
+        ),
+    )

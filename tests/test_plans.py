@@ -342,3 +342,21 @@ def test_runtime_bloom_filter_injection_eligible(spark, sf_smoke):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_survey_counts_match_catalog():
+    """SURVEY.md's headline catalog counts must equal the live catalog
+    (VERDICT r5 #8: the header drifted twice; now it can't). The FIRST
+    'N queries, M with exact DuckDB oracles' match in the file is the
+    current-round status block."""
+    import os
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    text = open(survey).read()
+    m = re.search(r"(\d+) queries, (\d+) with exact DuckDB oracles", text)
+    assert m, "SURVEY.md lost its machine-checkable catalog-count line"
+    assert int(m.group(1)) == len(entry_mod.queries())
+    assert int(m.group(2)) == len(entry_mod.oracle_sql())
