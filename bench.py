@@ -107,6 +107,10 @@ HEADLINE = [
     "text_heavy_hitters_mg",
     "embedding_pq_audit",
     "knn_pq_adc",
+    # round-6 operators
+    "text_pii_redact",
+    "text_bigram_surprisal",
+    "quality_model_score",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

@@ -2136,3 +2136,76 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "per_bigram_micro"
         ),
     )
+
+
+#: Hashed-feature dimensionality and weight range for the linear
+#: quality scorer (weights in integer micro-units, [-1000, 1000]).
+_QMODEL_D = 1024
+_QMODEL_W = 2001
+
+
+@CAT.query(
+    "quality_model_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks
+      FROM documents WHERE len(trim(text)) > 0)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, tk ->
+             ({md5_60_sql(f"CAST(({md5_60_sql('tk')}) % {_QMODEL_D} AS VARCHAR)")})
+               % {_QMODEL_W} - {(_QMODEL_W - 1) // 2}
+           )) AS BIGINT) AS logit_micro,
+           list_sum(list_transform(toks, tk ->
+             ({md5_60_sql(f"CAST(({md5_60_sql('tk')}) % {_QMODEL_D} AS VARCHAR)")})
+               % {_QMODEL_W} - {(_QMODEL_W - 1) // 2}
+           )) > 0 AS keep
+    FROM t
+    """,
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at corpus scale — the
+    fastText-style model-based filter every modern pretraining
+    pipeline runs (score each document with a linear model over
+    hashed bag-of-words features; keep if the logit clears a
+    threshold). The deliverable here is the inference plumbing at
+    100 TB; the weight VALUES are a deterministic stand-in (a fixed
+    pseudo-random projection of the feature index — production swaps
+    in trained weights as a {_QMODEL_D}-entry broadcast map or, as
+    here, an inline expression).
+
+    logit = Σ_tokens w[h(token) mod {_QMODEL_D}] with integer
+    micro-unit weights in [−1000, 1000], so the score is an exact
+    BIGINT — order-independent, bit-identical in any engine.
+
+    Plan shape is the point: the entire model application is ONE
+    narrow projection — ``aggregate`` over the token array evaluates
+    the hash→weight→sum chain inside whole-stage codegen, so scoring
+    is a zero-shuffle, zero-Python map over parquet splits. No join,
+    no explode, no per-doc state. A {_QMODEL_D}-dim trained model
+    inlines the same way (a CASE/element_at over a broadcast array
+    literal); only a multi-MB model would graduate to a broadcast
+    join against exploded (doc_id, bucket, count) features."""
+    def w_of(tk):
+        # feature index = h(token) mod D; weight = pseudo-random
+        # integer micro-units from a second hash of the index
+        return (
+            md5_60((md5_60(tk) % _QMODEL_D).cast("string")) % _QMODEL_W
+            - (_QMODEL_W - 1) // 2
+        )
+
+    logit = F.aggregate(
+        F.transform(tokenize("text"), w_of),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+            logit.alias("logit_micro"),
+            (logit > 0).alias("keep"),
+        )
+    )
