@@ -111,6 +111,7 @@ HEADLINE = [
     "text_pii_redact",
     "text_bigram_surprisal",
     "quality_model_score",
+    "sample_weighted_priority",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

@@ -2209,3 +2209,83 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (logit > 0).alias("keep"),
         )
     )
+
+
+#: Weighted-priority sample size.
+_WSAMPLE_K = 100
+#: 2^60, the md5_60 range (uniform u = (h+1) / 2^60 ∈ (0, 1]).
+_H_RANGE = 1 << 60
+
+
+@CAT.query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS weight,
+             ({md5_60_sql("CAST(doc_id AS VARCHAR)")} + 1)
+               / CAST({_H_RANGE} AS DOUBLE) AS u
+      FROM documents WHERE len(trim(text)) > 0),
+    keyed AS (
+      SELECT doc_id, weight,
+             CAST(FLOOR(ln(u) / weight * {_LM_SCALE}) AS BIGINT) AS key_micro
+      FROM w),
+    r AS (
+      SELECT doc_id, weight, key_micro,
+             row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rk
+      FROM keyed)
+    SELECT doc_id, weight, key_micro, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_WSAMPLE_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement at corpus scale —
+    Efraimidis-Spirtes priority sampling (Inf. Proc. Letters 2006):
+    give every document the key u^(1/w) for a uniform u and weight w
+    (here: token count, the usual proxy for sampling proportional to
+    training-token contribution) and keep the top-k keys. One pass,
+    no rejection loop, exactly k rows, inclusion probability
+    proportional to weight — the distributed replacement for
+    sequential weighted reservoirs.
+
+    Determinism/exactness contract: u derives from the doc-id hash
+    (not an RNG), the key is compared in log domain
+    (ln(u)/w, monotone in u^(1/w)) and FLOORED to integer
+    micro-units so the ranking is bit-identical in any engine —
+    same fixed-point discipline as the LM surprisal ops.
+
+    Plan: a narrow keyed projection + TakeOrderedAndProject top-k
+    (per-partition heaps, k·P rows to one reducer — never a global
+    sort). At 100 TB this is the cheapest possible shape for a
+    weighted subsample."""
+    w = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(tokenize("text")).cast("bigint").alias("weight"),
+            (
+                (md5_60(F.col("doc_id").cast("string")) + 1)
+                / F.lit(float(_H_RANGE))
+            ).alias("u"),
+        )
+    )
+    keyed = w.select(
+        "doc_id",
+        "weight",
+        F.floor(F.log("u") / F.col("weight") * _LM_SCALE)
+        .cast("bigint")
+        .alias("key_micro"),
+    )
+    win = Window.orderBy(F.desc("key_micro"), F.asc("doc_id"))
+    # row_number over an unpartitioned window would single-task the
+    # corpus; orderBy+limit lets Spark plan TakeOrderedAndProject
+    # (per-partition top-k), and the rank is reconstructed on the
+    # k-row result only.
+    topk = keyed.orderBy(F.desc("key_micro"), F.asc("doc_id")).limit(
+        _WSAMPLE_K
+    )
+    return topk.withColumn(
+        "rk", F.row_number().over(win).cast("bigint")
+    ).select("doc_id", "weight", "key_micro", "rk")
