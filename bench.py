@@ -117,6 +117,7 @@ HEADLINE = [
     "stream_static_enrich",
     "stream_kafka_shaped_decode",
     "stream_stream_left_outer",
+    "stream_backfill_rate_limited",
 ]
 
 

@@ -1024,3 +1024,103 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
         state_partitions=_auto_state_partitions(spark, sf_dir),
     )
+
+
+#: File-count split for the rate-limited backfill staging (each file
+#: becomes one micro-batch under maxFilesPerTrigger=1).
+_BACKFILL_FILES = 4
+
+#: staged multi-file source dirs, keyed like _STAGED_EVENTS.
+_STAGED_BACKFILL: dict[tuple[str, int, int], str] = {}
+
+
+@CAT.query(
+    "stream_backfill_rate_limited",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_backfill_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited backfill: drain a multi-file history with
+    ``maxFilesPerTrigger=1`` under ``availableNow`` — the bounded-
+    micro-batch shape every production backfill uses so one catch-up
+    job cannot monopolize the cluster or blow state/sink memory by
+    processing months of history as a single batch. availableNow
+    RESPECTS source rate limits (that is its defining difference from
+    the deprecated once-trigger): the drain here provably runs as one
+    micro-batch per staged file.
+
+    Each micro-batch computes its per-type partial counts and
+    foreachBatch appends them with its batch_id (an idempotent,
+    transactional-sink stand-in; the exactly-once variant is
+    ``stream_exactly_once_sink``). Because batches partition the
+    input and count/sum are additive, the final fold over partials is
+    EXACTLY the batch aggregate, which is what the oracle checks —
+    per-batch splits may vary with file layout, the folded totals
+    cannot. The partial file also exposes the batch count:
+    ``tests/test_round6.py`` asserts ≥ _BACKFILL_FILES micro-batches
+    actually ran, i.e. the rate limit really split the work.
+
+    Scale: per batch this is a stateless partial agg (map-side
+    combine, one small shuffle per batch); partials are
+    (batches × types) tiny rows. Backfill throughput is tuned by
+    maxFilesPerTrigger alone — no replan, no code change."""
+    ensure_session_confs(spark)
+    src_stat = os.stat(f"{sf_dir}/events.parquet")
+    key = (sf_dir, src_stat.st_mtime_ns, src_stat.st_size)
+    d = _STAGED_BACKFILL.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="backfill_src_")
+        # one staged write, _BACKFILL_FILES parquet parts
+        from csv_to_parquet_spark.sources.tables import load_table
+
+        load_table(spark, sf_dir, "events").repartition(
+            _BACKFILL_FILES
+        ).write.mode("overwrite").parquet(d)
+        _STAGED_BACKFILL[key] = d
+
+    # schema from the staged files (timestamps already normalized by
+    # load_table, so ts is TIMESTAMP here regardless of source units)
+    batch_schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out_dir = tempfile.mkdtemp(prefix="backfill_partials_")
+
+    def write_partials(batch_df, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(cents("value")).alias("value_cents"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_backfill_")
+    q = (
+        stream.writeStream.foreachBatch(write_partials)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(out_dir)
+    # stash the batch count where the invariant test can read it
+    # without re-running the stream
+    stream_backfill_rate_limited.last_n_batches = (
+        partials.select("batch_id").distinct().count()
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("value_cents").cast("bigint").alias("value_cents"),
+    )

@@ -173,3 +173,14 @@ def test_pack_token_budget_cache_released(spark, sf_smoke):
     assert len(_ACTIVE_CACHES) >= 1
     release_caches()
     assert not _ACTIVE_CACHES
+
+
+def test_backfill_rate_limit_actually_splits_batches(spark, sf_smoke):
+    """maxFilesPerTrigger=1 under availableNow must process the staged
+    _BACKFILL_FILES files as separate micro-batches — the rate limit
+    is the point of the operator, not an option that silently no-ops."""
+    from csv_to_parquet_spark.streaming import jobs
+
+    out = jobs.stream_backfill_rate_limited(spark, sf_smoke).collect()
+    assert out
+    assert jobs.stream_backfill_rate_limited.last_n_batches >= jobs._BACKFILL_FILES
