@@ -2108,7 +2108,12 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one bigram explode feeds the model agg and the scoring
     join; the first-token key is a narrow split on the (vocab-sized)
     model, never on the corpus; both scoring joins are key-shuffles
-    that AQE skew-splits on hot bigrams. No Python anywhere."""
+    that AQE skew-splits on hot bigrams. No Python anywhere. The
+    persist of the exploded stream (spill-safe) trades one disk-backed
+    materialization for the second corpus scan+tokenize the two
+    branches would otherwise each pay — same call as the unigram op;
+    at extreme scale where even spilling the stream is unwanted, drop
+    the persist and eat the recompute (both branches stay correct)."""
     big = (
         _docs(spark, sf_dir)
         .filter(F.length(F.trim("text")) > 0)

@@ -360,3 +360,15 @@ def test_survey_counts_match_catalog():
     assert m, "SURVEY.md lost its machine-checkable catalog-count line"
     assert int(m.group(1)) == len(entry_mod.queries())
     assert int(m.group(2)) == len(entry_mod.oracle_sql())
+
+
+def test_bench_headline_names_exist_in_catalog():
+    """Every bench HEADLINE entry must resolve to a catalog query — a
+    renamed operator must fail here, not silently vanish from the
+    driver's BENCH artifact (bench skips unknown names by design)."""
+    import bench
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, f"bench HEADLINE names not in catalog: {missing}"
