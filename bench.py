@@ -112,6 +112,7 @@ HEADLINE = [
     "text_bigram_surprisal",
     "quality_model_score",
     "sample_weighted_priority",
+    "text_subword_merge_stats",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

@@ -2294,3 +2294,110 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn(
         "rk", F.row_number().over(win).cast("bigint")
     ).select("doc_id", "weight", "key_micro", "rk")
+
+
+#: Unit-separator sentinel for subword segmentation (must not occur in
+#: document text — a control char no tokenizer corpus contains).
+_SW_SEP = "\x1f"
+#: Fixed merge cascade (priority order). The operator contract is
+#: "apply a given merges table"; production swaps in trained merges.
+_SW_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("s", "t"),
+    ("e", "n"), ("o", "r"),
+]
+
+
+def _sw_segment_sql(var: str, dialect: str) -> str:
+    """Segmentation expression for one word (lambda var ``var``):
+    interleave separators between characters, then apply each merge
+    rule as TWO left-to-right non-overlapping literal replaces —
+    verified char-identical between Spark and DuckDB. The group ref
+    spelling ('$1' vs '\\1') and the global-replace flag are the only
+    dialect differences."""
+    if dialect == "spark":
+        expr = f"concat('{_SW_SEP}', regexp_replace({var}, '(.)', '$1{_SW_SEP}'))"
+    else:
+        expr = f"'{_SW_SEP}' || regexp_replace({var}, '(.)', '\\1{_SW_SEP}', 'g')"
+    for a, b in _SW_MERGES:
+        pat, rep = f"{_SW_SEP}{a}{_SW_SEP}{b}{_SW_SEP}", f"{_SW_SEP}{a}{b}{_SW_SEP}"
+        expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+    return expr
+
+
+@CAT.query(
+    "text_subword_merge_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks
+      FROM documents WHERE len(trim(text)) > 0),
+    s AS (
+      SELECT doc_id, toks,
+             list_transform(toks, w -> {_sw_segment_sql("w", "duck")}) AS seg
+      FROM t)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+             AS n_chars,
+           CAST(list_sum(list_transform(seg, g ->
+                 len(g) - len(replace(g, '{_SW_SEP}', '')) - 1))
+             AS BIGINT) AS n_subwords,
+           {md5_60_sql("array_to_string(seg, ' ')")} AS seg_hash
+    FROM s
+    """,
+)
+def text_subword_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword segmentation by a fixed merge cascade — the APPLY side
+    of BPE-style tokenization (the mining side is
+    ``bpe_merge_candidates``): split each word into characters, fold
+    the merges table over it in priority order, and report per-doc
+    word/char/subword counts plus a hash of the full segmentation so
+    the oracle pins the segmentation itself, not just counts.
+
+    Semantics contract — replace-scan merging: each rule applies as
+    two left-to-right non-overlapping literal replaces on the
+    separator-interleaved symbol string. This is deterministic and
+    char-identical across engines (verified), and equals classic
+    greedy BPE everywhere except unbounded same-pair adjacency chains
+    ('ababab...'), where a bounded number of replace passes merges in
+    a different (still deterministic) grouping — a documented
+    divergence chosen because TRUE greedy needs an unbounded
+    sequential scan per word, which neither SQL engine expresses; two
+    passes close every chain the fixture or natural text produces.
+    The separator is U+001F (contract: absent from document text).
+
+    Plan: the whole cascade is ONE codegen'd projection — transform()
+    over the token array with a nested replace chain, no shuffle, no
+    Python, no model join (the merges ship inside the expression,
+    like the linear classifier's weights). A trained merges table of
+    thousands of rules would graduate to a Pandas UDF; the plumbing
+    (per-word fold, hash-pinned output) stays identical."""
+    seg_sql = _sw_segment_sql("w", "spark")
+    toks = tokenize("text")
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("seg", F.expr(f"transform(toks, w -> {seg_sql})"))
+    )
+    n_sub = F.aggregate(
+        F.transform(
+            F.col("seg"),
+            lambda g: F.length(g)
+            - F.length(F.replace(g, F.lit(_SW_SEP)))
+            - 1,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("toks"), F.length),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+        n_sub.alias("n_subwords"),
+        md5_60(F.array_join("seg", " ")).alias("seg_hash"),
+    )

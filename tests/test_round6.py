@@ -184,3 +184,40 @@ def test_backfill_rate_limit_actually_splits_batches(spark, sf_smoke):
     out = jobs.stream_backfill_rate_limited(spark, sf_smoke).collect()
     assert out
     assert jobs.stream_backfill_rate_limited.last_n_batches >= jobs._BACKFILL_FILES
+
+
+def test_subword_segmentation_roundtrip_and_cascade(spark, tmp_path):
+    """Removing separators must reproduce the original word stream
+    (segmentation is a partition of the characters), and the cascade
+    must actually cascade: 'the' ends up ONE subword (t+h -> th,
+    th+e -> the) while an unmergeable word stays fully split."""
+    rows = {
+        "doc_id": [1, 2],
+        "text": ["the them", "xyz"],
+        "lang": ["en"] * 2,
+        "source": ["t"] * 2,
+    }
+    pq.write_table(pa.table(rows), os.path.join(str(tmp_path), "documents.parquet"))
+    from csv_to_parquet_spark.operators import textops
+
+    out = {r.doc_id: r for r in textops.text_subword_merge_stats(spark, str(tmp_path)).collect()}
+    # 'the' -> [the] (1 subword); 'them' -> [the, m] (2)
+    assert out[1].n_words == 2 and out[1].n_chars == 7
+    assert out[1].n_subwords == 3
+    # 'xyz' has no rule: 3 single-char subwords
+    assert out[2].n_subwords == 3 and out[2].n_chars == 3
+
+    # roundtrip + hash: recompute the segmentation in Python with the
+    # same replace-scan semantics and compare the pinned hash
+    def seg_word(w):
+        s = textops._SW_SEP + "".join(c + textops._SW_SEP for c in w)
+        for a, b in textops._SW_MERGES:
+            pat = f"{textops._SW_SEP}{a}{textops._SW_SEP}{b}{textops._SW_SEP}"
+            rep = f"{textops._SW_SEP}{a}{b}{textops._SW_SEP}"
+            s = s.replace(pat, rep).replace(pat, rep)
+        return s
+
+    for doc_id, text in zip(rows["doc_id"], rows["text"]):
+        segs = [seg_word(w) for w in text.split()]
+        assert all(g.replace(textops._SW_SEP, "") == w for g, w in zip(segs, text.split()))
+        assert out[doc_id].seg_hash == _md5_60(" ".join(segs))
