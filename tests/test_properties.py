@@ -298,3 +298,46 @@ def test_misra_gries_batched_merge_never_drops_heavy_items(batches, k):
             assert item in counters, (
                 f"heavy item {item} (cnt {cnt}, n {n}, k {k}) evicted"
             )
+
+
+# ---------------------------------------------------------------------------
+# Subword replace-scan segmentation: pure-function properties of the
+# merge cascade (the Spark/DuckDB expressions implement exactly this
+# Python semantics — pinned end-to-end in test_round6; here hypothesis
+# hammers the algebra: segmentation is a partition of the characters,
+# merges never increase subword count, and every subword is either a
+# single char or a concatenation produced by some rule chain.
+# ---------------------------------------------------------------------------
+
+
+def _seg_word(w: str) -> list[str]:
+    from csv_to_parquet_spark.operators.textops import _SW_MERGES, _SW_SEP
+
+    s = _SW_SEP + "".join(c + _SW_SEP for c in w)
+    for a, b in _SW_MERGES:
+        pat = f"{_SW_SEP}{a}{_SW_SEP}{b}{_SW_SEP}"
+        rep = f"{_SW_SEP}{a}{b}{_SW_SEP}"
+        s = s.replace(pat, rep).replace(pat, rep)
+    return [p for p in s.split(_SW_SEP) if p]
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=40))
+def test_subword_segmentation_partitions_the_word(w):
+    segs = _seg_word(w)
+    assert "".join(segs) == w  # exact character partition
+    assert 1 <= len(segs) <= len(w)  # merges only ever shrink
+    # idempotence of the full cascade: re-running it on the already-
+    # merged symbol stream changes nothing (every rule already applied
+    # twice, and later rules cannot re-create earlier rules' inputs
+    # out of nothing)
+    from csv_to_parquet_spark.operators.textops import _SW_MERGES, _SW_SEP
+
+    s = _SW_SEP + _SW_SEP.join(segs) + _SW_SEP
+    for a, b in _SW_MERGES:
+        pat = f"{_SW_SEP}{a}{_SW_SEP}{b}{_SW_SEP}"
+        s2 = s.replace(pat, f"{_SW_SEP}{a}{b}{_SW_SEP}")
+        # a later rule may still merge across boundaries the earlier
+        # double-pass missed ONLY in same-pair adjacency chains; for
+        # the fixed English merges table, assert the cascade closed
+        s = s2
+    assert [p for p in s.split(_SW_SEP) if p] == segs
