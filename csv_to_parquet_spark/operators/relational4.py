@@ -582,7 +582,9 @@ _SKYLINE_RANGE = 10_000
       SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
              CAST(p_size AS BIGINT) AS size,
              CAST(count(*) AS BIGINT) AS n_parts
-      FROM part GROUP BY 1, 2),
+      FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      GROUP BY 1, 2),
     g AS (
       SELECT price_cents, MAX(size) AS size,
              CAST(SUM(CASE WHEN size = m THEN n_parts ELSE 0 END) AS BIGINT)
@@ -627,8 +629,14 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed answer is grid/angular partitioning + local-skyline-
     then-merge; at 2-D this exact plan is optimal.
     """
+    # NULL price/size points are excluded up front (dominance is
+    # undefined for them, and a NULL range key would silently drop
+    # rows at the inner offsets join instead of deliberately here)
     d = (
         _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+        )
         .groupBy(
             cents("p_retailprice").alias("price_cents"),
             F.col("p_size").cast("bigint").alias("size"),

@@ -2000,26 +2000,28 @@ def sample_group_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _redact_sql(col: str) -> str:
-    """DuckDB mirror of the redaction chain — SAME patterns, SAME
-    order ('g' = replace all, matching Spark's regexp_replace)."""
-    e = f"regexp_replace({col}, '{_PII_EMAIL}', '[EMAIL]', 'g')"
-    i = f"regexp_replace({e}, '{_PII_IPV4}', '[IP]', 'g')"
-    return f"regexp_replace({i}, '{_PII_PHONE}', '[PHONE]', 'g')"
-
-
 @CAT.query(
     "text_pii_redact",
     oracle=f"""
+    WITH s1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+      FROM documents),
+    s2 AS (
+      SELECT *, regexp_replace(t1, '{_PII_IPV4}', '[IP]', 'g') AS t2
+      FROM s1),
+    s3 AS (
+      SELECT *, regexp_replace(t2, '{_PII_PHONE}', '[PHONE]', 'g') AS t3
+      FROM s2)
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
-              + len(regexp_extract_all(text, '{_PII_IPV4}'))
-              + len(regexp_extract_all(text, '{_PII_PHONE}'))
+              + len(regexp_extract_all(t1, '{_PII_IPV4}'))
+              + len(regexp_extract_all(t2, '{_PII_PHONE}'))
               AS BIGINT) AS n_redacted,
            CAST(length(text) AS BIGINT) AS len_before,
-           CAST(length({_redact_sql("text")}) AS BIGINT) AS len_after,
-           {md5_60_sql(_redact_sql("text"))} AS redacted_hash
-    FROM documents
+           CAST(length(t3) AS BIGINT) AS len_after,
+           {md5_60_sql("t3")} AS redacted_hash
+    FROM s3
     """,
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2032,32 +2034,31 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, not just the counts.
 
     Replacement order (email → IPv4 → phone) is part of the contract
-    and identical in both engines: the placeholder tokens contain no
-    digits, so an earlier replacement can never create or destroy a
-    later pattern's match. Same RE2-compatible patterns as the scan
-    (no lookaround — Java and DuckDB agree). Pure codegen'd
-    regexp_replace/regexp_count projections: one narrow map at any
-    scale, no shuffle, no Python."""
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
-            _PII_IPV4,
-            "[IP]",
-        ),
-        _PII_PHONE,
-        "[PHONE]",
-    )
+    and identical in both engines, and ``n_redacted`` counts each
+    stage's matches on that stage's INPUT (the already-partially-
+    redacted text), so it equals the number of replacements actually
+    performed — a phone- or IP-shaped span swallowed inside an email
+    match (``555-123-4567@example.com``) counts once, not twice. The
+    digit-free placeholders guarantee a replacement never CREATES a
+    later match; counting sequentially guarantees a consumed span
+    never inflates the count. Same RE2-compatible patterns as the
+    scan (no lookaround — Java and DuckDB agree). Pure codegen'd
+    regexp projections: one narrow map at any scale, no shuffle, no
+    Python."""
+    t1 = F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]")
+    t2 = F.regexp_replace(t1, _PII_IPV4, "[IP]")
+    t3 = F.regexp_replace(t2, _PII_PHONE, "[PHONE]")
     n_red = (
         F.regexp_count("text", F.lit(_PII_EMAIL))
-        + F.regexp_count("text", F.lit(_PII_IPV4))
-        + F.regexp_count("text", F.lit(_PII_PHONE))
+        + F.regexp_count(t1, F.lit(_PII_IPV4))
+        + F.regexp_count(t2, F.lit(_PII_PHONE))
     ).cast("bigint")
     return _docs(spark, sf_dir).select(
         "doc_id",
         n_red.alias("n_redacted"),
         F.length("text").cast("bigint").alias("len_before"),
-        F.length(redacted).cast("bigint").alias("len_after"),
-        md5_60(redacted).alias("redacted_hash"),
+        F.length(t3).cast("bigint").alias("len_after"),
+        md5_60(t3).alias("redacted_hash"),
     )
 
 
@@ -2154,18 +2155,17 @@ _QMODEL_W = 2001
     oracle=f"""
     WITH t AS (
       SELECT doc_id, {_TOKS_SQL} AS toks
-      FROM documents WHERE len(trim(text)) > 0)
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(list_sum(list_transform(toks, tk ->
-             ({md5_60_sql(f"CAST(({md5_60_sql('tk')}) % {_QMODEL_D} AS VARCHAR)")})
-               % {_QMODEL_W} - {(_QMODEL_W - 1) // 2}
-           )) AS BIGINT) AS logit_micro,
-           list_sum(list_transform(toks, tk ->
-             ({md5_60_sql(f"CAST(({md5_60_sql('tk')}) % {_QMODEL_D} AS VARCHAR)")})
-               % {_QMODEL_W} - {(_QMODEL_W - 1) // 2}
-           )) > 0 AS keep
-    FROM t
+      FROM documents WHERE len(trim(text)) > 0),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, tk ->
+               ({md5_60_sql(f"CAST(({md5_60_sql('tk')}) % {_QMODEL_D} AS VARCHAR)")})
+                 % {_QMODEL_W} - {(_QMODEL_W - 1) // 2}
+             )) AS BIGINT) AS logit_micro
+      FROM t)
+    SELECT doc_id, n_tokens, logit_micro, logit_micro > 0 AS keep
+    FROM scored
     """,
 )
 def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2315,10 +2315,14 @@ def _sw_segment_sql(var: str, dialect: str) -> str:
     verified char-identical between Spark and DuckDB. The group ref
     spelling ('$1' vs '\\1') and the global-replace flag are the only
     dialect differences."""
+    # (?s): without it, Java's dot excludes U+0085/U+2028/U+2029 while
+    # RE2's matches them — a token containing a unicode line separator
+    # (which the ASCII \s+ tokenizer does NOT split on) would segment
+    # differently per engine. DOTALL makes both dots total.
     if dialect == "spark":
-        expr = f"concat('{_SW_SEP}', regexp_replace({var}, '(.)', '$1{_SW_SEP}'))"
+        expr = f"concat('{_SW_SEP}', regexp_replace({var}, '(?s)(.)', '$1{_SW_SEP}'))"
     else:
-        expr = f"'{_SW_SEP}' || regexp_replace({var}, '(.)', '\\1{_SW_SEP}', 'g')"
+        expr = f"'{_SW_SEP}' || regexp_replace({var}, '(?s)(.)', '\\1{_SW_SEP}', 'g')"
     for a, b in _SW_MERGES:
         pat, rep = f"{_SW_SEP}{a}{_SW_SEP}{b}{_SW_SEP}", f"{_SW_SEP}{a}{b}{_SW_SEP}"
         expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"

@@ -1055,9 +1055,12 @@ def stream_backfill_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch per staged file.
 
     Each micro-batch computes its per-type partial counts and
-    foreachBatch appends them with its batch_id (an idempotent,
-    transactional-sink stand-in; the exactly-once variant is
-    ``stream_exactly_once_sink``). Because batches partition the
+    foreachBatch writes them into a batch_id-keyed partition via
+    dynamic partition overwrite — genuinely idempotent: foreachBatch
+    is at-least-once, and a replayed batch rewrites its own partition
+    instead of appending a duplicate (the same recovery contract
+    ``stream_exactly_once_sink`` proves with a kill/restart test).
+    Because batches partition the
     input and count/sum are additive, the final fold over partials is
     EXACTLY the batch aggregate, which is what the oracle checks —
     per-batch splits may vary with file layout, the folded totals
@@ -1094,6 +1097,12 @@ def stream_backfill_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="backfill_partials_")
 
     def write_partials(batch_df, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a batch whose sink write
+        # committed but whose checkpoint commit did not is REPLAYED on
+        # restart. Dynamic partition overwrite keyed by batch_id makes
+        # the replay rewrite its own partition instead of appending a
+        # duplicate — true idempotence, so the SUM fold below stays
+        # exact under any crash/restart interleaving.
         (
             batch_df.groupBy("event_type")
             .agg(
@@ -1101,7 +1110,9 @@ def stream_backfill_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(cents("value")).alias("value_cents"),
             )
             .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_dir)
         )
 
