@@ -748,3 +748,58 @@ def source_json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_good"
         ),
     )
+
+
+@CAT.query(
+    "source_latin1_csv_scan",
+    oracle="""
+    SELECT c_custkey::BIGINT AS c_custkey,
+           replace(c_name, 'A', 'Á') AS c_name,
+           c_nationkey::BIGINT AS c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def source_latin1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-UTF-8 charset ingestion: customer staged as ISO-8859-1
+    (latin-1) CSV — the encoding most legacy European exports still
+    arrive in — and read back through the typed-schema path with the
+    reader's ``encoding`` option. Accented characters are injected
+    deterministically ('A' → 'Á', a byte that is INVALID UTF-8 in
+    latin-1 form, 0xC1) so the test cannot pass by accident: reading
+    these files without the charset option mojibakes or nulls the
+    name column. The oracle applies the same substitution to the
+    original table, so parity proves the full encode→bytes→decode
+    loop is lossless.
+
+    Scale note: ISO-8859-1 is single-byte, so newline bytes are
+    unambiguous and the files stay SPLITTABLE (unlike gzip or
+    multiLine); charset decoding is per-task and adds no shuffle or
+    parallelism ceiling. Stateful charsets (UTF-16 without BOM,
+    Shift-JIS) lose splittability — the ingest contract for those is
+    the same many-moderate-files rule the gzip query documents."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_STAGE, f"customer_latin1_{tag}.csvdir")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "customer")
+            .select(
+                "c_custkey",
+                F.replace("c_name", F.lit("A"), F.lit("Á")).alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("encoding", "ISO-8859-1")
+            .csv(path)
+        )
+    return (
+        spark.read.schema(
+            "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, "
+            "c_acctbal DOUBLE, c_mktsegment STRING"
+        )
+        .option("header", True)
+        .option("encoding", "ISO-8859-1")
+        .csv(path)
+    )
