@@ -31,6 +31,7 @@ def main(argv: list[str] | None = None) -> int:
         delete_original=cfg.delete_original,
         single_file=cfg.single_file,
         enhanced_dates=cfg.enhanced_dates,
+        charset=cfg.charset,
     )
 
     # summary report (reference main.go:35-59)

@@ -36,6 +36,7 @@ class Settings:
     # engine extensions beyond the reference surface:
     single_file: bool = True  # 1 CSV → 1 parquet file (reference layout)
     enhanced_dates: bool = False  # type probed dates for real (SURVEY §7 M2)
+    charset: str = "UTF-8"  # source encoding (e.g. ISO-8859-1 legacy drops)
 
     def __post_init__(self) -> None:
         if self.delimiter:
@@ -63,6 +64,10 @@ def load_settings(argv: list[str] | None = None) -> Settings:
         help="keep original files (overrides delete_original)",
     )
     parser.add_argument("--log-level", dest="log_level")
+    parser.add_argument(
+        "--charset",
+        help="source file encoding (default UTF-8; e.g. ISO-8859-1)",
+    )
     parser.add_argument(
         "--multi-file",
         action="store_true",
@@ -97,6 +102,7 @@ def load_settings(argv: list[str] | None = None) -> Settings:
         "sample_rows",
         "delete_original",
         "log_level",
+        "charset",
     ):
         v = getattr(args, name)
         if v is not None:

@@ -85,10 +85,12 @@ def discover_inputs(input_path: str) -> list[str]:
     return [input_path]
 
 
-def read_raw_header(path: str, delimiter: str) -> list[str]:
+def read_raw_header(
+    path: str, delimiter: str, charset: str = "UTF-8"
+) -> list[str]:
     """Read the raw header row driver-side (tiny read). Keeps the BOM so
     clean_header strips it exactly like the reference (converter.go:203)."""
-    with open(path, encoding="utf-8", newline="") as f:
+    with open(path, encoding=charset, newline="") as f:
         reader = _csv.reader(f, delimiter=delimiter)
         for row in reader:
             return row
@@ -96,7 +98,11 @@ def read_raw_header(path: str, delimiter: str) -> list[str]:
 
 
 def read_csv_raw(
-    spark: SparkSession, path: str, delimiter: str, n_cols: int
+    spark: SparkSession,
+    path: str,
+    delimiter: str,
+    n_cols: int,
+    charset: str = "UTF-8",
 ) -> DataFrame:
     """All-string CSV scan with the reference's tolerance knobs:
     PERMISSIVE (short rows → trailing NULLs, extra cells dropped —
@@ -112,6 +118,7 @@ def read_csv_raw(
         # Go encoding/csv (converter.go:192-194); Spark's default
         # escape is backslash, which Go CSV does not use.
         .option("escape", '"')
+        .option("encoding", charset)
         .option("enforceSchema", True)
         .schema(schema)
         .csv(path)
@@ -124,6 +131,7 @@ def read_csv_typed(
     delimiter: str,
     cols: list[InferredColumn],
     enhanced_dates: bool = False,
+    charset: str = "UTF-8",
 ) -> DataFrame:
     """Pass 2: the conversion scan.
 
@@ -141,13 +149,13 @@ def read_csv_typed(
     the reference's six date/timestamp layouts when inference typed the
     column date/timestamp (converter.go:264-271).
     """
-    raw = read_csv_raw(spark, path, delimiter, len(cols))
+    raw = read_csv_raw(spark, path, delimiter, len(cols), charset)
     return raw.select(
         *[cast_column(c.kind, f"_raw{i}").alias(c.name) for i, c in enumerate(cols)]
     )
 
 
-def _head_lines(path: str, n: int) -> list[str]:
+def _head_lines(path: str, n: int, charset: str = "UTF-8") -> list[str]:
     """First ``n`` physical lines of the file, terminators stripped —
     the driver-side sample read. Legitimately a bounded driver read:
     the reference samples exactly this prefix (converter.go:218-224),
@@ -155,7 +163,7 @@ def _head_lines(path: str, n: int) -> list[str]:
     treats raw newlines as record separators — line-based sampling
     sees the same records the distributed parse will."""
     out: list[str] = []
-    with open(path, encoding="utf-8", errors="replace", newline="") as f:
+    with open(path, encoding=charset, errors="replace", newline="") as f:
         for i, line in enumerate(f):
             if i >= n:
                 break
@@ -169,6 +177,7 @@ def infer_file_schema(
     delimiter: str = ",",
     sample_rows: int = 100,
     enhanced_dates: bool = False,
+    charset: str = "UTF-8",
 ) -> list[InferredColumn]:
     """Pass 1: sample-bounded exact-lattice inference (converter.go:185-239).
 
@@ -183,22 +192,25 @@ def infer_file_schema(
     """
     import tempfile
 
-    raw_headers = read_raw_header(path, delimiter)
+    raw_headers = read_raw_header(path, delimiter, charset)
     names = clean_headers(raw_headers)
-    lines = _head_lines(path, sample_rows + 1)  # +1: header line
+    lines = _head_lines(path, sample_rows + 1, charset)  # +1: header line
     # stage the prefix as a tiny local file and parse it through the
     # SAME file-based reader as the full pass (identical univocity
     # options). NOT sc.parallelize(lines): a Python-RDD-backed CSV
     # scan routes every action through a Python worker round trip
     # (measured ~0.7 s per inference at sf0.1); the one-split file
     # scan is pure JVM.
+    # the staged prefix is re-encoded in the SOURCE charset so the
+    # sample parse (same reader, same encoding option) decodes the
+    # exact bytes the full pass will
     with tempfile.NamedTemporaryFile(
-        "w", encoding="utf-8", suffix=".csv", delete=False, newline=""
+        "w", encoding=charset, suffix=".csv", delete=False, newline=""
     ) as tf:
         tf.write("\n".join(lines))
         tmp = tf.name
     try:
-        sample = read_csv_raw(spark, tmp, delimiter, len(names))
+        sample = read_csv_raw(spark, tmp, delimiter, len(names), charset)
         kinds = infer_column_kinds(sample, enhanced_dates=enhanced_dates)
     finally:
         os.remove(tmp)
@@ -236,6 +248,7 @@ def convert_file(
     delete_original: bool = False,
     single_file: bool = True,
     enhanced_dates: bool = False,
+    charset: str = "UTF-8",
 ) -> Result:
     """Convert one CSV file (reference convertFile, converter.go:116-182)."""
     t0 = time.monotonic()
@@ -246,11 +259,13 @@ def convert_file(
         res.output = out
 
         cols = infer_file_schema(
-            spark, input_file, delimiter, sample_rows, enhanced_dates
+            spark, input_file, delimiter, sample_rows, enhanced_dates, charset
         )
         log.debug("schema for %s: %s", input_file, format_schema(cols))
 
-        typed = read_csv_typed(spark, input_file, delimiter, cols, enhanced_dates)
+        typed = read_csv_typed(
+            spark, input_file, delimiter, cols, enhanced_dates, charset
+        )
 
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         writer = typed.coalesce(1) if single_file else typed
@@ -297,6 +312,7 @@ def convert_all(
     single_file: bool = True,
     enhanced_dates: bool = False,
     max_concurrent: int = MAX_CONCURRENT_FILES,
+    charset: str = "UTF-8",
 ) -> Summary:
     """Convert a file or a directory of CSVs (reference ConvertAll,
     converter.go:66-105): each file keeps its own inferred schema, up to
@@ -317,6 +333,7 @@ def convert_all(
             delete_original,
             single_file,
             enhanced_dates,
+            charset,
         )
 
     with ThreadPoolExecutor(max_workers=max_concurrent) as pool:

@@ -212,3 +212,35 @@ def convert_star_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not res.ok:
         raise RuntimeError(f"star roundtrip conversion failed: {res.error}")
     return spark.read.parquet(res.output)
+
+
+@CAT.query(
+    "convert_latin1_roundtrip",
+    oracle="""
+    SELECT i AS id,
+           'côté_' || i::VARCHAR AS città,
+           i + 0.5 AS importo
+    FROM range(1, 41) r(i)
+    """,
+)
+def convert_latin1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware conversion (``--charset ISO-8859-1``): a latin-1
+    CSV whose HEADER and VALUES both contain bytes that are invalid
+    UTF-8 (0xE0 'à', 0xF4 'ô', 0xE9 'é') converts losslessly — the
+    charset threads through all three read sites (driver-side header
+    read, re-encoded inference sample, distributed typed scan), so
+    inference still types the numeric columns and the accented
+    strings survive to parquet (which is always UTF-8 on disk). The
+    reference reads raw bytes and would write mojibake for non-UTF-8
+    input; this is a documented extension, not a divergence."""
+    lines = ["id,città,importo"] + [
+        f"{i},côté_{i},{i}.5" for i in range(1, 41)
+    ]
+    d = tempfile.mkdtemp(prefix="csv2pq_latin1_")
+    src = os.path.join(d, "latin1.csv")
+    with open(src, "w", encoding="ISO-8859-1", newline="") as f:
+        f.write("\n".join(lines) + "\n")
+    res = convert_file(spark, src, output_dir=d, charset="ISO-8859-1")
+    if not res.ok:
+        raise RuntimeError(f"latin-1 conversion failed: {res.error}")
+    return spark.read.parquet(res.output)
