@@ -2314,3 +2314,109 @@ def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("class_p1", "class_p2")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@CAT.query(
+    "events_ab_test_welch",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1, 2),
+    a AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS s,
+             CAST(SUM(k * k) AS BIGINT) AS ss
+      FROM u GROUP BY arm),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS na,
+             MAX(CASE WHEN arm = 0 THEN s END) AS sa,
+             MAX(CASE WHEN arm = 0 THEN ss END) AS ssa,
+             MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+             MAX(CASE WHEN arm = 1 THEN s END) AS sb,
+             MAX(CASE WHEN arm = 1 THEN ss END) AS ssb
+      FROM a)
+    SELECT na AS n_users_a, sa AS n_purch_a, nb AS n_users_b, sb AS n_purch_b,
+           CAST(FLOOR(sa * 1000000.0 / na) AS BIGINT) AS mean_a_micro,
+           CAST(FLOOR(sb * 1000000.0 / nb) AS BIGINT) AS mean_b_micro,
+           CAST(FLOOR(
+             (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+             / sqrt(
+                 ((ssa - CAST(sa AS DOUBLE) * sa / na) / (na - 1)) / na
+               + ((ssb - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)) / nb)
+             * 1000000) AS BIGINT) AS welch_t_micro
+    FROM w
+    """,
+)
+def events_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's two-sample t statistic on
+    purchases-per-user between two deterministic arms (user_id
+    parity stands in for the assignment column). Welch, not a pooled
+    z on a binary, because per-user event COUNTS are the metric with
+    actual variance in behavioral data (the binary "ever purchased"
+    saturates to 1 on any active corpus — measured degenerate at
+    every test sf).
+
+    Exactness: the per-arm sufficient statistics (n, Σk, Σk²) are
+    exact BIGINTs — integer second moments, the
+    ``corr_exact_value_k`` trick — and the final t is one identical
+    IEEE double expression over them in both engines, floored to
+    micro-units. Degenerate inputs (an empty arm, or zero variance in
+    both arms) yield NULL via NULL propagation rather than a
+    division error.
+
+    Plan: one (user_id)-keyed map-side-combined agg over the corpus,
+    a 2-row arm rollup, a 1-row final projection. Nothing else
+    touches corpus scale."""
+    u = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .groupBy(
+            "user_id", (F.col("user_id") % 2).cast("bigint").alias("arm")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k")
+        )
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s"),
+        F.sum(F.col("k") * F.col("k")).alias("ss"),
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("arm") == 0, F.col("ss"))).alias("ssa"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("arm") == 1, F.col("ss"))).alias("ssb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = (F.col("ssa") - F.col("sa").cast("double") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("ssb") - F.col("sb").cast("double") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    # try_divide: zero pooled variance (or a 1-user arm) is a NULL
+    # statistic, not an ANSI arithmetic error
+    t = F.try_divide(ma - mb, F.sqrt(va / F.col("na") + vb / F.col("nb")))
+    return w.select(
+        F.col("na").alias("n_users_a"),
+        F.col("sa").alias("n_purch_a"),
+        F.col("nb").alias("n_users_b"),
+        F.col("sb").alias("n_purch_b"),
+        F.floor(F.col("sa") * 1000000.0 / F.col("na"))
+        .cast("bigint")
+        .alias("mean_a_micro"),
+        F.floor(F.col("sb") * 1000000.0 / F.col("nb"))
+        .cast("bigint")
+        .alias("mean_b_micro"),
+        F.floor(t * 1000000).cast("bigint").alias("welch_t_micro"),
+    )
