@@ -2405,3 +2405,86 @@ def text_subword_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sub.alias("n_subwords"),
         md5_60(F.array_join("seg", " ")).alias("seg_hash"),
     )
+
+
+#: Top-V frequency ranks used for the Zipf log-log fit.
+_ZIPF_V = 1000
+
+
+@CAT.query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents WHERE len(trim(text)) > 0),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t),
+    rk AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r
+      FROM freq),
+    pts AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      FROM rk WHERE r <= {_ZIPF_V}),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts)
+    SELECT n AS n_ranks,
+           CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000)
+                AS BIGINT) AS slope_micro,
+           CAST(FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                      / n * 1000000) AS BIGINT) AS intercept_micro
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law diagnostic for a text corpus: OLS fit of
+    ln(frequency) against ln(rank) over the top {_ZIPF_V} token
+    ranks. Natural language sits near slope −1; a corpus drifting
+    toward −0.5 (too flat: boilerplate/template spam) or −2 (too
+    steep: tiny effective vocabulary) is the classic cheap smell test
+    a pretraining pipeline runs per source alongside the Heaps-law
+    profile (``text_vocab_profile_by_source``).
+
+    Determinism: ranks use the (freq DESC, token) total order, the
+    OLS runs on exact sums of identical IEEE doubles in both engines,
+    and slope/intercept floor to micro-units — same contract as the
+    other ln-based ops.
+
+    Plan: token explode → vocab-sized groupBy; the rank window and
+    the 5-number moment reduction run on the VOCABULARY (then its
+    top-{_ZIPF_V} slice), never the corpus. The one corpus-scale
+    stage is the map-side-combined frequency count."""
+    tok = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(tokenize("text")).alias("t"))
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("t"))
+    # vocab-sized window; production note: for a >memory vocabulary,
+    # take the top-V by freq first (TakeOrdered) — the fit only ever
+    # reads V rows
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZIPF_V)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        F.col("n").alias("n_ranks"),
+        F.floor(slope * 1000000).cast("bigint").alias("slope_micro"),
+        F.floor(intercept * 1000000).cast("bigint").alias("intercept_micro"),
+    )
