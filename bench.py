@@ -113,6 +113,8 @@ HEADLINE = [
     "quality_model_score",
     "sample_weighted_priority",
     "text_subword_merge_stats",
+    "text_zipf_fit",
+    "events_ab_cuped",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",
