@@ -115,6 +115,12 @@ HEADLINE = [
     "text_subword_merge_stats",
     "text_zipf_fit",
     "events_ab_cuped",
+    # round-6 second wave
+    "join_bloom_prefilter",
+    "events_interval_coverage",
+    "text_js_divergence",
+    "stats_bootstrap_ci_poisson",
+    "text_bm25_scores",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

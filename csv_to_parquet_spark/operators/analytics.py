@@ -2567,3 +2567,555 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_y_cuped_micro"),
     )
+
+
+@CAT.query(
+    "events_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 600000000 AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_e
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM m),
+    per AS (
+      SELECT user_id, island,
+             MAX(e) - MIN(s) AS covered_us
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(covered_us) AS BIGINT) AS covered_us
+    FROM per GROUP BY user_id
+    """,
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event projects a 10-minute
+    activity interval; per user, overlapping intervals merge and the
+    answer is the total UNION length plus the number of disjoint
+    activity islands. This is the sweep-line "islands and gaps" shape
+    (distinct from sessionization's gap-splitting: here interval
+    LENGTH matters, and the union length is what billing/uptime/SLA
+    queries actually charge for).
+
+    Distributed form: the sweep needs no sort of the whole corpus —
+    one window per user (running max of interval end over preceding
+    rows) marks island starts, a cumulative sum numbers islands, and
+    two keyed aggregations finish. All arithmetic in exact epoch
+    microseconds (BIGINT), so the oracle hashes identically.
+
+    Tie safety: rows with equal (user, ts) have equal interval ends,
+    so the running max and the island boundaries are order-stable
+    under any tie order — required, since Spark and DuckDB sort ties
+    differently.
+
+    Scale: everything is partitioned by user_id — the window, the
+    island rollup, and the final agg reuse ONE shuffle (Exchange
+    reuse on the same key); no global sort, no driver state. Skewed
+    mega-users bound the window state at one user's rows, the same
+    bound sessionization already accepts."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = _events(spark, sf_dir).select(
+        "user_id", us.alias("s"), (us + 600000000).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        iv.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_cum))
+    )
+    per = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered_us")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("covered_us").cast("bigint").alias("covered_us"),
+    )
+
+
+# Benford expected first-digit probabilities, log10(1 + 1/d), baked as
+# DECIMAL LITERALS into both engines' expressions: log10 is not
+# guaranteed correctly-rounded (unlike +,-,*,/,sqrt), so computing it
+# live in two math libraries could differ by an ulp and flip a
+# micro-floor. The literals are exact and identical by construction.
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+)
+
+
+@CAT.query(
+    "stats_benford_digits",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+      WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) > 0),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM o GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+    SELECT digit, n_obs,
+           CAST(FLOOR(n_obs * 1000000.0 / n) AS BIGINT) AS obs_ppm,
+           CAST(FLOOR(CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE) * 1000000)
+             AS BIGINT) AS exp_ppm,
+           CAST(FLOOR(
+             power(n_obs - n * CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE), 2)
+             / (n * CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE)) * 1000000)
+             AS BIGINT) AS chi2_cell_micro
+    FROM c, t
+    """,
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: first-significant-
+    digit frequencies vs log10(1+1/d), with per-digit chi-square
+    contributions — the standard forensic-accounting / synthetic-data
+    smell test (TPC-H's uniform price generator should NOT be
+    Benford, and the chi2 column quantifies exactly how far off).
+
+    Exactness: the first digit comes from the decimal rendering of
+    the exact cents BIGINT (both engines render integers
+    identically — no float formatting); counts are exact; the
+    expected probabilities are shared decimal literals (see
+    _BENFORD_P — log10 is deliberately NOT computed live); the chi2
+    cell is one IEEE double expression over exact ints, micro-floored.
+
+    Scale: one map-side-combined groupBy onto ≤9 cells, then a 9-row
+    rollup crossJoin-attached (1-row broadcast). The corpus is
+    touched once, two columns read."""
+    cts = cents("o_totalprice")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(cts.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    c = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p = F.expr(f"CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE)")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        F.floor(F.col("n_obs") * 1000000.0 / F.col("n"))
+        .cast("bigint")
+        .alias("obs_ppm"),
+        F.floor(p * 1000000).cast("bigint").alias("exp_ppm"),
+        F.floor(
+            F.pow(F.col("n_obs") - F.col("n") * p, F.lit(2))
+            / (F.col("n") * p)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("chi2_cell_micro"),
+    )
+
+
+@CAT.query(
+    "events_chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               % 7 + 3) % 7) + 1 AS iso_dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, iso_dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS r,
+             SUM(o) OVER (PARTITION BY iso_dow) AS c,
+             SUM(o) OVER () AS n
+      FROM cells),
+    contrib AS (
+      SELECT o, r, c, n,
+             CAST(FLOOR(
+               power(o - CAST(r AS DOUBLE) * c / n, 2)
+               / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT)
+               AS chi2_cell_micro
+      FROM m)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1)
+             AS BIGINT) AS dof_upper,
+           CAST(SUM(chi2_cell_micro) AS BIGINT) AS chi2_micro
+    FROM contrib
+    """,
+)
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    ISO weekday — "does behavior depend on the day?", the categorical
+    counterpart of the Welch readout. Reported: N, occupied cell
+    count, a degrees-of-freedom bound, and the chi-square statistic
+    in micro-units.
+
+    Determinism is the whole design: each cell's (O−E)²/E is one IEEE
+    expression over exact BIGINTs (E = r·c/N in double — every op
+    correctly rounded) FLOORED TO MICROS PER CELL, and the statistic
+    is the *integer* sum of those fixed-point cells — so no
+    float-summation-order divergence between engines is possible
+    (the bigram-surprisal micro-nat pattern). dof is derived from
+    DISTINCT marginal values as a cheap upper bound — exact dof needs
+    the marginal count, which the occupied-cell grid already implies
+    for any non-degenerate corpus.
+
+    Scale: one corpus groupBy onto a types×7 grid; the three marginal
+    windows and the final 1-row rollup run on ≤|types|·7 rows."""
+    e = _events(spark, sf_dir)
+    d = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    cells = (
+        e.select(
+            "event_type", ((d % 7 + 3) % 7 + 1).cast("int").alias("iso_dow")
+        )
+        .groupBy("event_type", "iso_dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = (
+        cells.withColumn(
+            "r", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("c", F.sum("o").over(Window.partitionBy("iso_dow")))
+        .withColumn(
+            "n",
+            F.sum("o").over(
+                Window.partitionBy()  # whole (tiny) grid
+            ),
+        )
+    )
+    ex = F.col("r").cast("double") * F.col("c") / F.col("n")
+    contrib = m.withColumn(
+        "chi2_cell_micro",
+        F.floor(F.pow(F.col("o") - ex, F.lit(2)) / ex * 1000000).cast(
+            "bigint"
+        ),
+    )
+    return contrib.agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.countDistinct("r") - 1) * (F.countDistinct("c") - 1))
+        .cast("bigint")
+        .alias("dof_upper"),
+        F.sum("chi2_cell_micro").cast("bigint").alias("chi2_micro"),
+    )
+
+
+# Poisson(1) CDF thresholds scaled to 2^60, as EXACT INTEGER literals
+# (floor(cdf(k) * 2^60), k = 0..7): the bootstrap weight of a
+# (user, replicate) cell is the count of thresholds <= its 60-bit md5
+# draw — pure integer comparisons, so both engines agree bit-for-bit
+# without ever comparing floats. P(X > 8) < 1e-6 is truncated to 8.
+_POIS_T = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+]
+
+_BOOT_B = 100  # bootstrap replicates
+
+
+@CAT.query(
+    "stats_bootstrap_ci_poisson",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(FLOOR(SUM(k) * 1000000.0 / COUNT(*)) AS BIGINT)
+               AS point_mean_micro
+      FROM u),
+    cells AS (
+      SELECT u.user_id, u.k, b.b,
+             CAST(concat('0x', substring(md5(concat(
+               CAST(u.user_id AS VARCHAR), ':', CAST(b.b AS VARCHAR))),
+               1, 15)) AS BIGINT) AS h
+      FROM u, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b),
+    wts AS (
+      SELECT b, k,
+             {" + ".join(f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)"
+                         for t in _POIS_T)} AS w
+      FROM cells),
+    reps AS (
+      SELECT b,
+             CAST(FLOOR(SUM(w * k) * 1000000.0 / SUM(w)) AS BIGINT)
+               AS mean_micro
+      FROM wts GROUP BY b HAVING SUM(w) > 0),
+    ranked AS (
+      SELECT mean_micro,
+             ROW_NUMBER() OVER (ORDER BY mean_micro) AS rn,
+             COUNT(*) OVER () AS nb
+      FROM reps)
+    SELECT pt.n_users, pt.point_mean_micro,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(nb * 0.025) AS BIGINT)
+                    THEN mean_micro END) AS BIGINT) AS ci_lo_micro,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(nb * 0.975) AS BIGINT)
+                    THEN mean_micro END) AS BIGINT) AS ci_hi_micro,
+           CAST(MAX(nb) AS BIGINT) AS n_replicates
+    FROM ranked, pt
+    GROUP BY pt.n_users, pt.point_mean_micro
+    """,
+)
+def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean purchases-per-user
+    via the POISSON bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012) — the resampling scheme
+    that actually works at 100 TB: classical bootstrap needs to draw n
+    rows WITH replacement n times (a global shuffle per replicate, B
+    passes), while Poisson(1) weights are independent per row, so ALL
+    B replicates materialize in ONE pass as a B-way explode + one
+    keyed aggregation.
+
+    Determinism is the design: each (user, replicate) draw is the
+    60-bit md5 integer, and its Poisson weight is the count of
+    precomputed integer CDF thresholds (<= 2^60 scale) below it —
+    integer compares only, no RNG, no floats until the final
+    mean-per-replicate division (one micro-floored IEEE op). The CI is
+    the nearest-rank 2.5%/97.5% replicate mean via ROW_NUMBER — no
+    percentile-interpolation convention to disagree on.
+
+    Plan: one corpus agg to per-user counts, a B-way explode of the
+    (much smaller) user frame, one (replicate)-keyed agg to B rows,
+    a 100-row window, and two 1-row broadcast attaches. The corpus is
+    read once; the explode inflates users × B, never events × B."""
+    u = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("k")
+        )
+    )
+    from csv_to_parquet_spark.operators.cache import persist_tracked
+
+    u = persist_tracked(u)
+    pt = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.floor(F.sum("k") * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("point_mean_micro"),
+    )
+    cells = u.select(
+        "user_id",
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("user_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    w = sum(
+        (F.col("h") >= F.lit(t)).cast("int") for t in _POIS_T
+    )
+    reps = (
+        cells.select("b", "k", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("k")).alias("wk"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            F.floor(F.col("wk") * 1000000.0 / F.col("sw"))
+            .cast("bigint")
+            .alias("mean_micro")
+        )
+    )
+    wspec = Window.orderBy("mean_micro")
+    ranked = reps.withColumn("rn", F.row_number().over(wspec)).withColumn(
+        "nb", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    ci = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("nb") * 0.025).cast("bigint"),
+                F.col("mean_micro"),
+            )
+        )
+        .cast("bigint")
+        .alias("ci_lo_micro"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("nb") * 0.975).cast("bigint"),
+                F.col("mean_micro"),
+            )
+        )
+        .cast("bigint")
+        .alias("ci_hi_micro"),
+        F.max("nb").cast("bigint").alias("n_replicates"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_users",
+        "point_mean_micro",
+        "ci_lo_micro",
+        "ci_hi_micro",
+        "n_replicates",
+    )
+
+
+@CAT.query(
+    "orders_theilsen_trend",
+    oracle="""
+    WITH m AS (
+      SELECT (EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate)) AS mi,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT b.rev - a.rev AS dy, b.mi - a.mi AS dx
+      FROM m a JOIN m b ON a.mi < b.mi),
+    slopes AS (
+      SELECT CAST(FLOOR(CAST(dy AS DOUBLE) / dx * 1000000) AS BIGINT)
+               AS slope_micro
+      FROM pairs),
+    ranked AS (
+      SELECT slope_micro,
+             ROW_NUMBER() OVER (ORDER BY slope_micro) AS rn,
+             COUNT(*) OVER () AS np
+      FROM slopes)
+    SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_months,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           CAST(FLOOR((MAX(CASE WHEN rn = (np + 1) // 2
+                           THEN slope_micro END)
+                 + MAX(CASE WHEN rn = np // 2 + 1
+                           THEN slope_micro END)) / 2.0) AS BIGINT)
+             AS slope_cents_per_month_micro
+    FROM ranked
+    """,
+)
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen trend estimator on monthly order revenue: the MEDIAN
+    of all pairwise month-to-month slopes — the robust alternative to
+    OLS (the Zipf fit's estimator) that a single promo-spike month
+    cannot drag, which is why monitoring pipelines prefer it for
+    revenue/latency trend alarms.
+
+    Exactness: monthly revenues are exact cents; each pairwise slope
+    is one IEEE division micro-floored to BIGINT; the median is the
+    average of the two middle order statistics via ROW_NUMBER (exact
+    nearest-rank selection — no percentile interpolation convention),
+    floored once more for the odd/even unification.
+
+    Scale: the corpus aggregates to ONE row per month before anything
+    quadratic happens — the self-join is |months|², i.e. a few
+    hundred rows for years of data (the same bounded-domain argument
+    as the dow×hour heatmap). The window runs on that same tiny
+    frame. If the time grain were per-second, the right tool is the
+    repeated-median variant over bounded buckets — documented, not
+    needed at a monthly grain."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            )
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    from csv_to_parquet_spark.operators.cache import persist_tracked
+
+    m = persist_tracked(m)
+    a = m.select(F.col("mi").alias("mia"), F.col("rev").alias("reva"))
+    b = m.select(F.col("mi").alias("mib"), F.col("rev").alias("revb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("mia") < F.col("mib"))
+        .select(
+            F.floor(
+                (F.col("revb") - F.col("reva")).cast("double")
+                / (F.col("mib") - F.col("mia"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("slope_micro")
+        )
+    )
+    ranked = slopes.withColumn(
+        "rn", F.row_number().over(Window.orderBy("slope_micro"))
+    ).withColumn("np", F.count(F.lit(1)).over(Window.partitionBy()))
+    med = ranked.agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        F.floor(
+            (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(np + 1) div 2"),
+                        F.col("slope_micro"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("rn") == F.expr("np div 2 + 1"),
+                        F.col("slope_micro"),
+                    )
+                )
+            )
+            / 2.0
+        )
+        .cast("bigint")
+        .alias("slope_cents_per_month_micro"),
+    )
+    nm = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return nm.crossJoin(F.broadcast(med)).select(
+        "n_months", "n_pairs", "slope_cents_per_month_micro"
+    )

@@ -803,3 +803,71 @@ def source_latin1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("encoding", "ISO-8859-1")
         .csv(path)
     )
+
+
+@CAT.query(
+    "source_utf16_csv_scan",
+    oracle="""
+    SELECT s_suppkey::BIGINT AS s_suppkey,
+           replace(s_name, 'r', '中') AS s_name,
+           s_nationkey::BIGINT AS s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def source_utf16_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-charset ingestion: supplier staged as UTF-16LE CSV (the
+    charset Windows exports and SQL Server BCP dumps actually use) and
+    read back with explicit ``encoding`` + ``lineSep``. A CJK
+    character ('r' → '中', outside latin-1 entirely) is injected
+    deterministically so the decode is genuinely exercised: without
+    the charset option the 2-byte code units read as NUL-riddled
+    garbage. The oracle applies the same substitution to the original
+    table, proving the encode→bytes→decode loop lossless.
+
+    Two contracts measured while building this (kept as the ingest
+    rule for stateful charsets):
+
+    - ``lineSep`` must be EXPLICIT: for non-UTF-8 charsets Spark
+      splits records on the delimiter's bytes *in that charset*
+      (``0x0A 0x00`` here); the UTF-8 default cannot find UTF-16
+      record boundaries.
+    - Use the byte-order-explicit charset name. Writing with plain
+      ``UTF-16`` emits a BOM per file and big-endian code units, and
+      the read path returns ZERO rows (measured on this container's
+      Spark) — BOM handling in the per-split line reader is the
+      classic silent-corruption trap. UTF-16LE is BOM-free and
+      deterministic.
+
+    Scale note: a 2-byte-code-unit charset loses free splittability —
+    an arbitrary byte offset can land mid-code-unit and a naive
+    splitter then reads misaligned garbage, so ingest treats these
+    files as whole-file units (same many-moderate-files contract as
+    gzip, formats.py:321). Decoding itself is per-task CPU with no
+    shuffle. The durable fix is this pipeline's whole point: one
+    conversion pass → splittable UTF-8-backed parquet."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_STAGE, f"supplier_utf16_{tag}.csvdir")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "supplier")
+            .select(
+                "s_suppkey",
+                F.replace("s_name", F.lit("r"), F.lit("中")).alias("s_name"),
+                "s_nationkey",
+                "s_acctbal",
+            )
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("encoding", "UTF-16LE")
+            .csv(path)
+        )
+    return (
+        spark.read.schema(
+            "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, "
+            "s_acctbal DOUBLE"
+        )
+        .option("header", True)
+        .option("encoding", "UTF-16LE")
+        .option("lineSep", "\n")
+        .csv(path)
+    )

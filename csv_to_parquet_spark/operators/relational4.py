@@ -677,3 +677,108 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price_cents", "size", "n_parts")
         .orderBy("price_cents")
     )
+
+
+@CAT.query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join: revenue by priority for orders
+    whose customer is in the BUILDING segment, with the fact scan
+    pre-screened by a Bloom filter of the key set BEFORE the semi
+    join. The result is EXACT — a Bloom filter built by inserting
+    every key has no false negatives, and the exact semi join that
+    follows removes its false positives — so the oracle is the plain
+    ``IN`` subquery.
+
+    Why this exists at 100 TB: when the key side is too large to
+    broadcast as an exact set but its *bitmap* fits comfortably
+    (m bits regardless of key count — here 2^16 bits = 8 KiB; 2^27
+    bits = 16 MiB screens ~10M keys at ~1% fp), the filter drops
+    non-matching fact rows at the SCAN, before they are shuffled for
+    the join. The shuffle then carries only matching-plus-fp rows —
+    the same trick Spark's own runtime row-level filtering applies to
+    shuffle joins, built here from first principles with public
+    primitives so the screen can be persisted and reused across
+    queries (a join-key zone-map in table form).
+
+    Construction (all codegen'd, nothing leaves the JVM):
+    - k=3 positions per key via seeded xxhash64 pmod m;
+    - positions fold to (word, bit) pairs; ``bit_or`` over
+      ``1 << bit`` builds the 64-bit words; the ≤1024-entry word map
+      collapses to ONE row (``map_from_entries``) — model-sized, like
+      the k-means centroid and PQ codebook attaches;
+    - the fact side cross-joins the 1-row bitmap (broadcast nested
+      loop, 1×N — no shuffle) and keeps rows whose 3 bits are all
+      set; ``element_at`` on a missing word is NULL → coalesce(false)
+      → filtered.
+    - the exact semi join then runs over the surviving sliver.
+    """
+    m_bits = 1 << 16
+    keys = persist_tracked(
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits)).cast("int")
+            for seed in (101, 202, 303)
+        ]
+
+    bitmap = (
+        keys.select(
+            F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos")
+        )
+        # pyspark's shiftleft() helper only takes a literal shift
+        # count, so the variable-shift mask is an expr string (SQL
+        # shiftleft accepts column operands)
+        .selectExpr(
+            "shiftright(pos, 6) AS widx",
+            "shiftleft(CAST(1 AS BIGINT), pmod(pos, 64)) AS mask",
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("widx", "word"))
+            ).alias("bm")
+        )
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", cents("o_totalprice").alias("price_c")
+    )
+    tests = [
+        F.expr(
+            f"coalesce((element_at(bm, CAST(shiftright(pmod(xxhash64("
+            f"o_custkey, {seed}), {m_bits}), 6) AS INT)) & shiftleft("
+            f"CAST(1 AS BIGINT), pmod(pmod(xxhash64(o_custkey, {seed}),"
+            f" {m_bits}), 64))) != 0, false)"
+        )
+        for seed in (101, 202, 303)
+    ]
+    prefiltered = (
+        orders.crossJoin(F.broadcast(bitmap))
+        .filter(tests[0] & tests[1] & tests[2])
+        .drop("bm")
+    )
+    return (
+        prefiltered.join(F.broadcast(keys), prefiltered.o_custkey == keys.c_custkey, "semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_c").cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -2488,3 +2488,245 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(slope * 1000000).cast("bigint").alias("slope_micro"),
         F.floor(intercept * 1000000).cast("bigint").alias("intercept_micro"),
     )
+
+
+@CAT.query(
+    "text_js_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents WHERE len(trim(text)) > 0),
+    dist AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+             FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1),
+    pairs AS (SELECT a.source AS sa, b.source AS sb
+              FROM tot a, tot b WHERE a.source < b.source),
+    da AS (SELECT sa, sb, t, c FROM pairs JOIN dist ON dist.source = sa),
+    db AS (SELECT sa, sb, t, c FROM pairs JOIN dist ON dist.source = sb),
+    j AS (
+      SELECT COALESCE(da.sa, db.sa) AS sa, COALESCE(da.sb, db.sb) AS sb,
+             COALESCE(da.t, db.t) AS t,
+             COALESCE(da.c, 0) AS ca, COALESCE(db.c, 0) AS cb
+      FROM da FULL JOIN db
+        ON da.sa = db.sa AND da.sb = db.sb AND da.t = db.t),
+    terms AS (
+      SELECT j.sa, j.sb,
+             CASE WHEN ca > 0 THEN CAST(FLOOR(
+               (CAST(ca AS DOUBLE) / na.n)
+               * ln(2 * (CAST(ca AS DOUBLE) / na.n)
+                    / (CAST(ca AS DOUBLE) / na.n
+                       + CAST(cb AS DOUBLE) / nb.n))
+               * 1000000000) AS BIGINT) ELSE 0 END AS term_a,
+             CASE WHEN cb > 0 THEN CAST(FLOOR(
+               (CAST(cb AS DOUBLE) / nb.n)
+               * ln(2 * (CAST(cb AS DOUBLE) / nb.n)
+                    / (CAST(ca AS DOUBLE) / na.n
+                       + CAST(cb AS DOUBLE) / nb.n))
+               * 1000000000) AS BIGINT) ELSE 0 END AS term_b
+      FROM j JOIN tot na ON j.sa = na.source
+             JOIN tot nb ON j.sb = nb.source)
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_union_terms,
+           CAST((SUM(term_a) + SUM(term_b)) // 2 AS BIGINT) AS jsd_nano
+    FROM terms GROUP BY sa, sb
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every pair of document sources — the standard
+    corpus-drift / mixture-design diagnostic ("how different is
+    source A's language from source B's?"; 0 = identical, ln 2 =
+    disjoint). Used when composing training mixtures to spot
+    near-duplicate sources (waste) and outlier sources (contamination
+    risk).
+
+    Fixed-point determinism (the micro-nat pattern, at NANO scale
+    because each term carries a factor p ≈ 1/n): each vocabulary
+    term's p·ln(2p/(p+q)) contribution is floored to integer
+    nano-nats; the pair's statistic is the exact integer sum, so no
+    float-accumulation-order divergence is possible. When a token is
+    exclusive to one side, 2p/(p+q) is EXACTLY 2.0 in IEEE (2·p/p),
+    so the term is p·ln 2 in both engines bit-identically.
+
+    Scale: sources are a bounded catalog dimension (like nations), so
+    the |S|² pair grid is tiny — the broadcast pair expansion
+    replicates each source's VOCABULARY row set |S|−1 times, never
+    the corpus; the heavy operation is one token-keyed full-outer
+    join per pair, all pairs sharing one shuffle on (pair, token).
+    The corpus itself is tokenized exactly once into a persisted
+    vocab frame."""
+    tok = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(tokenize("text")).alias("t"))
+    )
+    dist = _persist(
+        tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = dist.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    srcs = tot.select("source")
+    pairs = (
+        srcs.alias("x")
+        .crossJoin(F.broadcast(srcs.alias("y")))
+        .filter(F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("sa"), F.col("y.source").alias("sb")
+        )
+    )
+    da = dist.join(F.broadcast(pairs), dist.source == pairs.sa).select(
+        "sa", "sb", F.col("t").alias("ta"), F.col("c").alias("ca")
+    )
+    db = dist.join(F.broadcast(pairs), dist.source == pairs.sb).select(
+        F.col("sa").alias("sb_a"),
+        F.col("sb").alias("sb_b"),
+        F.col("t").alias("tb"),
+        F.col("c").alias("cb"),
+    )
+    j = da.join(
+        db,
+        (da.sa == db.sb_a) & (da.sb == db.sb_b) & (da.ta == db.tb),
+        "full_outer",
+    ).select(
+        F.coalesce("sa", "sb_a").alias("sa"),
+        F.coalesce("sb", "sb_b").alias("sb"),
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    na = tot.select(F.col("source").alias("na_s"), F.col("n").alias("na"))
+    nb = tot.select(F.col("source").alias("nb_s"), F.col("n").alias("nb"))
+    j = j.join(F.broadcast(na), j.sa == na.na_s).join(
+        F.broadcast(nb), j.sb == nb.nb_s
+    )
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    term_a = F.when(
+        F.col("ca") > 0,
+        F.floor(p * F.log(2 * p / (p + q)) * 1000000000).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    term_b = F.when(
+        F.col("cb") > 0,
+        F.floor(q * F.log(2 * q / (p + q)) * 1000000000).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        j.select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            term_a.alias("term_a"),
+            term_b.alias("term_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_terms"),
+            F.expr("(sum(term_a) + sum(term_b)) div 2")
+            .cast("bigint")
+            .alias("jsd_nano"),
+        )
+    )
+
+
+# BM25 parameters as shared decimal literals (never live floats)
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+_BM25_NQ = 3  # query = the NQ highest-document-frequency tokens
+
+
+@CAT.query(
+    "text_bm25_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents WHERE len(trim(text)) > 0),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tok GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM dl),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    q AS (SELECT t, df FROM df ORDER BY df DESC, t LIMIT {_BM25_NQ}),
+    scored AS (
+      SELECT tf.doc_id, tf.t,
+             CAST(FLOOR(
+               ln((CAST(stats.n_docs AS DOUBLE) - q.df + 0.5)
+                  / (q.df + 0.5) + 1)
+               * (tf.tf * (CAST({_BM25_K1} AS DOUBLE) + 1))
+               / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+                  * (1 - CAST({_BM25_B} AS DOUBLE)
+                     + CAST({_BM25_B} AS DOUBLE) * dl.dl
+                       * stats.n_docs / stats.total_len))
+               * 1000000) AS BIGINT) AS term_micro
+      FROM tf JOIN q ON tf.t = q.t
+              JOIN dl ON tf.doc_id = dl.doc_id, stats)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_query_terms,
+           CAST(SUM(term_micro) AS BIGINT) AS bm25_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scoring (Robertson & Zaragoza 2009) of
+    every document against a deterministic query — the NQ=3
+    highest-df corpus tokens (ties broken by token order), so the
+    query derives from the data rather than a fixture literal. BM25
+    is THE classical sparse ranking function; a training-data
+    pipeline uses it for retrieval-based decontamination and
+    hard-negative mining alongside the dense kNN entries.
+
+    Determinism: tf, df, dl, N, Σdl are exact BIGINTs; k1/b are
+    shared decimal literals; avgdl enters as dl·N/Σdl (kept as one
+    double expression — no pre-rounded intermediate); each term's
+    score is micro-floored, and a document's score is the exact
+    integer sum (order-independent; ln follows the micro-nat
+    precedent). idf uses the +1 smoothing so it is positive even for
+    a term in >half the docs — needed since high-df tokens are
+    exactly what this query selects.
+
+    Plan: ONE tokenize explode feeds tf, dl, and df; the query set is
+    a 3-row broadcast; corpus-level N/Σdl is a 1-row
+    broadcast attach. The scoring join touches only postings of the
+    query terms (pushed equi-join on token), so the heavy frame never
+    re-shuffles on anything but its natural keys."""
+    tok = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(tokenize("text")).alias("t"))
+    )
+    tok = _persist(tok)
+    tf = _persist(
+        tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    q = df.orderBy(F.desc("df"), "t").limit(_BM25_NQ)
+    k1 = F.expr(f"CAST({_BM25_K1} AS DOUBLE)")
+    b = F.expr(f"CAST({_BM25_B} AS DOUBLE)")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1
+    )
+    denom = F.col("tf") + k1 * (
+        1 - b + b * F.col("dl") * F.col("n_docs") / F.col("total_len")
+    )
+    scored = (
+        tf.join(F.broadcast(q.select("t", "df")), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * (F.col("tf") * (k1 + 1)) / denom * 1000000)
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_query_terms"),
+        F.sum("term_micro").cast("bigint").alias("bm25_micro"),
+    )

