@@ -121,6 +121,8 @@ HEADLINE = [
     "text_js_divergence",
     "stats_bootstrap_ci_poisson",
     "text_bm25_scores",
+    "events_copresence_topk",
+    "dq_freshness_report",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.functions import cents, cents_sql
 from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.operators.cache import persist_tracked
 from csv_to_parquet_spark.sources.tables import load_table
 
 CAT = Catalog()
@@ -2518,8 +2519,6 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
-    from csv_to_parquet_spark.operators.cache import persist_tracked
-
     u = persist_tracked(u)  # per-user stats feed θ AND the arm rollup
     g = u.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2933,8 +2932,6 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k")
         )
     )
-    from csv_to_parquet_spark.operators.cache import persist_tracked
-
     u = persist_tracked(u)
     pt = u.agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -3073,8 +3070,6 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
     )
-    from csv_to_parquet_spark.operators.cache import persist_tracked
-
     m = persist_tracked(m)
     a = m.select(F.col("mi").alias("mia"), F.col("rev").alias("reva"))
     b = m.select(F.col("mi").alias("mib"), F.col("rev").alias("revb"))
@@ -3119,3 +3114,290 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nm.crossJoin(F.broadcast(med)).select(
         "n_months", "n_pairs", "slope_cents_per_month_micro"
     )
+
+
+@CAT.query(
+    "dq_freshness_report",
+    oracle="""
+    WITH b AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1,
+             max(epoch_us(ts)) AS corpus_max_us
+      FROM events),
+    days AS (
+      SELECT CAST(unnest(range(d0, d1 + INTERVAL 1 DAY,
+                               INTERVAL 1 DAY)) AS DATE) AS day,
+             corpus_max_us
+      FROM b),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             max(epoch_us(ts)) AS day_max_us
+      FROM events GROUP BY 1)
+    SELECT CAST(days.day AS TIMESTAMP) AS day,
+           COALESCE(daily.n_events, 0) AS n_events,
+           COALESCE(daily.n_users, 0) AS n_users,
+           CAST(daily.day_max_us AS BIGINT) AS day_max_us,
+           CASE WHEN daily.day IS NULL THEN NULL
+                ELSE CAST(days.corpus_max_us - daily.day_max_us AS BIGINT)
+           END AS staleness_us,
+           CAST(CASE WHEN daily.day IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_gap
+    FROM days LEFT JOIN daily ON days.day = daily.day
+    """,
+)
+def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition freshness/completeness report — the data-quality view
+    an ingestion SLA dashboard renders: one row per calendar day in
+    the observed range, with event and user counts, the day's last
+    arrival time, its staleness relative to the corpus high-water
+    mark, and an explicit gap flag for days with NO data (absence is
+    the defect the plain GROUP BY can't surface — the spine makes
+    missing partitions first-class rows).
+
+    Scale: the fact table collapses to |days| rows via one map-side-
+    combined groupBy; the day spine derives from a 1-row min/max
+    broadcast (the gapfill pattern); the final join is spine-sized.
+    distinct-user counts are exact (count-distinct shuffle bounded by
+    |days| groups); staleness is exact epoch-microsecond integer
+    arithmetic."""
+    e = _events(spark, sf_dir)
+    b = e.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "corpus_max_us"
+        ),
+    )
+    days = b.select(
+        F.explode(F.sequence("d0", "d1")).alias("day"), "corpus_max_us"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "day_max_us"
+        ),
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias(
+                "n_events"
+            ),
+            F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
+            F.col("day_max_us").cast("bigint").alias("day_max_us"),
+            F.when(
+                F.col("day_max_us").isNotNull(),
+                F.col("corpus_max_us") - F.col("day_max_us"),
+            )
+            .cast("bigint")
+            .alias("staleness_us"),
+            F.when(F.col("day_max_us").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_gap"),
+        )
+    )
+
+
+_COPRES_K = 10  # co-presence anchor set: the K most active users
+_SESS_GAP_US = 30 * 60 * 1_000_000  # session gap, 30 min
+
+
+@CAT.query(
+    "events_copresence_topk",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events),
+    topk AS (
+      SELECT user_id FROM ev GROUP BY user_id
+      ORDER BY COUNT(*) DESC, user_id LIMIT {_COPRES_K}),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                    > {_SESS_GAP_US} OR
+                  LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev),
+    numbered AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM marked),
+    sess AS (
+      SELECT user_id, sid, MIN(us) AS s0, MAX(us) AS s1
+      FROM numbered GROUP BY user_id, sid),
+    anchor AS (SELECT sess.* FROM sess JOIN topk USING (user_id)),
+    ov AS (
+      SELECT a.user_id AS anchor_user, o.user_id AS other_user,
+             LEAST(a.s1, o.s1) - GREATEST(a.s0, o.s0) AS ov_us
+      FROM anchor a JOIN sess o
+        ON a.s0 <= o.s1 AND o.s0 <= a.s1 AND a.user_id != o.user_id)
+    SELECT anchor_user, other_user,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(ov_us) AS BIGINT) AS total_overlap_us
+    FROM ov GROUP BY 1, 2
+    """,
+)
+def events_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: for the K most active users (the
+    anchors), find every other user whose activity SESSIONS overlap
+    the anchor's sessions in time, with overlap counts and total
+    overlapping microseconds — the co-presence primitive behind
+    fraud-ring detection and collaboration analytics.
+
+    The join predicate is the interval-overlap theta condition
+    (a.s0 <= o.s1 AND o.s0 <= a.s1), which no equi-join expresses.
+    The scalable form is exactly what runs here: the anchor side is
+    deliberately BOUNDED (K users' sessions — top-K by activity,
+    deterministic ties) and broadcast, so the big session frame
+    streams through a broadcast nested-loop once with no shuffle at
+    all. For the unbounded all-pairs variant the same pipeline first
+    equi-joins on coarse time buckets (each interval exploded to the
+    buckets it spans) and applies this exact predicate per bucket —
+    documented here, not needed for the K-anchored report.
+
+    Sessions are the standard 30-min-gap sessionization (one window
+    per user — the sessionize exchange); overlap lengths are exact
+    epoch-microsecond integers."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _events(spark, sf_dir).select("user_id", us.alias("us"))
+    ev = persist_tracked(ev)
+    topk = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(_COPRES_K)
+        .select("user_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        ev.withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("us") - F.col("prev") > _SESS_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s0"), F.max("us").alias("s1"))
+    )
+    sess = persist_tracked(sess)
+    anchor = sess.join(F.broadcast(topk), "user_id").select(
+        F.col("user_id").alias("anchor_user"),
+        F.col("s0").alias("a0"),
+        F.col("s1").alias("a1"),
+    )
+    ov = sess.join(
+        F.broadcast(anchor),
+        (F.col("a0") <= F.col("s1"))
+        & (F.col("s0") <= F.col("a1"))
+        & (F.col("anchor_user") != F.col("user_id")),
+    ).select(
+        "anchor_user",
+        F.col("user_id").alias("other_user"),
+        (
+            F.least("a1", "s1") - F.greatest("a0", "s0")
+        ).alias("ov_us"),
+    )
+    return ov.groupBy("anchor_user", "other_user").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum("ov_us").cast("bigint").alias("total_overlap_us"),
+    )
+
+
+@CAT.query(
+    "orders_ewma_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT (EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate)) AS mi,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT mi, rev,
+             ROW_NUMBER() OVER (ORDER BY mi) - 1 AS t
+      FROM m),
+    terms AS (
+      SELECT cur.mi, cur.rev, cur.t,
+             CASE WHEN past.t = 0 THEN
+               CASE WHEN cur.t - past.t >= 62 THEN 0
+                    ELSE (past.rev * 1000000) // (1 << (cur.t - past.t))
+               END
+             ELSE
+               CASE WHEN cur.t - past.t + 1 >= 62 THEN 0
+                    ELSE (past.rev * 1000000)
+                         // (1 << (cur.t - past.t + 1))
+               END
+             END AS term_micro
+      FROM idx cur JOIN idx past ON past.t <= cur.t)
+    SELECT mi AS month_index, rev AS rev_cents,
+           CAST(SUM(term_micro) AS BIGINT) AS ewma_cents_micro
+    FROM terms GROUP BY mi, rev
+    """,
+)
+def orders_ewma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue with
+    alpha = 1/2, computed WITHOUT any floating point: the recurrence
+    s_t = alpha*x_t + (1-alpha)*s_(t-1) unrolls to dyadic weights
+    2^-(t-j+1) (and 2^-t for the seed month), so each term is an
+    integer shift-divide — (rev * 1e6) div 2^k — and the smoothed
+    value is an exact integer sum. Both engines floor-divide
+    non-negative BIGINTs identically, so parity is exact by
+    construction rather than by IEEE luck (the one smoothing
+    constant a binary computer can honor exactly; for general alpha
+    the micro-floor-per-term double pattern applies).
+
+    Scale: the corpus collapses to one row per month first; the
+    unrolled triangular self-join is |months|²/2 rows — the same
+    bounded-domain argument as Theil-Sen. The streaming counterpart
+    (incremental-state EWMA) is what `stream_stateful_user_counters`
+    demonstrates; this is the batch/backfill form."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            )
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    idx = m.withColumn(
+        "t", F.row_number().over(Window.orderBy("mi")) - 1
+    )
+    idx = persist_tracked(idx)
+    cur = idx.select(
+        F.col("mi"), F.col("rev"), F.col("t").alias("tc")
+    )
+    past = idx.select(
+        F.col("rev").alias("revp"), F.col("t").alias("tp")
+    )
+    terms = cur.join(
+        F.broadcast(past), F.col("tp") <= F.col("tc")
+    ).select(
+        "mi",
+        "rev",
+        # shift capped at 62: a 2^-62 weight floors to 0 for any
+        # realistic monthly revenue, and an uncapped shift would
+        # overflow DuckDB / wrap in the JVM — divergently.
+        F.expr(
+            "CASE WHEN tp = 0 THEN "
+            " CASE WHEN tc - tp >= 62 THEN CAST(0 AS BIGINT) "
+            "  ELSE (revp * 1000000) div shiftleft(CAST(1 AS BIGINT), tc - tp) END "
+            "ELSE "
+            " CASE WHEN tc - tp + 1 >= 62 THEN CAST(0 AS BIGINT) "
+            "  ELSE (revp * 1000000) div shiftleft(CAST(1 AS BIGINT), tc - tp + 1) END "
+            "END"
+        ).alias("term_micro"),
+    )
+    return terms.groupBy(
+        F.col("mi").alias("month_index"), F.col("rev").alias("rev_cents")
+    ).agg(F.sum("term_micro").cast("bigint").alias("ewma_cents_micro"))

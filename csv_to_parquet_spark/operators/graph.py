@@ -30,7 +30,7 @@ wedge fan-out by O(m^1.5) instead of Σdeg² on skewed graphs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.operators import Catalog
@@ -600,4 +600,107 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return final_deg.filter(F.col("deg") >= _KCORE_K).select(
         F.col("u").alias("part"), "deg"
+    )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round: each vertex adopts the most frequent
+    label among its neighbors (ties -> smallest label); isolated or
+    tie-free logic is pure integer/rank arithmetic, so the round is
+    deterministic in any engine."""
+    return f"""
+    cand_{out} AS (
+      SELECT adj.v, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM adj JOIN {prev} l ON l.v = adj.u
+      GROUP BY adj.v, l.lab),
+    best_{out} AS (
+      SELECT v, lab,
+             ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+      FROM cand_{out}),
+    {out} AS (
+      SELECT p.v, COALESCE(b.lab, p.lab) AS lab
+      FROM {prev} p LEFT JOIN (
+        SELECT v, lab FROM best_{out} WHERE rn = 1) b ON b.v = p.v)
+    """
+
+
+@CAT.query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT u AS v, u AS lab FROM adj),
+    {_lpa_round_sql("l0", "l1")},
+    {_lpa_round_sql("l1", "l2")},
+    {_lpa_round_sql("l2", "l3")}
+    SELECT lab AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(MIN(v) AS BIGINT) AS min_vertex
+    FROM l3 GROUP BY lab
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the co-purchase graph: every vertex starts as
+    its own label and repeatedly adopts the most frequent label among
+    its neighbors. Async LPA is run-order dependent (useless for a
+    reproducible pipeline); this is the SYNCHRONOUS variant with a
+    total tie order (count DESC, label ASC via ROW_NUMBER), so a
+    fixed iteration count gives bit-identical communities in any
+    engine at any parallelism — the same determinism contract as the
+    fixed-point PageRank above. Output is the community roster
+    (label, size, smallest member).
+
+    Iterative join-agg shape, one exchange key: each round joins the
+    |V|-row label vector to the persisted adjacency on u, aggregates
+    label counts per (v, lab), takes the per-v argmax with ONE window
+    over the (v)-partitioned count frame, and left-joins back to
+    carry isolated vertices unchanged. Rounds are fixed (3), so
+    lineage stays bounded without checkpoints; at larger diameters
+    the CC-style checkpoint-per-round loop applies (dedup.py:926)."""
+    e = _edges(spark, sf_dir)
+    adj = persist_tracked(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+    )
+    labels = persist_tracked(
+        adj.select(F.col("u").alias("v")).distinct().select(
+            "v", F.col("v").alias("lab")
+        )
+    )
+    for _ in range(_LPA_ITERS):
+        cand = (
+            adj.join(
+                labels.select(
+                    F.col("v").alias("lu"), F.col("lab")
+                ),
+                F.col("u") == F.col("lu"),
+            )
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("v").orderBy(
+                        F.desc("c"), F.asc("lab")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("bv"), F.col("lab").alias("blab"))
+        )
+        labels = persist_tracked(
+            labels.join(best, labels.v == best.bv, "left").select(
+                "v", F.coalesce("blab", "lab").alias("lab")
+            )
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min("v").cast("bigint").alias("min_vertex"),
     )

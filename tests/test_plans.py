@@ -226,6 +226,8 @@ _BNLJ_ALLOW = {
     "stats_bootstrap_ci_poisson",  # 1-row point × 1-row CI attach
     "orders_theilsen_trend",  # |months|² pair grid (bounded domain)
     "text_bm25_scores",  # 1-row corpus N/Σdl broadcast attach
+    "events_copresence_topk",  # bounded top-K anchor broadcast, theta overlap
+    "orders_ewma_monthly",  # |months|² dyadic-weight grid (bounded domain)
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are

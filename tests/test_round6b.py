@@ -468,3 +468,164 @@ def test_bm25_scores_cover_query_postings_exactly(spark, sf_smoke):
             assert got[d.doc_id].bm25_micro > 0
         else:
             assert d.doc_id not in got
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness_report / events_copresence_topk / orders_ewma_monthly
+# ---------------------------------------------------------------------------
+
+
+def test_freshness_report_covers_full_range_and_flags_gaps(spark, sf_smoke):
+    from csv_to_parquet_spark.operators.analytics import dq_freshness_report
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    rows = sorted(
+        dq_freshness_report(spark, sf_smoke).collect(), key=lambda r: r.day
+    )
+    # dense daily spine: consecutive days, no holes in the report itself
+    days = [r.day for r in rows]
+    for a, b in zip(days, days[1:]):
+        assert (b - a).days == 1
+    # totals reconcile with the raw table; the freshest day has zero lag
+    n_total = load_table(spark, sf_smoke, "events").count()
+    assert sum(r.n_events for r in rows) == n_total
+    assert min(r.staleness_us for r in rows if r.staleness_us is not None) == 0
+    for r in rows:
+        if r.is_gap:
+            assert r.n_events == 0 and r.day_max_us is None
+        else:
+            assert r.n_events > 0 and r.staleness_us >= 0
+
+
+def test_copresence_overlaps_match_python(spark, sf_smoke):
+    """Exact recomputation: sessionize in Python with the same 30-min
+    gap, then brute-force the interval overlaps for the same top-K
+    anchors."""
+    from csv_to_parquet_spark.operators.analytics import (
+        _COPRES_K,
+        _SESS_GAP_US,
+        events_copresence_topk,
+    )
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    try:
+        got = {
+            (r.anchor_user, r.other_user): (r.n_overlaps, r.total_overlap_us)
+            for r in events_copresence_topk(spark, sf_smoke).collect()
+        }
+        rows = (
+            load_table(spark, sf_smoke, "events")
+            .select(
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            )
+            .collect()
+        )
+    finally:
+        release_caches()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.us)
+    sessions: dict = {}
+    counts = {}
+    for uid, ts in by_user.items():
+        ts.sort()
+        counts[uid] = len(ts)
+        cur = [ts[0], ts[0]]
+        out = []
+        for t in ts[1:]:
+            if t - cur[1] > _SESS_GAP_US:
+                out.append(tuple(cur))
+                cur = [t, t]
+            else:
+                cur[1] = t
+        out.append(tuple(cur))
+        sessions[uid] = out
+    topk = sorted(counts, key=lambda u: (-counts[u], u))[:_COPRES_K]
+    want: dict = {}
+    for a in topk:
+        for (a0, a1) in sessions[a]:
+            for o, os_ in sessions.items():
+                if o == a:
+                    continue
+                for (s0, s1) in os_:
+                    if a0 <= s1 and s0 <= a1:
+                        k = (a, o)
+                        n, tot = want.get(k, (0, 0))
+                        want[k] = (
+                            n + 1,
+                            tot + min(a1, s1) - max(a0, s0),
+                        )
+    assert got == want
+
+
+def test_ewma_is_exact_integer_recurrence(spark, sf_smoke):
+    """The dyadic unrolled form must equal the per-term integer
+    recomputation, and (floor effects aside) track the float
+    recurrence s_t = x_t/2 + s_{t-1}/2 within the accumulated floor
+    loss (t+1 terms, < 1 micro-cent each)."""
+    from csv_to_parquet_spark.operators.analytics import orders_ewma_monthly
+    from csv_to_parquet_spark.operators.cache import release_caches
+
+    try:
+        rows = sorted(
+            orders_ewma_monthly(spark, sf_smoke).collect(),
+            key=lambda r: r.month_index,
+        )
+    finally:
+        release_caches()
+    revs = [r.rev_cents for r in rows]
+    for t, r in enumerate(rows):
+        want = 0
+        for j, x in enumerate(revs[: t + 1]):
+            k = t - j if j == 0 else t - j + 1
+            want += 0 if k >= 62 else (x * 1_000_000) >> k
+        assert r.ewma_cents_micro == want
+    s = revs[0] * 1_000_000.0
+    for t, r in enumerate(rows):
+        if t:
+            s = revs[t] * 1_000_000.0 / 2 + s / 2
+        assert abs(r.ewma_cents_micro - s) <= (t + 1) + s * 1e-12
+
+
+def test_label_propagation_matches_python_sync_lpa(spark, sf_smoke):
+    """Exact recomputation of 3 synchronous rounds with the same
+    (count DESC, label ASC) tie order over the same edge list, plus
+    the partition property (community sizes sum to |V|)."""
+    from collections import Counter
+
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.graph import (
+        _LPA_ITERS,
+        _edges,
+        graph_label_propagation,
+    )
+
+    try:
+        got = {
+            r.community: (r.n_vertices, r.min_vertex)
+            for r in graph_label_propagation(spark, sf_smoke).collect()
+        }
+        edges = [(r.a, r.b) for r in _edges(spark, sf_smoke).collect()]
+    finally:
+        release_caches()
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {v: v for v in nbrs}
+    for _ in range(_LPA_ITERS):
+        new = {}
+        for v, ns in nbrs.items():
+            c = Counter(lab[u] for u in ns)
+            new[v] = min(
+                c, key=lambda candidate: (-c[candidate], candidate)
+            )
+        lab = new
+    want: dict = {}
+    for v, community in lab.items():
+        n, mv = want.get(community, (0, None))
+        want[community] = (n + 1, v if mv is None else min(mv, v))
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(nbrs)
