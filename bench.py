@@ -123,6 +123,7 @@ HEADLINE = [
     "text_bm25_scores",
     "events_copresence_topk",
     "dq_freshness_report",
+    "events_bitmap_dau_rollup",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

@@ -3401,3 +3401,221 @@ def orders_ewma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy(
         F.col("mi").alias("month_index"), F.col("rev").alias("rev_cents")
     ).agg(F.sum("term_micro").cast("bigint").alias("ewma_cents_micro"))
+
+
+@CAT.query(
+    "events_bitmap_dau_rollup",
+    oracle="""
+    WITH tiles AS (
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+             CAST(ts AS DATE) AS day,
+             user_id // 63 AS widx,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+      FROM events GROUP BY 1, 2, 3),
+    weekly AS (
+      SELECT week, widx, bit_or(word) AS word,
+             CAST(COUNT(*) AS BIGINT) AS n_day_tiles
+      FROM tiles GROUP BY week, widx)
+    SELECT CAST(week AS TIMESTAMP) AS week,
+           CAST(SUM(bit_count(word)) AS BIGINT) AS n_active_users,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(n_day_tiles) AS BIGINT) AS n_day_tiles
+    FROM weekly GROUP BY week
+    """,
+)
+def events_bitmap_dau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users via BITMAP TILES — the roaring-bitmap
+    technique in plain SQL: each (day, word-index) tile packs 63
+    users into one BIGINT word (bit k set = user widx*63+k was
+    active), weekly distinct counts are then bit_or over the days
+    followed by popcount, NO count-distinct shuffle of raw user ids.
+
+    Why this matters at 100 TB: count(DISTINCT user) rollups over
+    many grains re-shuffle the full id stream per grain, while bitmap
+    tiles aggregate once at the finest grain (day) into a frame whose
+    size is |days| × |id-space|/63 REGARDLESS of event volume; every
+    coarser grain (week, month, arbitrary day ranges) is a cheap
+    bit_or/popcount re-aggregation of tiles — the precomputed-tile
+    pattern materialized views use for distinct counts. Tiles use
+    63-bit words because both engines' 1 << 63 diverges (DuckDB
+    overflows, the JVM wraps negative); 63 keeps every shift exact
+    and the popcount identical.
+
+    Exactness: bit_or and popcount are integer-exact and
+    order-independent; the result equals count(DISTINCT) by
+    construction (pinned in tests against countDistinct)."""
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("week", F.to_date("ts"))
+        .cast("timestamp")
+        .alias("week"),
+        F.to_date("ts").alias("day"),
+        F.expr("user_id div 63").alias("widx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 63) AS INT))"
+        ).alias("mask"),
+    )
+    tiles = e.groupBy("week", "day", "widx").agg(
+        F.bit_or("mask").alias("word")
+    )
+    weekly = tiles.groupBy("week", "widx").agg(
+        F.bit_or("word").alias("word"),
+        F.count(F.lit(1)).alias("n_day_tiles"),
+    )
+    return weekly.groupBy("week").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_active_users"),
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("n_day_tiles").cast("bigint").alias("n_day_tiles"),
+    )
+
+
+_MC_SCALE = 1_000_000
+_MC_ITERS = 3
+
+
+def _mc_iter_sql(prev: str, out: str) -> str:
+    """One integer fixed-point Markov step: incoming mass
+    sum_i (p_i * c_ij) div r_i, with dangling states (no outgoing
+    transitions) retaining their own mass."""
+    return f"""
+    {out} AS (
+      SELECT s.i,
+             CAST(COALESCE(inc.v, 0)
+                  + CASE WHEN rt.r IS NULL THEN p.p ELSE 0 END
+               AS BIGINT) AS p
+      FROM states s
+      JOIN {prev} p ON p.i = s.i
+      LEFT JOIN rowtot rt ON rt.i = s.i
+      LEFT JOIN (
+        SELECT t.j AS i, SUM((pp.p * t.c) // rt2.r) AS v
+        FROM trans t
+        JOIN {prev} pp ON pp.i = t.i
+        JOIN rowtot rt2 ON rt2.i = t.i
+        GROUP BY t.j) inc ON inc.i = s.i)
+    """
+
+
+@CAT.query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS j,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS i
+      FROM events),
+    trans AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE i IS NOT NULL GROUP BY i, j),
+    states AS (
+      SELECT DISTINCT i FROM (
+        SELECT i FROM trans UNION ALL SELECT j FROM trans)),
+    rowtot AS (SELECT i, CAST(SUM(c) AS BIGINT) AS r FROM trans GROUP BY i),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM states),
+    p0 AS (SELECT i, CAST({_MC_SCALE} // ns.n AS BIGINT) AS p
+           FROM states, ns),
+    {_mc_iter_sql("p0", "p1")},
+    {_mc_iter_sql("p1", "p2")},
+    {_mc_iter_sql("p2", "p3")}
+    SELECT i AS event_type, p AS pi_micro FROM p3
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain:
+    event-to-event transition probabilities estimated from each
+    user's time-ordered stream, then 3 synchronous power-iteration
+    steps from the uniform start — "where does a user's session
+    settle?", the behavioral-equilibrium readout next to the
+    one-step transition matrix entry.
+
+    Determinism is the fixed-point-PageRank contract: transition
+    counts and row totals are exact BIGINTs; each step moves
+    (p_i * c_ij) div r_i micro-units of mass — floor division of
+    non-negative integers, identical in any engine at any partition
+    order; dangling states retain their mass explicitly. Consecutive
+    pairs are ordered by (ts, event_id) so equal timestamps cannot
+    make the transition counts ambiguous.
+
+    Scale: the corpus collapses to |states|² transition counts via
+    one sessionize-keyed window plus one groupBy; the iteration runs
+    on state-sized frames (here event types; the same pipeline
+    handles product/page state spaces where |states|² is millions —
+    still tiny next to the event log)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("j"),
+        F.lag("event_type").over(w).alias("i"),
+    )
+    trans = persist_tracked(
+        seq.filter(F.col("i").isNotNull())
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    states = persist_tracked(
+        trans.select("i")
+        .unionAll(trans.select(F.col("j").alias("i")))
+        .distinct()
+    )
+    rowtot = persist_tracked(
+        trans.groupBy("i").agg(F.sum("c").cast("bigint").alias("r"))
+    )
+    ns = states.agg(F.count(F.lit(1)).alias("n"))
+    p = states.crossJoin(F.broadcast(ns)).select(
+        "i", F.expr(f"CAST({_MC_SCALE} div n AS BIGINT)").alias("p")
+    )
+    for _ in range(_MC_ITERS):
+        inc = (
+            trans.join(
+                F.broadcast(
+                    p.select(
+                        F.col("i").alias("pi"), F.col("p").alias("pp")
+                    )
+                ),
+                F.col("i") == F.col("pi"),
+            )
+            .join(
+                F.broadcast(
+                    rowtot.select(
+                        F.col("i").alias("ri"), F.col("r").alias("rr")
+                    )
+                ),
+                F.col("i") == F.col("ri"),
+            )
+            .groupBy(F.col("j").alias("inc_i"))
+            .agg(F.sum(F.expr("(pp * c) div rr")).alias("v"))
+        )
+        p = (
+            states.join(
+                F.broadcast(
+                    p.select(
+                        F.col("i").alias("pi"), F.col("p").alias("pp")
+                    )
+                ),
+                F.col("i") == F.col("pi"),
+            )
+            .join(
+                F.broadcast(
+                    rowtot.select(
+                        F.col("i").alias("ri"), F.col("r").alias("rr")
+                    )
+                ),
+                F.col("i") == F.col("ri"),
+                "left",
+            )
+            .join(F.broadcast(inc), F.col("i") == F.col("inc_i"), "left")
+            .select(
+                "i",
+                (
+                    F.coalesce("v", F.lit(0))
+                    + F.when(
+                        F.col("rr").isNull(), F.col("pp")
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("p"),
+            )
+        )
+    return p.select(
+        F.col("i").alias("event_type"), F.col("p").alias("pi_micro")
+    )

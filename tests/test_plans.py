@@ -228,6 +228,7 @@ _BNLJ_ALLOW = {
     "text_bm25_scores",  # 1-row corpus N/Σdl broadcast attach
     "events_copresence_topk",  # bounded top-K anchor broadcast, theta overlap
     "orders_ewma_monthly",  # |months|² dyadic-weight grid (bounded domain)
+    "events_markov_stationary",  # 1-row state-count broadcast for uniform start
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are

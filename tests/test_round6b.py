@@ -629,3 +629,87 @@ def test_label_propagation_matches_python_sync_lpa(spark, sf_smoke):
         want[community] = (n + 1, v if mv is None else min(mv, v))
     assert got == want
     assert sum(n for n, _ in got.values()) == len(nbrs)
+
+
+# ---------------------------------------------------------------------------
+# events_bitmap_dau_rollup / events_markov_stationary
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_rollup_equals_count_distinct(spark, sf_smoke):
+    """The bitmap popcount must equal the plain count(DISTINCT user)
+    per week — the whole point of the tile encoding."""
+    from csv_to_parquet_spark.operators.analytics import (
+        events_bitmap_dau_rollup,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    got = {
+        r.week: r.n_active_users
+        for r in events_bitmap_dau_rollup(spark, sf_smoke).collect()
+    }
+    want = {
+        r.week: r.n
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy(
+            F.date_trunc("week", F.to_date("ts"))
+            .cast("timestamp")
+            .alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_markov_stationary_conserves_mass_and_matches_python(spark, sf_smoke):
+    """Mass conservation (the floor loses < |states|² micro-units per
+    step) and an exact Python recomputation of the integer fixed
+    point from the raw transition counts."""
+    from csv_to_parquet_spark.operators.analytics import (
+        _MC_ITERS,
+        _MC_SCALE,
+        events_markov_stationary,
+    )
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    try:
+        got = {
+            r.event_type: r.pi_micro
+            for r in events_markov_stationary(spark, sf_smoke).collect()
+        }
+        rows = (
+            load_table(spark, sf_smoke, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        )
+    finally:
+        release_caches()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type)
+        )
+    trans: dict = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    states = sorted({a for a, _ in trans} | {b for _, b in trans})
+    rowtot = {}
+    for (a, _), c in trans.items():
+        rowtot[a] = rowtot.get(a, 0) + c
+    p = {s: _MC_SCALE // len(states) for s in states}
+    for _ in range(_MC_ITERS):
+        new = {s: 0 for s in states}
+        for (a, b), c in trans.items():
+            new[b] += (p[a] * c) // rowtot[a]
+        for s in states:
+            if s not in rowtot:  # dangling: retain own mass
+                new[s] += p[s]
+        p = new
+    assert got == p
+    total = sum(got.values())
+    # floor losses only: never gains, bounded per step
+    assert _MC_SCALE - _MC_ITERS * len(states) ** 2 <= total <= _MC_SCALE
