@@ -3619,3 +3619,143 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         F.col("i").alias("event_type"), F.col("p").alias("pi_micro")
     )
+
+
+@CAT.query(
+    "orders_kaplan_meier",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+    per AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS d1,
+             CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS ev
+      FROM orders GROUP BY o_custkey),
+    second AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d2
+      FROM (
+        SELECT o_custkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) x
+      WHERE rn = 2),
+    subj AS (
+      SELECT per.o_custkey, per.ev,
+             CASE WHEN per.ev = 1
+                  THEN datediff('day', per.d1, second.d2)
+                  ELSE datediff('day', per.d1, mx.dmax)
+             END AS t
+      FROM per LEFT JOIN second ON per.o_custkey = second.o_custkey, mx),
+    km AS (
+      SELECT t,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY t),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+    risk AS (
+      SELECT km.t, km.d, km.c,
+             tot.n - COALESCE(SUM(km.d + km.c) OVER (
+               ORDER BY km.t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_risk
+      FROM km, tot),
+    terms AS (
+      SELECT t, d, c, n_risk,
+             CASE WHEN d < n_risk THEN
+               CAST(FLOOR(ln(1 - CAST(d AS DOUBLE) / n_risk) * 1000000)
+                 AS BIGINT)
+             ELSE NULL END AS term,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS hits_zero
+      FROM risk)
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, c AS n_censored,
+           CASE WHEN MAX(hits_zero) OVER (
+                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) = 1 THEN NULL
+                ELSE CAST(SUM(term) OVER (
+                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT)
+           END AS cum_log_surv_micro
+    FROM terms
+    """,
+)
+def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for repeat-purchase latency: time
+    from a customer's first order to their second, with one-order
+    customers RIGHT-CENSORED at the corpus horizon — the estimator
+    behind retention/churn curves, where naively dropping censored
+    users biases survival low.
+
+    Cross-engine exactness: d_i, c_i, n_i are exact integers from one
+    keyed window + one groupBy; each step's ln(1 - d/n) is a single
+    IEEE expression micro-floored (the micro-nat pattern), and the
+    curve is the INTEGER cumulative sum of step terms — so the usual
+    float-product formulation (whose accumulated rounding differs by
+    evaluation order) is replaced by an order-independent fixed-point
+    log-survival. When a step absorbs everyone at risk (d = n), the
+    survival hits exactly zero and the log is reported NULL from that
+    step on — an explicit CASE, not an engine-dependent -inf.
+
+    Scale: per-subject times come from one (custkey)-partitioned
+    window over orders; the KM table is |distinct times| rows
+    (bounded by the calendar, like the month grid), so the global
+    ordered windows run on a domain-bounded frame; the horizon is a
+    1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("dmax"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    per = ranked.groupBy("o_custkey").agg(
+        F.min("d").alias("d1"),
+        F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        F.when(F.count(F.lit(1)) >= 2, 1).otherwise(0).alias("ev"),
+    )
+    subj = per.crossJoin(F.broadcast(mx)).select(
+        "ev",
+        F.when(
+            F.col("ev") == 1, F.datediff("d2", "d1")
+        )
+        .otherwise(F.datediff("dmax", "d1"))
+        .alias("t"),
+    )
+    km = subj.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).alias("n"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = km.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n")
+        - F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)
+        ),
+    )
+    terms = risk.withColumn(
+        "term",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.log(1 - F.col("d").cast("double") / F.col("n_risk"))
+                * 1000000
+            ).cast("bigint"),
+        ),
+    ).withColumn(
+        "hits_zero",
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0),
+    )
+    return terms.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(
+            F.max("hits_zero").over(wcum) == 1, F.lit(None).cast("bigint")
+        )
+        .otherwise(F.sum("term").over(wcum).cast("bigint"))
+        .alias("cum_log_surv_micro"),
+    )

@@ -110,6 +110,25 @@ SHOWCASE = {
         "window input is the |domain|/range offsets table",
         [r"\(\d+\) Window[^\n]*", r"\(\d+\) BroadcastHashJoin[^\n]*"],
     ),
+    "join_bloom_prefilter": (
+        "the 1-row bitmap attaches via broadcast nested loop BEFORE the "
+        "semi join, so the bit-test filter screens fact rows pre-join; "
+        "the exact semi join that removes false positives broadcasts "
+        "the key set",
+        [r"\(\d+\) BroadcastNestedLoopJoin[^\n]*",
+         r"\(\d+\) BroadcastHashJoin [^\n]*LeftSemi[^\n]*",
+         r"\(\d+\) Filter [^\n]{0,60}"],
+    ),
+    "events_interval_coverage": (
+        "islands-and-gaps sweep: ONE user_id exchange feeds both "
+        "windows and every downstream aggregate",
+        [r"\(\d+\) Exchange[^\n]*", r"\(\d+\) Window[^\n]*"],
+    ),
+    "events_bitmap_dau_rollup": (
+        "bitmap-tile distinct: three hash aggregates over shrinking "
+        "tile frames, NO Expand/count-distinct of raw user ids",
+        [r"\(\d+\) HashAggregate[^\n]*", r"\(\d+\) Expand[^\n]*"],
+    ),
 }
 
 

@@ -229,6 +229,7 @@ _BNLJ_ALLOW = {
     "events_copresence_topk",  # bounded top-K anchor broadcast, theta overlap
     "orders_ewma_monthly",  # |months|² dyadic-weight grid (bounded domain)
     "events_markov_stationary",  # 1-row state-count broadcast for uniform start
+    "orders_kaplan_meier",  # 1-row horizon + 1-row subject-total attaches
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are

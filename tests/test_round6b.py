@@ -713,3 +713,60 @@ def test_markov_stationary_conserves_mass_and_matches_python(spark, sf_smoke):
     total = sum(got.values())
     # floor losses only: never gains, bounded per step
     assert _MC_SCALE - _MC_ITERS * len(states) ** 2 <= total <= _MC_SCALE
+
+
+# ---------------------------------------------------------------------------
+# orders_kaplan_meier
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_matches_python_estimator(spark, sf_smoke):
+    """Exact recomputation of the fixed-point KM curve, plus the
+    structural invariants: risk sets telescope (n_{i+1} = n_i - d_i -
+    c_i), subjects are partitioned, and log-survival is
+    non-increasing."""
+    from csv_to_parquet_spark.operators.analytics import orders_kaplan_meier
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    rows = sorted(
+        orders_kaplan_meier(spark, sf_smoke).collect(),
+        key=lambda r: r.t_days,
+    )
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    ).collect()
+    by_cust: dict = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append((r.d, r.o_orderkey))
+    dmax = max(d for d, _ in sum(by_cust.values(), []))
+    subj = []
+    for ds in by_cust.values():
+        ds.sort()
+        if len(ds) >= 2:
+            subj.append(((ds[1][0] - ds[0][0]).days, 1))
+        else:
+            subj.append(((dmax - ds[0][0]).days, 0))
+    km: dict = {}
+    for t, ev in subj:
+        d, c = km.get(t, (0, 0))
+        km[t] = (d + ev, c + (1 - ev))
+    n = len(subj)
+    cum = 0
+    dead = False
+    want = []
+    for t in sorted(km):
+        d, c = km[t]
+        if d >= n:
+            dead = True
+        if not dead:
+            cum += math.floor(math.log(1 - d / n) * 1_000_000)
+        want.append((t, n, d, c, None if dead else cum))
+        n -= d + c
+    got = [
+        (r.t_days, r.n_risk, r.n_events, r.n_censored, r.cum_log_surv_micro)
+        for r in rows
+    ]
+    assert got == want
+    assert sum(r.n_events + r.n_censored for r in rows) == len(subj)
+    logs = [r.cum_log_surv_micro for r in rows if r.cum_log_surv_micro is not None]
+    assert all(a >= b for a, b in zip(logs, logs[1:]))
