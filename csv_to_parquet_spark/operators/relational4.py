@@ -712,19 +712,24 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitives so the screen can be persisted and reused across
     queries (a join-key zone-map in table form).
 
-    Construction (all codegen'd, nothing leaves the JVM):
+    Construction (all codegen'd):
     - k=3 positions per key via seeded xxhash64 pmod m;
     - positions fold to (word, bit) pairs; ``bit_or`` over
-      ``1 << bit`` builds the 64-bit words; the ≤1024-entry word map
-      collapses to ONE row (``map_from_entries``) — model-sized, like
-      the k-means centroid and PQ codebook attaches;
-    - the fact side cross-joins the 1-row bitmap (broadcast nested
-      loop, 1×N — no shuffle) and keeps rows whose 3 bits are all
-      set; ``element_at`` on a missing word is NULL → coalesce(false)
-      → filtered.
+      ``1 << bit`` builds the 64-bit words DISTRIBUTED (the only
+      shuffle is onto <= m/64 word groups);
+    - the finished m/64-long word array — 8 KiB here, a few MiB in
+      the large-key regime — ships INSIDE the filter expression as a
+      literal, the centroid-literal pattern (`cluster_kmeans_assign`),
+      making the screen a plain scan-side Filter. This is
+      deliberate: the first build of this operator attached the
+      bitmap as a 1-row broadcast crossJoin, and Catalyst REORDERED
+      the exact semi join below it, running the screen on
+      already-exact rows (measured; pure overhead). A literal in the
+      scan's own Filter cannot be reordered past the join it guards.
     - the exact semi join then runs over the surviving sliver.
     """
     m_bits = 1 << 16
+    n_words = m_bits // 64
     keys = persist_tracked(
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -737,45 +742,50 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for seed in (101, 202, 303)
         ]
 
-    bitmap = (
+    # distributed build: explode bit positions, fold into words
+    # (pyspark's shiftleft() helper only takes a literal shift count,
+    # so the variable-shift mask is an expr string)
+    word_rows = (
         keys.select(
             F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos")
         )
-        # pyspark's shiftleft() helper only takes a literal shift
-        # count, so the variable-shift mask is an expr string (SQL
-        # shiftleft accepts column operands)
         .selectExpr(
             "shiftright(pos, 6) AS widx",
             "shiftleft(CAST(1 AS BIGINT), pmod(pos, 64)) AS mask",
         )
         .groupBy("widx")
         .agg(F.bit_or("mask").alias("word"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("widx", "word"))
-            ).alias("bm")
-        )
+        .collect()  # model-sized: <= m/64 words (1024 here), never |keys|
     )
+    dense = [0] * n_words
+    for r in word_rows:
+        dense[r.widx] = r.word
+    bm = F.array(*[F.lit(w).cast("bigint") for w in dense])
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", cents("o_totalprice").alias("price_c")
     )
+    probes = positions(F.col("o_custkey"))
     tests = [
-        F.expr(
-            f"coalesce((element_at(bm, CAST(shiftright(pmod(xxhash64("
-            f"o_custkey, {seed}), {m_bits}), 6) AS INT)) & shiftleft("
-            f"CAST(1 AS BIGINT), pmod(pmod(xxhash64(o_custkey, {seed}),"
-            f" {m_bits}), 64))) != 0, false)"
+        (
+            F.element_at(bm, F.shiftright(p, 6) + 1).bitwiseAND(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), pmod(CAST("
+                    f"pmod(xxhash64(o_custkey, {seed}), {m_bits})"
+                    f" AS INT), 64))"
+                )
+            )
+            != 0
         )
-        for seed in (101, 202, 303)
+        for p, seed in zip(probes, (101, 202, 303))
     ]
-    prefiltered = (
-        orders.crossJoin(F.broadcast(bitmap))
-        .filter(tests[0] & tests[1] & tests[2])
-        .drop("bm")
-    )
+    prefiltered = orders.filter(tests[0] & tests[1] & tests[2])
     return (
-        prefiltered.join(F.broadcast(keys), prefiltered.o_custkey == keys.c_custkey, "semi")
+        prefiltered.join(
+            F.broadcast(keys),
+            prefiltered.o_custkey == keys.c_custkey,
+            "semi",
+        )
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -111,13 +111,14 @@ SHOWCASE = {
         [r"\(\d+\) Window[^\n]*", r"\(\d+\) BroadcastHashJoin[^\n]*"],
     ),
     "join_bloom_prefilter": (
-        "the 1-row bitmap attaches via broadcast nested loop BEFORE the "
-        "semi join, so the bit-test filter screens fact rows pre-join; "
-        "the exact semi join that removes false positives broadcasts "
-        "the key set",
-        [r"\(\d+\) BroadcastNestedLoopJoin[^\n]*",
-         r"\(\d+\) BroadcastHashJoin [^\n]*LeftSemi[^\n]*",
-         r"\(\d+\) Filter [^\n]{0,60}"],
+        "the literal-array bitmap makes the screen a scan-side Filter "
+        "that Catalyst cannot reorder past the semi join (a 1-row "
+        "broadcast attach WAS reordered — measured); the exact semi "
+        "join that removes false positives follows",
+        [r"\(\d+\) BroadcastHashJoin[^\n]*",
+         r"Join type: LeftSemi[^\n]*",
+         r"Condition : \(\(\(NOT \(\(element_at\(\[\d+,\d+",
+         r"\(\d+\) Scan parquet[^\n]{0,40}"],
     ),
     "events_interval_coverage": (
         "islands-and-gaps sweep: ONE user_id exchange feeds both "

@@ -219,7 +219,6 @@ _BNLJ_ALLOW = {
     "text_unigram_logprob",  # 1-row corpus-token-total broadcast
     "embedding_prefix_rank_audit",  # tiny broadcast query set, != join
     "mine_hard_negatives",  # tiny broadcast query set, != join
-    "join_bloom_prefilter",  # 1-row Bloom-bitmap broadcast attach
     "stats_benford_digits",  # 1-row digit-total broadcast for shares
     "events_ab_cuped",  # 1-row theta/moments broadcast attach
     "text_js_divergence",  # |S|×|S| source-pair grid (tiny, bounded)
