@@ -760,7 +760,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = [0] * n_words
     for r in word_rows:
         dense[r.widx] = r.word
-    bm = F.array(*[F.lit(w).cast("bigint") for w in dense])
+    # One parser round-trip for the whole bitmap. Building this as
+    # F.array(*[F.lit(w) ...]) costs n_words Py4J calls (~2 s of pure
+    # driver chatter at m=2^16); a single SQL string parses in ~ms and
+    # constant-folds to one array Literal either way. The Column object
+    # is reused across the three probe tests, so the JVM tree is shared.
+    bm = F.expr("array(" + ",".join(f"{w}L" for w in dense) + ")")
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", cents("o_totalprice").alias("price_c")
