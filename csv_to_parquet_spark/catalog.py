@@ -114,6 +114,7 @@ def build_catalog() -> Catalog:
         "clustering",
         "textops",
         "analytics",
+        "stats",
         "graph",
         "pipelines",
         "packing",
