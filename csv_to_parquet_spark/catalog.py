@@ -42,6 +42,32 @@ CANARIES = [
     "source_jdbc_roundtrip",
 ]
 
+# VERDICT r5 #1: these existed before round 6 but have never appeared
+# in a driver CORRECTNESS sample (they pass local parity). They outrank
+# brand-new round-6 queries within the never-checked tier so the driver
+# converts their local evidence into recorded cross-engine evidence
+# first; once green they fall out of this tier automatically.
+FRONTLOAD = [
+    "ivm_incremental_agg",
+    "maintenance_gdpr_erase",
+    "mm_audio_energy_stub",
+    "mm_payload_dedup",
+    "pipeline_training_manifest",
+    "scd2_as_of_lookup",
+    "sink_dynamic_partition_overwrite",
+    "sink_jsonl_roundtrip",
+    "source_avro_scan",
+    "source_fixed_width_scan",
+    "source_gzip_csv_scan",
+    "source_json_corrupt_tolerant",
+    "source_multiline_csv_scan",
+    "stream_exactly_once_sink",
+    "stream_kafka_shaped_decode",
+    "stream_static_enrich",
+    "stream_stream_full_outer",
+    "stream_stream_left_outer",
+]
+
 
 def _row_is_green(row: dict) -> bool:
     """A driver row counts as verified if all three gates passed, or it
@@ -142,13 +168,18 @@ def build_catalog() -> Catalog:
     attempted = load_attempted()
     module_pos = {name: i for i, name in enumerate(merged.queries)}
 
+    frontload_pos = {name: i for i, name in enumerate(FRONTLOAD)}
+
     def sort_key(name: str) -> tuple[int, int, int]:
         # three tiers: (0) previously-checked but never green — a fix
         # awaiting re-verification, the most urgent rows; (1) never
-        # checked at all; (2) green, least-recently-verified first.
-        # Module order breaks ties so the order is deterministic.
+        # checked at all (FRONTLOAD names first); (2) green,
+        # least-recently-verified first. Module order breaks remaining
+        # ties so the order is deterministic.
         if name not in verified:
-            return (0 if name in attempted else 1, 0, module_pos[name])
+            if name in attempted:
+                return (0, 0, module_pos[name])
+            return (1, 0 if name in frontload_pos else 1, module_pos[name])
         return (2, verified[name], module_pos[name])
 
     rotation = sorted((n for n in merged.queries if n not in CANARIES), key=sort_key)
