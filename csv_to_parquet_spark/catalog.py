@@ -141,6 +141,7 @@ def build_catalog() -> Catalog:
         "textops",
         "analytics",
         "stats",
+        "spark4",
         "graph",
         "pipelines",
         "packing",
