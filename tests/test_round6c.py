@@ -139,3 +139,37 @@ def test_observe_metrics_match_direct_aggregate(spark, sf_smoke):
         .collect()[0]
     )
     assert tuple(got) == tuple(want)
+
+
+def test_transform_with_state_matches_batch_aggregate(spark, sf_smoke):
+    """Runs only where google.protobuf exists (transformWithState's
+    JVM<->Python state server requires it); the operator is gated out
+    of the catalog in environments without it."""
+    from csv_to_parquet_spark.streaming.jobs import _HAS_PROTOBUF
+
+    if not _HAS_PROTOBUF:
+        pytest.skip("google.protobuf not available in this environment")
+
+    from csv_to_parquet_spark.streaming.jobs import (
+        stream_transform_with_state,
+    )
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.value_cents, r.n_types)
+        for r in stream_transform_with_state(spark, sf_smoke).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.value_cents, r.n_types)
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(value*100) AS BIGINT)")).alias(
+                "value_cents"
+            ),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .collect()
+    }
+    assert got == want
