@@ -124,6 +124,12 @@ HEADLINE = [
     "events_copresence_topk",
     "dq_freshness_report",
     "events_bitmap_dau_rollup",
+    # round-6 third wave (classical stats + Spark-4 surfaces)
+    "stats_ks_two_sample",
+    "stats_corr_matrix",
+    "variant_events_shred",
+    "mapinarrow_norm_audit",
+    "sketch_hll_daily_rollup",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

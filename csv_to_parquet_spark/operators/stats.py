@@ -26,9 +26,11 @@ roll into broadcast offsets. No global single-partition sort anywhere;
 the only single-task step is over the bucket-totals frame, whose size
 is the value range divided by the bucket width, independent of row
 count. Overflow note: cum*n products are exact in int64 up to ~1e18
-(n1*n2 of two ~1e9-row samples); past that the sums should widen to
-decimal(38,0) on the Spark side (DuckDB already carries HUGEINT) —
-documented rather than paid for here.
+(n1*n2 of two ~1e9-row samples). Second-moment sums (Σx², Σxy) blow
+int64 far earlier — Σ price_cents² ≈ 6e19 at sf0.1 already — so the
+correlation/OLS sufficient statistics accumulate as DECIMAL(38,0) in
+the shared SQL text (exact integers in both engines; DuckDB's HUGEINT
+accumulator feeds the same decimal cast).
 """
 
 from __future__ import annotations
@@ -341,22 +343,34 @@ def _corr_frag(a: str, b: str) -> str:
     """Pearson corr micro-floored, from the named exact-int sums
     n, s_<v>, ss_<v>, s_<a>_<b> — one shared text for both engines."""
     return (
-        f"CAST(FLOOR((s_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b} / n) / "
-        f"sqrt((ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a} / n) * "
-        f"(ss_{b} - CAST(s_{b} AS DOUBLE) * s_{b} / n)) * 1000000) AS BIGINT)"
+        f"CAST(FLOOR((CAST(s_{a}_{b} AS DOUBLE) "
+        f"- CAST(s_{a} AS DOUBLE) * s_{b} / n) / "
+        f"sqrt((CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * s_{a} / n) * "
+        f"(CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * s_{b} / n)) "
+        f"* 1000000) AS BIGINT)"
     )
 
 
+# Per-row products fit int64 comfortably (price_cents² ≈ 1e14); their
+# SUMS do not at bench scale (Σ price_cents² ≈ 6e19 > int64 at sf0.1
+# already), so every squared/cross-product sum is accumulated as
+# DECIMAL(38,0) — exact integer arithmetic in BOTH engines (DuckDB
+# reads the same text; its HUGEINT would also have refused the BIGINT
+# cast). First-moment sums stay BIGINT (≈6e12 at sf0.1; 1000× head-
+# room). The float tails CAST these to DOUBLE — identical
+# nearest-even conversion on both sides.
 _CORR_SUMS_SQL = (
     "CAST(COUNT(*) AS BIGINT) AS n, "
     + ", ".join(
         f"CAST(SUM({expr}) AS BIGINT) AS s_{v}, "
-        f"CAST(SUM({expr} * {expr}) AS BIGINT) AS ss_{v}"
+        f"CAST(SUM(CAST({expr} * {expr} AS DECIMAL(38,0)))"
+        f" AS DECIMAL(38,0)) AS ss_{v}"
         for v, expr in _CORR_VARS.items()
     )
     + ", "
     + ", ".join(
-        f"CAST(SUM({_CORR_VARS[a]} * {_CORR_VARS[b]}) AS BIGINT) AS s_{a}_{b}"
+        f"CAST(SUM(CAST({_CORR_VARS[a]} * {_CORR_VARS[b]} AS DECIMAL(38,0)))"
+        f" AS DECIMAL(38,0)) AS s_{a}_{b}"
         for a, b in _CORR_PAIRS
     )
 )
@@ -427,12 +441,12 @@ def _agg_frags(select_list: str) -> list:
 
 # OLS with two regressors, closed form via centered moments + Cramer.
 _OLS_MOMS = (
-    "(s_x1x1 - CAST(s_x1 AS DOUBLE) * s_x1 / n)",
-    "(s_x2x2 - CAST(s_x2 AS DOUBLE) * s_x2 / n)",
-    "(s_x1x2 - CAST(s_x1 AS DOUBLE) * s_x2 / n)",
-    "(s_x1y - CAST(s_x1 AS DOUBLE) * s_y / n)",
-    "(s_x2y - CAST(s_x2 AS DOUBLE) * s_y / n)",
-    "(s_yy - CAST(s_y AS DOUBLE) * s_y / n)",
+    "(CAST(s_x1x1 AS DOUBLE) - CAST(s_x1 AS DOUBLE) * s_x1 / n)",
+    "(CAST(s_x2x2 AS DOUBLE) - CAST(s_x2 AS DOUBLE) * s_x2 / n)",
+    "(CAST(s_x1x2 AS DOUBLE) - CAST(s_x1 AS DOUBLE) * s_x2 / n)",
+    "(CAST(s_x1y AS DOUBLE) - CAST(s_x1 AS DOUBLE) * s_y / n)",
+    "(CAST(s_x2y AS DOUBLE) - CAST(s_x2 AS DOUBLE) * s_y / n)",
+    "(CAST(s_yy AS DOUBLE) - CAST(s_y AS DOUBLE) * s_y / n)",
 )
 _M11, _M22, _M12, _M1Y, _M2Y, _MYY = _OLS_MOMS
 _OLS_DEN = f"({_M11} * {_M22} - {_M12} * {_M12})"
@@ -455,17 +469,24 @@ _OLS_X1 = "CAST(l_quantity AS BIGINT)"
 _OLS_X2 = "CAST(ROUND(l_discount * 100) AS BIGINT)"
 _OLS_Y = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
 
+# second-moment sums widened to DECIMAL(38,0) — see _CORR_SUMS_SQL
 _OLS_SUMS_SQL = (
     "CAST(COUNT(*) AS BIGINT) AS n, "
     f"CAST(SUM({_OLS_X1}) AS BIGINT) AS s_x1, "
     f"CAST(SUM({_OLS_X2}) AS BIGINT) AS s_x2, "
     f"CAST(SUM({_OLS_Y}) AS BIGINT) AS s_y, "
-    f"CAST(SUM({_OLS_X1} * {_OLS_X1}) AS BIGINT) AS s_x1x1, "
-    f"CAST(SUM({_OLS_X2} * {_OLS_X2}) AS BIGINT) AS s_x2x2, "
-    f"CAST(SUM({_OLS_X1} * {_OLS_X2}) AS BIGINT) AS s_x1x2, "
-    f"CAST(SUM({_OLS_X1} * {_OLS_Y}) AS BIGINT) AS s_x1y, "
-    f"CAST(SUM({_OLS_X2} * {_OLS_Y}) AS BIGINT) AS s_x2y, "
-    f"CAST(SUM({_OLS_Y} * {_OLS_Y}) AS BIGINT) AS s_yy"
+    f"CAST(SUM(CAST({_OLS_X1} * {_OLS_X1} AS DECIMAL(38,0)))"
+    f" AS DECIMAL(38,0)) AS s_x1x1, "
+    f"CAST(SUM(CAST({_OLS_X2} * {_OLS_X2} AS DECIMAL(38,0)))"
+    f" AS DECIMAL(38,0)) AS s_x2x2, "
+    f"CAST(SUM(CAST({_OLS_X1} * {_OLS_X2} AS DECIMAL(38,0)))"
+    f" AS DECIMAL(38,0)) AS s_x1x2, "
+    f"CAST(SUM(CAST({_OLS_X1} * {_OLS_Y} AS DECIMAL(38,0)))"
+    f" AS DECIMAL(38,0)) AS s_x1y, "
+    f"CAST(SUM(CAST({_OLS_X2} * {_OLS_Y} AS DECIMAL(38,0)))"
+    f" AS DECIMAL(38,0)) AS s_x2y, "
+    f"CAST(SUM(CAST({_OLS_Y} * {_OLS_Y} AS DECIMAL(38,0)))"
+    f" AS DECIMAL(38,0)) AS s_yy"
 )
 
 

@@ -65,6 +65,21 @@ HEAVY = [
     "graph_kcore_peeling",  # peeling convergence on the denser graph
     "graph_common_neighbors",  # float-Jaccard top-100 tie ordering
     "pipeline_training_manifest",  # dedup keep-first + shard sums
+    # round-6 third wave: ECDF statistics need the bucketed two-phase
+    # prefix sum to agree with a global sort at real row counts; the
+    # moment-based closed forms stress int64 headroom; the Spark-4
+    # surfaces (variant shred, arrow kernel, observe) are scan-volume
+    # sensitive
+    "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    "stats_anova_oneway",
+    "stats_corr_matrix",
+    "stats_ols_two_factor",
+    "events_lag_xcorr",
+    "variant_events_shred",
+    "mapinarrow_norm_audit",
+    "pipeline_observe_metrics",
+    "sql_udf_disc_revenue",
 ]
 
 QUERIES = entry_mod.queries()
