@@ -142,6 +142,7 @@ def build_catalog() -> Catalog:
         "analytics",
         "stats",
         "spark4",
+        "recursion",
         "graph",
         "pipelines",
         "packing",

@@ -627,3 +627,256 @@ def events_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.expr(_XCORR_CORR).alias("corr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — distributed exact average ranks
+# ---------------------------------------------------------------------------
+
+#: Bucket width for the x-side (price cents) rank prefix sum.
+_RANK_BUCKET = 1 << 20
+
+
+def _rank2_map(vals: DataFrame, bucket_width: int) -> DataFrame:
+    """(val, cnt) -> (val, cnt, r2) where r2 = doubled average rank =
+    2*cnt_less + cnt_eq + 1 (exact integer, tie-correct). Same
+    two-phase bucketed prefix sum as :func:`_ecdf_counts`: parallel
+    within-bucket cumulative counts + broadcast exclusive bucket
+    offsets — never a global single-task sort."""
+    v = vals.withColumn("bucket", F.expr(f"val div {bucket_width}"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = v.withColumn("cum_in", F.sum("cnt").over(w_in))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        v.groupBy("bucket")
+        .agg(F.sum("cnt").alias("b"))
+        .withColumn("off", F.coalesce(F.sum("b").over(w_off), F.lit(0)))
+        .select("bucket", "off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.col("cum_in") + F.col("off"))
+        # cum = cnt_less + cnt_eq  =>  2*cum - cnt + 1 = 2*cnt_less + cnt_eq + 1
+        .select(
+            "val",
+            "cnt",
+            (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1)).alias("r2"),
+        )
+    )
+
+
+# Pearson-on-doubled-ranks float tail (the 2x scale cancels), shared
+# text with the oracle; inputs are exact DECIMAL(38,0)/BIGINT.
+_SPEARMAN_TAIL = (
+    "CAST(FLOOR((CAST(s_xy AS DOUBLE) - CAST(s_x AS DOUBLE) * s_y / n) / "
+    "sqrt((CAST(s_xx AS DOUBLE) - CAST(s_x AS DOUBLE) * s_x / n) * "
+    "(CAST(s_yy AS DOUBLE) - CAST(s_y AS DOUBLE) * s_y / n)) "
+    "* 1000000) AS BIGINT) AS rho_micro"
+)
+
+_SPEARMAN_SUMS = (
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(r2x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_x, "
+    "CAST(SUM(CAST(r2y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_y, "
+    "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2x) AS DECIMAL(38,0)) AS s_xx, "
+    "CAST(SUM(CAST(r2y AS DECIMAL(38,0)) * r2y) AS DECIMAL(38,0)) AS s_yy, "
+    "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2y) AS DECIMAL(38,0)) AS s_xy"
+)
+
+
+@CAT.query(
+    "stats_spearman_rank",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem),
+    r AS (
+      SELECT 2 * (RANK() OVER (ORDER BY x))
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS r2x,
+             2 * (RANK() OVER (ORDER BY y))
+               + COUNT(*) OVER (PARTITION BY y) - 1 AS r2y
+      FROM d),
+    s AS (SELECT {_SPEARMAN_SUMS} FROM r)
+    SELECT n, {_SPEARMAN_TAIL} FROM s
+    """,
+)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between extended price and quantity
+    over lineitem, with exact tie-corrected average ranks — Pearson on
+    doubled ranks (r2 = 2*cnt_less + cnt_eq + 1, kept integral so the
+    rank maps are exact; the 2x scale cancels in the correlation).
+
+    The monotone-association complement to ``stats_corr_matrix``'s
+    Pearson: immune to the heavy right tail of prices.
+
+    Scale shape: ranks need a GLOBAL order statistic per variable —
+    the x-side (high-cardinality cents) uses the bucketed two-phase
+    prefix sum (module docstring), the y-side's domain is 1..50 so its
+    rank map is broadcast-sized by construction. The corpus is touched
+    once for the joint (x, y) histogram; all rank arithmetic runs on
+    the DISTINCT-value frames, and the rank maps join back onto the
+    histogram (x by shuffle — it can be corpus-sized; y by broadcast).
+    Sums accumulate as DECIMAL(38,0): sum of r2x² ≈ 4n³/3 exceeds
+    int64 past ~1.3e6 rows.
+    """
+    d = _t(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    joint = d.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt_xy"))
+    joint = joint.persist()  # feeds both marginals AND the final sums
+    xmap = _rank2_map(
+        joint.groupBy(F.col("x").alias("val")).agg(
+            F.sum("cnt_xy").alias("cnt")
+        ),
+        _RANK_BUCKET,
+    ).select(F.col("val").alias("x"), F.col("r2").alias("r2x"))
+    ymap = _rank2_map(
+        joint.groupBy(F.col("y").alias("val")).agg(
+            F.sum("cnt_xy").alias("cnt")
+        ),
+        64,  # y in 1..50: one bucket, trivially tiny
+    ).select(F.col("val").alias("y"), F.col("r2").alias("r2y"))
+    rows = (
+        joint.join(xmap, "x")
+        .join(F.broadcast(ymap), "y")
+        # expand the histogram's weights into the shared sum text by
+        # multiplying each term by cnt_xy (exact integer weighting)
+        .selectExpr(
+            "CAST(cnt_xy AS BIGINT) AS w",
+            "r2x",
+            "r2y",
+        )
+    )
+    s = rows.selectExpr(
+        "w", "r2x", "r2y"
+    ).groupBy().agg(
+        F.expr("CAST(SUM(w) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))"
+        ).alias("s_x"),
+        F.expr(
+            "CAST(SUM(CAST(r2y AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))"
+        ).alias("s_y"),
+        F.expr(
+            "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2x * w) AS DECIMAL(38,0))"
+        ).alias("s_xx"),
+        F.expr(
+            "CAST(SUM(CAST(r2y AS DECIMAL(38,0)) * r2y * w) AS DECIMAL(38,0))"
+        ).alias("s_yy"),
+        F.expr(
+            "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2y * w) AS DECIMAL(38,0))"
+        ).alias("s_xy"),
+    )
+    return s.selectExpr("n", _SPEARMAN_TAIL)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean — exact distributed order statistics + clamp
+# ---------------------------------------------------------------------------
+
+#: Winsorization tail mass: clamp below the p-th and above the
+#: (1-p)-th percentile, p = 1/_WINSOR_DEN.
+_WINSOR_DEN = 20  # 5% / 95%
+
+
+@CAT.query(
+    "stats_winsorized_mean",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS val,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT val, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY val) AS BIGINT) AS cum
+      FROM v),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM v),
+    b AS (
+      SELECT n,
+             (SELECT MIN(val) FROM c
+              WHERE cum * {_WINSOR_DEN} >= (SELECT n FROM t)) AS p_lo,
+             (SELECT MIN(val) FROM c
+              WHERE cum * {_WINSOR_DEN} >= (SELECT n FROM t) * {_WINSOR_DEN - 1})
+               AS p_hi
+      FROM t)
+    SELECT n, p_lo AS p05_cents, p_hi AS p95_cents,
+           CAST((SELECT SUM(cnt * least(greatest(val, p_lo), p_hi)) FROM c)
+                * 1000000 // n AS BIGINT) AS winsorized_mean_micro
+    FROM b
+    """,
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean of order totals (cents): exact p05/p95 order
+    statistics (smallest value whose cumulative count reaches
+    ceil(p·n), integer comparison ``cum*20 >= n`` — no float
+    thresholds), then the mean with both tails clamped to them.
+    Robust-location complement to ``stats_mad_outliers``.
+
+    Scale shape: one corpus pass builds the (val, cnt) histogram; the
+    cumulative uses the bucketed two-phase prefix sum. The two
+    percentile boundaries are a 2-scalar driver collect (the same
+    model-sized-collect pattern as the k-means centroid literals) —
+    NOT a crossJoin — and the final clamp+sum is a second narrow pass
+    over the persisted histogram, never the raw corpus.
+    """
+    vals = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(cents("o_totalprice").alias("val"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from csv_to_parquet_spark.operators.cache import persist_tracked
+
+    vals = persist_tracked(vals)
+    v = vals.withColumn("bucket", F.expr(f"val div {_KS_BUCKET}"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = v.withColumn("cum_in", F.sum("cnt").over(w_in))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        v.groupBy("bucket")
+        .agg(F.sum("cnt").alias("b"))
+        .withColumn("off", F.coalesce(F.sum("b").over(w_off), F.lit(0)))
+        .withColumn("n", F.sum("b").over(w_all).cast("bigint"))
+        .select("bucket", "off", "n")
+    )
+    cum = (
+        within.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.col("cum_in") + F.col("off"))
+    )
+    bounds = cum.agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum") * _WINSOR_DEN >= F.col("n"), F.col("val")
+            )
+        ).alias("p_lo"),
+        F.min(
+            F.when(
+                F.col("cum") * _WINSOR_DEN
+                >= F.col("n") * (_WINSOR_DEN - 1),
+                F.col("val"),
+            )
+        ).alias("p_hi"),
+    ).collect()[0]
+    n, p_lo, p_hi = int(bounds.n), int(bounds.p_lo), int(bounds.p_hi)
+    return vals.agg(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(p_lo).cast("bigint").alias("p05_cents"),
+        F.lit(p_hi).cast("bigint").alias("p95_cents"),
+        F.expr(
+            f"CAST(SUM(cnt * least(greatest(val, {p_lo}), {p_hi})) "
+            f"* 1000000 div {n} AS BIGINT)"
+        ).alias("winsorized_mean_micro"),
+    )

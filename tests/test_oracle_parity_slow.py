@@ -80,6 +80,12 @@ HEAVY = [
     "mapinarrow_norm_audit",
     "pipeline_observe_metrics",
     "sql_udf_disc_revenue",
+    # round-6 fourth wave: recursion depth grows with id range; the
+    # rank statistics stress the DECIMAL sums and tie density
+    "recursive_doc_ancestry",
+    "recursive_monthly_compound",
+    "stats_spearman_rank",
+    "stats_winsorized_mean",
 ]
 
 QUERIES = entry_mod.queries()
