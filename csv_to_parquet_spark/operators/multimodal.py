@@ -317,3 +317,133 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reclaimable_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate pairs (pHash over the stub decode)
+# ---------------------------------------------------------------------------
+
+#: Max Hamming distance for a reported near-dup pair. The 4-way band
+#: split below is LOSSLESS for this radius: two 64-bit hashes within
+#: Hamming 3 differ in at most 3 of the 4 disjoint 16-bit bands, so at
+#: least one band matches exactly (pigeonhole) — band-bucket joining
+#: never misses a qualifying pair.
+_PHASH_MAX_HAMMING = 3
+_PHASH_BANDS = 4
+_PHASH_TILE = 32  # decode target: 32x32 "luma" tile, classic pHash
+
+
+def _phash_kernel(batches):
+    """mapInPandas kernel: payload bytes → 64-bit perceptual hash.
+
+    Stub decode (same contract as :func:`_decode_payload`): the byte
+    stream is tiled into a 32×32 uint8 "image" deterministically; a
+    real build swaps ONLY that step for a codec + grayscale resize.
+    The hash itself is the classic pHash pipeline run in FIXED POINT:
+    orthonormal DCT-II matrix scaled by 1e4 and rounded to int64, two
+    integer matmuls (max |value| ≈ 2.6e13 — comfortably int64), keep
+    the top-left 8×8 coefficient block, threshold each coefficient at
+    the block median → 64 bits. Integer end to end ⇒ the same payload
+    hashes identically on every run, partition order, and platform
+    (float DCT would round differently under different BLAS kernels).
+    """
+    import numpy as np
+
+    n = _PHASH_TILE
+    k = np.arange(n)
+    # orthonormal DCT-II basis, fixed-point (x1e4, rounded)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    c[0, :] = np.sqrt(1.0 / n)
+    t = np.round(c * 10_000).astype(np.int64)
+
+    for pdf in batches:
+        hashes = np.empty(len(pdf), dtype=np.uint64)
+        for i, payload in enumerate(pdf["payload"]):
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            need = n * n
+            if len(buf) < need:  # tile the bytes to fill the frame
+                reps = -(-need // max(len(buf), 1))
+                buf = np.tile(buf, reps)[:need]
+            else:
+                buf = buf[:need]
+            tile = buf.reshape(n, n).astype(np.int64)
+            d = t @ tile @ t.T  # integer DCT, exact
+            block = d[:8, :8].ravel()
+            bits = block > np.median(block)
+            hashes[i] = np.packbits(bits.astype(np.uint8)).view(">u8")[0]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "phash": hashes.astype(np.int64),  # two's-complement view
+            }
+        )
+
+
+def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash bigint) via one Arrow-batched pass (no shuffle)."""
+    return (
+        _payloads(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(_phash_kernel, "doc_id bigint, phash bigint")
+    )
+
+
+@CAT.query("mm_phash_near_dup")  # DCT is not SQL-expressible: rows-only;
+# exactness is pinned against an in-test brute force over ALL pairs
+# (tests/test_round6c.py), which is stronger than a rows-only check.
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate payload pairs: Hamming distance
+    ≤ {_PHASH_MAX_HAMMING} between 64-bit pHashes — the multimodal
+    analogue of MinHash dedup (byte-identical dedup is
+    ``mm_payload_dedup``; this catches RE-ENCODED/perturbed payloads
+    whose decoded content matches).
+
+    Scale shape: hashing is one mapInPandas pass (binary never
+    shuffles); candidates come from a 4×16-bit band-bucket self-join —
+    lossless at this radius (see _PHASH_MAX_HAMMING) and Θ(collisions),
+    never the O(n²) cross join; the exact popcount verify
+    (``bit_count(a ^ b)``) runs JVM-side on candidate ids only.
+    """
+    sig = phash_signatures(spark, sf_dir)
+    from csv_to_parquet_spark.operators.cache import persist_tracked
+
+    sig = persist_tracked(sig)  # feeds bands twice + the verify join
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(phash >> {16 * b}) & 65535"
+                        ).alias("key"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = sig.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"))
+    hb = sig.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", F.expr("bit_count(pa ^ pb)").cast("bigint"))
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
