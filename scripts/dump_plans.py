@@ -130,6 +130,47 @@ SHOWCASE = {
         "tile frames, NO Expand/count-distinct of raw user ids",
         [r"\(\d+\) HashAggregate[^\n]*", r"\(\d+\) Expand[^\n]*"],
     ),
+    "stats_ks_two_sample": (
+        "global ECDF via the bucketed two-phase prefix sum: the "
+        "per-value window partitions by bucket (parallel) and the "
+        "offsets+totals attach is ONE broadcast hash join — no "
+        "single-partition window over the value frame, no nested-loop "
+        "scalar join",
+        [r"\(\d+\) Window[^\n]*", r"\(\d+\) BroadcastHashJoin[^\n]*"],
+    ),
+    "stats_spearman_rank": (
+        "rank maps join back onto the joint histogram: the bounded-"
+        "domain side (quantity, 1..50) is broadcast; only the high-"
+        "cardinality side shuffles",
+        [r"\(\d+\) BroadcastHashJoin[^\n]*",
+         r"Arguments: hashpartitioning\(x[#,][^\n]{0,40}"],
+    ),
+    "variant_events_shred": (
+        "VARIANT path extraction stays entirely JVM-side: parse_json + "
+        "variant_get inside the projection, no Python nodes, one "
+        "map-side-combined aggregate",
+        [r"\(\d+\) HashAggregate[^\n]*", r"variant_get[^\n]{0,60}"],
+    ),
+    "mapinarrow_norm_audit": (
+        "ONE Arrow crossing (PythonMapInArrow), zero shuffles: the "
+        "kernel consumes the scan and emits final rows",
+        [r"\(\d+\) (PythonMapInArrow|MapInArrow)[^\n]{0,50}",
+         r"\(\d+\) Exchange[^\n]*"],
+    ),
+    "mm_phash_near_dup": (
+        "band-key candidate join ships (doc_id, band, key) only; the "
+        "64-bit hashes join back for the popcount verify — binary "
+        "payloads never enter an exchange",
+        [r"Arguments: hashpartitioning\((band|key|doc_)[^\n]{0,50}",
+         r"\(\d+\) (PythonMapInArrow|MapInPandas)[^\n]{0,50}"],
+    ),
+    "recursive_doc_ancestry": (
+        "each recursion step is a narrow map (filter + integer div) "
+        "over the previous frame — the UnionLoop body contains no "
+        "join; the terminal groupBy is the single shuffle",
+        [r"\(\d+\) [^\n]*UnionLoop[^\n]{0,40}",
+         r"\(\d+\) HashAggregate[^\n]*"],
+    ),
 }
 
 
