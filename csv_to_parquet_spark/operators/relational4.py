@@ -797,3 +797,137 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase global row numbering (range partition + partition offsets)
+# ---------------------------------------------------------------------------
+
+
+@CAT.query(
+    "rank_global_two_phase",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey)
+             AS BIGINT) AS global_rank
+    FROM orders
+    """,
+)
+def rank_global_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally consecutive row numbers for EVERY order by
+    (price, orderkey) — without the single-task global window a naive
+    ``row_number() OVER (ORDER BY ...)`` compiles to.
+
+    The distributed zipWithIndex pattern: (1) range-repartition on the
+    full sort key, so partition p holds exactly the keys between
+    sampled boundaries and partition ids ascend with the key order;
+    (2) a PER-PARTITION row_number (window partitioned by
+    ``spark_partition_id()`` — parallel); (3) per-partition counts
+    roll into broadcast exclusive offsets (one tiny frame, |partitions|
+    rows). global_rank = local rn + offset[pid]. The sampled range
+    boundaries are nondeterministic, but the FINAL rank is not: the
+    total order (price_cents, o_orderkey) is unique, and where a row
+    lands cannot change its rank — only which partition computes it.
+    The unique tiebreaker is what makes this driver-hash-exact; equal
+    keys split across a boundary would otherwise rank arbitrarily.
+    """
+    d = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("price_cents")
+    )
+    r = d.repartitionByRange(32, "price_cents", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    r = persist_tracked(r)  # feeds the window AND the offset counts
+    w_in = Window.partitionBy("pid").orderBy("price_cents", "o_orderkey")
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        r.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("off", F.coalesce(F.sum("c").over(w_off), F.lit(0)))
+        .select("pid", "off")
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            "price_cents",
+            (F.col("rn") + F.col("off")).cast("bigint").alias("global_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: phonetic blocking + edit-distance verify
+# ---------------------------------------------------------------------------
+
+#: Shared-text phonetic blocking key (soundex-LIKE, own definition so
+#: BOTH engines evaluate the identical expression): uppercase, keep the
+#: first letter, map consonant classes to digits (vowels/H/W/Y -> 0),
+#: drop the zeros, collapse digit runs (three halving replace rounds
+#: handle runs up to 8 — part-name words are <= 10 chars).
+_PHON_SRC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_PHON_DST = "01230120022455012623010202"
+
+
+def _phonetic_key_sql(col: str) -> str:
+    digits = f"substring(translate(upper({col}), '{_PHON_SRC}', '{_PHON_DST}'), 2)"
+    collapsed = f"replace({digits}, '0', '')"
+    for _ in range(3):
+        inner = collapsed
+        for d in "123456":
+            inner = f"replace({inner}, '{d}{d}', '{d}')"
+        collapsed = inner
+    return f"concat(substring(upper({col}), 1, 1), {collapsed})"
+
+
+@CAT.query(
+    "er_phonetic_block_join",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT unnest(regexp_split_to_array(p_name, ' ')) AS w
+      FROM part),
+    k AS (SELECT w, {_phonetic_key_sql("w")} AS pk FROM w)
+    SELECT a.w AS word_a, b.w AS word_b, a.pk,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev
+    FROM k a JOIN k b ON a.pk = b.pk AND a.w < b.w
+    WHERE levenshtein(a.w, b.w) <= 2
+    """,
+)
+def er_phonetic_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking: part-name vocabulary words that
+    share a phonetic key AND are within edit distance 2 — the
+    block-then-verify shape every record-linkage pipeline uses to
+    avoid the O(n²) all-pairs edit-distance join.
+
+    The phonetic key is one shared SQL expression (translate +
+    replace pipeline, identical text in both engines — see
+    _phonetic_key_sql), so the BLOCKING itself is oracle-checked, not
+    just the verified pairs. Scale: the key is a narrow projection;
+    the self-join fan-out is bounded by phonetic-bucket sizes (a
+    bounded vocabulary here; for open name domains production adds a
+    frequency cap per bucket exactly like the df-capped shingle
+    index); levenshtein runs on candidates only.
+    """
+    words = (
+        _t(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("w"))
+        .distinct()
+        .withColumn("pk", F.expr(_phonetic_key_sql("w")))
+    )
+    a = words.select(F.col("w").alias("word_a"), "pk")
+    b = words.select(F.col("w").alias("word_b"), F.col("pk").alias("pk_b"))
+    return (
+        a.join(
+            b,
+            (F.col("pk") == F.col("pk_b"))
+            & (F.col("word_a") < F.col("word_b")),
+        )
+        .withColumn(
+            "lev", F.levenshtein("word_a", "word_b").cast("bigint")
+        )
+        .filter(F.col("lev") <= 2)
+        .select("word_a", "word_b", "pk", "lev")
+    )

@@ -86,6 +86,8 @@ HEAVY = [
     "recursive_monthly_compound",
     "stats_spearman_rank",
     "stats_winsorized_mean",
+    "rank_global_two_phase",  # ranks must be boundary-placement-proof
+    "er_phonetic_block_join",  # bucket sizes grow with vocabulary
 ]
 
 QUERIES = entry_mod.queries()
