@@ -1269,3 +1269,58 @@ def stream_backfill_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.sum("value_cents").cast("bigint").alias("value_cents"),
     )
+
+
+@CAT.query(
+    "stream_state_introspection",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state-store inspection via the State Data Source
+    (``spark.read.format("statestore")``, Spark 4): drain a stateful
+    per-type counting stream to a checkpoint, then read the
+    checkpoint's state store back as a BATCH DataFrame and reconstruct
+    the aggregate from raw (key, state-buffer) rows.
+
+    This is the debugging/observability surface for production
+    streaming: inspect (or audit, or migrate) accumulated state
+    WITHOUT touching the running query — the reader works from the
+    checkpoint files alone. Because availableNow drains the whole
+    fixture, the state buffers must equal the batch aggregate, which
+    is exactly the oracle — so the round-trip through the state-store
+    binary format is hash-checked, not just smoke-run.
+
+    Scale: the state reader loads one partition per state-store
+    partition (parallel scan of the HDFS-backed store); the terminal
+    groupBy-sum is defensive (a key lives in exactly one partition)
+    and aggregates |distinct keys| rows, not events.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stateread_")
+    name = f"state_introspect_{next(_uniq)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(ckpt)
+    # the value struct carries the aggregation buffer; its (single)
+    # field name is the internal buffer name — resolve it by schema,
+    # not by string, so an alias/version change can't break the read
+    val_field = st.schema["value"].dataType.fieldNames()[0]
+    return (
+        st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col(f"value.{val_field}").cast("bigint").alias("cnt"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("cnt").cast("bigint").alias("n_events"))
+    )

@@ -88,6 +88,7 @@ HEAVY = [
     "stats_winsorized_mean",
     "rank_global_two_phase",  # ranks must be boundary-placement-proof
     "er_phonetic_block_join",  # bucket sizes grow with vocabulary
+    "stream_state_introspection",  # state-store roundtrip at volume
 ]
 
 QUERIES = entry_mod.queries()
