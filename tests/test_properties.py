@@ -341,3 +341,110 @@ def test_subword_segmentation_partitions_the_word(w):
         # the fixed English merges table, assert the cascade closed
         s = s2
     assert [p for p in s.split(_SW_SEP) if p] == segs
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave properties: two-phase ranks, phonetic key, winsorized mean
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 5)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_doubled_avg_ranks_match_naive(pairs):
+    """The integer doubled-rank identity r2 = 2*cnt_less + cnt_eq + 1
+    used by stats_spearman_rank must equal 2x the classic tie-average
+    rank computed naively over the expanded multiset."""
+    from collections import Counter
+
+    cnt = Counter()
+    for v, c in pairs:
+        cnt[v] += c
+    expanded = sorted(v for v, c in cnt.items() for _ in range(c))
+    # naive average rank per value over 1-based positions
+    naive = {}
+    for v in cnt:
+        pos = [i + 1 for i, x in enumerate(expanded) if x == v]
+        naive[v] = 2 * sum(pos) / len(pos)
+    less = 0
+    for v in sorted(cnt):
+        r2 = 2 * less + cnt[v] + 1
+        assert r2 == naive[v], (v, r2, naive[v])
+        less += cnt[v]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.integers(1, 4)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(2, 40),
+)
+def test_winsorized_boundaries_match_numpy_definition(pairs, den):
+    """p_lo/p_hi = smallest value whose cumulative count reaches
+    ceil(n/den) (resp. ceil(n*(den-1)/den)) — cross-checked against a
+    direct order-statistic on the expanded multiset (the definition
+    both engines' SQL text encodes as cum*den >= n)."""
+    from collections import Counter
+
+    cnt = Counter()
+    for v, c in pairs:
+        cnt[v] += c
+    expanded = sorted(v for v, c in cnt.items() for _ in range(c))
+    n = len(expanded)
+    k_lo = -(-n // den)  # ceil(n/den)
+    k_hi = -(-(n * (den - 1)) // den)
+    cum = 0
+    p_lo = p_hi = None
+    for v in sorted(cnt):
+        cum += cnt[v]
+        if p_lo is None and cum * den >= n:
+            p_lo = v
+        if p_hi is None and cum * den >= n * (den - 1):
+            p_hi = v
+    assert p_lo == expanded[k_lo - 1]
+    assert p_hi == expanded[k_hi - 1]
+
+
+@settings(deadline=None)  # first DuckDB call JITs past the default
+@given(
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_phonetic_key_reference_model(word):
+    """The nested-replace SQL pipeline in er_phonetic_block_join must
+    equal the straightforward Python model: first letter + vowel-free
+    digit string with runs collapsed (runs here are <= 12 so the three
+    halving rounds always suffice)."""
+    from csv_to_parquet_spark.operators.relational4 import (
+        _PHON_DST,
+        _PHON_SRC,
+    )
+
+    up = word.upper()
+    table = {s: d for s, d in zip(_PHON_SRC, _PHON_DST)}
+    digits = "".join(table.get(ch, ch) for ch in up)[1:]
+    digits = digits.replace("0", "")
+    collapsed = []
+    for ch in digits:
+        if not collapsed or collapsed[-1] != ch:
+            collapsed.append(ch)
+    expect = up[:1] + "".join(collapsed)
+
+    # evaluate the SQL text with DuckDB (same engine the oracle uses)
+    import duckdb
+
+    from csv_to_parquet_spark.operators.relational4 import _phonetic_key_sql
+
+    got = duckdb.sql(
+        f"SELECT {_phonetic_key_sql('?')}".replace("?", f"'{word}'")
+    ).fetchone()[0]
+    assert got == expect, (word, got, expect)
