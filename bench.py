@@ -130,6 +130,15 @@ HEADLINE = [
     "variant_events_shred",
     "mapinarrow_norm_audit",
     "sketch_hll_daily_rollup",
+    # round-6 fourth wave
+    "stats_spearman_rank",
+    "stats_winsorized_mean",
+    "recursive_doc_ancestry",
+    "recursive_yearly_compound",
+    "rank_global_two_phase",
+    "er_phonetic_block_join",
+    "mm_phash_near_dup",
+    "stream_state_introspection",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",

@@ -10,7 +10,7 @@ coverage with the two canonical shapes recursion is FOR:
   document's ancestor chain in a synthetic binary tree (parent =
   ``id div 2`` — derived, deterministic, and dense so the recursion
   carries corpus-sized frames, not toy rows);
-- **sequential recurrence** (``recursive_monthly_compound``): an
+- **sequential recurrence** (``recursive_yearly_compound``): an
   integer balance recurrence with truncating division — genuinely
   non-parallelizable per step and not expressible with windows
   (prefix sums/products don't survive per-step ``floor``).
@@ -26,17 +26,21 @@ distributed plan (the recursion is over FRAMES, not rows): the
 ancestry walk runs O(log max_id) joins of narrow (doc_id, node, depth)
 triples, each step map-only from the previous (no shuffle until the
 final groupBy); the compound recurrence aggregates the corpus ONCE
-into a months frame (calendar-bounded: a few hundred rows for decades
-of data) and recurses over that — the classic "reduce, then recurse
-over the small sequential core" split. Step count is bounded by
+into a PERSISTED yearly frame (calendar-bounded: a handful of rows
+even for decades of data) and recurses over that — the classic
+"reduce, then recurse over the small sequential core" split, which on
+Spark is mandatory: UnionLoop re-evaluates referenced relations every
+iteration (see recursive_yearly_compound's docstring). Step count is bounded by
 ``spark.sql.cteRecursionLevelLimit`` (default 100; depth here ≤ ~25).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from csv_to_parquet_spark.operators import Catalog
+from csv_to_parquet_spark.operators.cache import persist_tracked
 from csv_to_parquet_spark.sources.tables import load_table
 
 CAT = Catalog()
@@ -84,51 +88,88 @@ def recursive_doc_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPOUND_BP = 20
 
 
-def _compound_sql(intdiv: str, cents: str) -> str:
-    """Shared template; ``cents`` is each engine's exact money cast."""
+def _compound_sql(intdiv: str, pre: str) -> str:
+    """Shared recursion template over a pre-aggregated yearly frame
+    ``pre`` (name of the relation holding (yr, rev_cents))."""
     return f"""
-    WITH RECURSIVE m AS (
-      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
-             CAST(SUM({cents}) AS BIGINT) AS rev_cents
-      FROM orders GROUP BY 1
-    ),
-    seq AS (
-      SELECT mon, rev_cents,
-             CAST(ROW_NUMBER() OVER (ORDER BY mon) AS BIGINT) AS rn
-      FROM m
+    WITH RECURSIVE seq AS (
+      SELECT yr, rev_cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY yr) AS BIGINT) AS rn
+      FROM {pre}
     ),
     bal AS (
-      SELECT rn, mon, rev_cents, rev_cents AS balance_cents
+      SELECT rn, yr, rev_cents, rev_cents AS balance_cents
       FROM seq WHERE rn = 1
       UNION ALL
-      SELECT s.rn, s.mon, s.rev_cents,
+      SELECT s.rn, s.yr, s.rev_cents,
              b.balance_cents + s.rev_cents
                + (b.balance_cents * {_COMPOUND_BP}) {intdiv} 10000
                AS balance_cents
       FROM bal b JOIN seq s ON s.rn = b.rn + 1
     )
-    SELECT mon, rev_cents, balance_cents FROM bal
+    SELECT yr, rev_cents, balance_cents FROM bal
     """
+
+
+_YEARLY_DUCK = """
+    (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS rev_cents
+     FROM orders GROUP BY 1)
+"""
 
 
 @CAT.query(
-    "recursive_monthly_compound",
-    oracle=_compound_sql("//", "CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
-)
-def recursive_monthly_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Month-over-month compounding balance: each month carries the
-    prior balance plus 0.2% integer interest (truncating division)
-    plus the month's order revenue — an order-dependent integer
-    recurrence with NO window/prefix closed form (the per-step floor
-    breaks prefix-product algebra), i.e. the shape recursion exists
-    for.
-
-    The corpus-sized work is the one distributed month aggregation;
-    the recursion then steps over the calendar-bounded months frame
-    (one tiny join per step, ~84 steps for the 7-year TPC-H span).
-    Exact integers end to end ⇒ bit-identical to DuckDB's recursion.
-    """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        _compound_sql("div", "CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    "recursive_yearly_compound",
+    oracle=f"""
+    WITH RECURSIVE pre AS {_YEARLY_DUCK},
+    seq AS (
+      SELECT yr, rev_cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY yr) AS BIGINT) AS rn
+      FROM pre
+    ),
+    bal AS (
+      SELECT rn, yr, rev_cents, rev_cents AS balance_cents
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, s.yr, s.rev_cents,
+             b.balance_cents + s.rev_cents
+               + (b.balance_cents * {_COMPOUND_BP}) // 10000
+               AS balance_cents
+      FROM bal b JOIN seq s ON s.rn = b.rn + 1
     )
+    SELECT yr, rev_cents, balance_cents FROM bal
+    """,
+)
+def recursive_yearly_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year compounding balance: each year carries the prior
+    balance plus 0.2% integer interest (truncating division) plus the
+    year's order revenue — an order-dependent integer recurrence with
+    NO window/prefix closed form (the per-step floor breaks
+    prefix-product algebra), i.e. the shape recursion exists for.
+
+    Execution-model note (measured): Spark's UnionLoop re-evaluates
+    every relation the recursive branch references ON EACH iteration —
+    with the corpus aggregation inlined in the CTE, an 84-step monthly
+    recursion re-aggregated the orders table 84 times (18 s at
+    sf0.001). The fix is structural, and is the production rule for
+    Spark recursion: do the corpus-sized reduction ONCE into a
+    PERSISTED frame (calendar-bounded: |years| rows), register that as
+    the view the recursion references, and keep the loop over the tiny
+    sequential core — 7 steps, each joining the cached frame. The
+    recursion is inherently sequential (that is the point of the
+    operator); what must never be sequential-times-N is the corpus
+    scan.
+    """
+    yearly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    yearly = persist_tracked(yearly)
+    yearly.createOrReplaceTempView("yearly_rev_pre")
+    return spark.sql(_compound_sql("div", "yearly_rev_pre"))

@@ -83,7 +83,7 @@ HEAVY = [
     # round-6 fourth wave: recursion depth grows with id range; the
     # rank statistics stress the DECIMAL sums and tie density
     "recursive_doc_ancestry",
-    "recursive_monthly_compound",
+    "recursive_yearly_compound",
     "stats_spearman_rank",
     "stats_winsorized_mean",
     "rank_global_two_phase",  # ranks must be boundary-placement-proof
