@@ -714,66 +714,108 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The monotone-association complement to ``stats_corr_matrix``'s
     Pearson: immune to the heavy right tail of prices.
 
-    Scale shape: ranks need a GLOBAL order statistic per variable —
-    the x-side (high-cardinality cents) uses the bucketed two-phase
-    prefix sum (module docstring), the y-side's domain is 1..50 so its
-    rank map is broadcast-sized by construction. The corpus is touched
-    once for the joint (x, y) histogram; all rank arithmetic runs on
-    the DISTINCT-value frames, and the rank maps join back onto the
-    histogram (x by shuffle — it can be corpus-sized; y by broadcast).
-    Sums accumulate as DECIMAL(38,0): sum of r2x² ≈ 4n³/3 exceeds
-    int64 past ~1.3e6 rows.
+    Scale shape: ranks need a GLOBAL order statistic per variable.
+    The FACTORED sufficient statistics avoid ever joining two
+    corpus-sized frames: S_y/S_yy come from the y-marginal alone
+    (domain 1..50 — a broadcast/driver-sized map, its two scalars
+    collected like the k-means centroid literals); S_x/S_xx/S_xy come
+    from ONE groupBy(x) that carries both the count and t_x = Σ r2y
+    over that x's rows (using S_xy = Σ_x r2x·t_x), with r2x computed
+    by the bucketed two-phase prefix sum over the distinct-x frame.
+    So the corpus is scanned from a narrow 16-byte/row cache twice
+    (y-marginal, x-aggregation) and shuffles exactly once at
+    corpus-key scale (the groupBy(x)); the earlier joint-histogram
+    formulation shuffled n-sized frames three times when x was
+    near-unique (at sf0.1 both shapes sit near the ~6-stage fixed
+    floor, ≈2.7 s; the removed n-scale shuffles are what matter at
+    100 TB, where x-key exchanges dominate stage overhead). Sums
+    accumulate as DECIMAL(38,0): Σ r2x² ≈ 4n³/3 exceeds int64 past
+    ~1.3e6 rows.
     """
-    d = _t(spark, sf_dir, "lineitem").select(
-        cents("l_extendedprice").alias("x"),
-        F.col("l_quantity").cast("bigint").alias("y"),
-    )
-    joint = d.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt_xy"))
-    joint = joint.persist()  # feeds both marginals AND the final sums
-    xmap = _rank2_map(
-        joint.groupBy(F.col("x").alias("val")).agg(
-            F.sum("cnt_xy").alias("cnt")
-        ),
-        _RANK_BUCKET,
-    ).select(F.col("val").alias("x"), F.col("r2").alias("r2x"))
-    ymap = _rank2_map(
-        joint.groupBy(F.col("y").alias("val")).agg(
-            F.sum("cnt_xy").alias("cnt")
-        ),
-        64,  # y in 1..50: one bucket, trivially tiny
-    ).select(F.col("val").alias("y"), F.col("r2").alias("r2y"))
-    rows = (
-        joint.join(xmap, "x")
-        .join(F.broadcast(ymap), "y")
-        # expand the histogram's weights into the shared sum text by
-        # multiplying each term by cnt_xy (exact integer weighting)
-        .selectExpr(
-            "CAST(cnt_xy AS BIGINT) AS w",
-            "r2x",
-            "r2y",
+    from csv_to_parquet_spark.operators.cache import persist_tracked
+
+    d = persist_tracked(
+        _t(spark, sf_dir, "lineitem").select(
+            cents("l_extendedprice").alias("x"),
+            F.col("l_quantity").cast("bigint").alias("y"),
         )
     )
-    s = rows.selectExpr(
-        "w", "r2x", "r2y"
-    ).groupBy().agg(
-        F.expr("CAST(SUM(w) AS BIGINT)").alias("n"),
+    ymap = _rank2_map(
+        d.groupBy(F.col("y").alias("val")).agg(F.count(F.lit(1)).alias("cnt")),
+        64,  # y in 1..50: one bucket, trivially tiny
+    )
+    yrow = ymap.agg(
         F.expr(
-            "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))"
-        ).alias("s_x"),
-        F.expr(
-            "CAST(SUM(CAST(r2y AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))"
+            "CAST(SUM(CAST(r2 AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))"
         ).alias("s_y"),
         F.expr(
-            "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2x * w) AS DECIMAL(38,0))"
+            "CAST(SUM(CAST(r2 AS DECIMAL(38,0)) * r2 * cnt) AS DECIMAL(38,0))"
+        ).alias("s_yy"),
+    ).collect()[0]
+    s_y, s_yy = int(yrow.s_y), int(yrow.s_yy)
+
+    # one corpus-keyed shuffle: per distinct x, the row count AND the
+    # sum of that x's rows' doubled y-ranks (for S_xy = Σ r2x·t_x)
+    xagg = (
+        d.join(
+            F.broadcast(
+                ymap.select(F.col("val").alias("y"), F.col("r2").alias("r2y"))
+            ),
+            "y",
+        )
+        .groupBy("x")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr("CAST(SUM(CAST(r2y AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+            .alias("t_x"),
+        )
+    )
+    # two-phase doubled ranks over the distinct-x frame, t_x carried
+    # through (same scaffold as _rank2_map, inlined to keep the extra
+    # column)
+    v = xagg.withColumn("bucket", F.expr(f"x div {_RANK_BUCKET}"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = v.withColumn("cum_in", F.sum("cnt").over(w_in))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        v.groupBy("bucket")
+        .agg(F.sum("cnt").alias("b"))
+        .withColumn("off", F.coalesce(F.sum("b").over(w_off), F.lit(0)))
+        .select("bucket", "off")
+    )
+    xfull = (
+        within.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "r2x",
+            F.lit(2) * (F.col("cum_in") + F.col("off"))
+            - F.col("cnt")
+            + F.lit(1),
+        )
+    )
+    s = xfull.groupBy().agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))"
+        ).alias("s_x"),
+        F.expr(
+            "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2x * cnt) AS DECIMAL(38,0))"
         ).alias("s_xx"),
         F.expr(
-            "CAST(SUM(CAST(r2y AS DECIMAL(38,0)) * r2y * w) AS DECIMAL(38,0))"
-        ).alias("s_yy"),
-        F.expr(
-            "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2y * w) AS DECIMAL(38,0))"
+            "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * t_x) AS DECIMAL(38,0))"
         ).alias("s_xy"),
     )
-    return s.selectExpr("n", _SPEARMAN_TAIL)
+    return s.select(
+        "n",
+        "s_x",
+        "s_xx",
+        "s_xy",
+        F.lit(s_y).cast("decimal(38,0)").alias("s_y"),
+        F.lit(s_yy).cast("decimal(38,0)").alias("s_yy"),
+    ).selectExpr("n", _SPEARMAN_TAIL)
 
 
 # ---------------------------------------------------------------------------
