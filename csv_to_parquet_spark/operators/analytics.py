@@ -3759,3 +3759,96 @@ def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.sum("term").over(wcum).cast("bigint"))
         .alias("cum_log_surv_micro"),
     )
+
+
+@CAT.query(
+    "events_gapfill_linear",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events WHERE event_type = 'purchase'),
+    sp AS (
+      SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b),
+    dr AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    j AS (SELECT sp.d, dr.y FROM sp LEFT JOIN dr USING (d)),
+    w AS (
+      SELECT d, y,
+             last_value((CASE WHEN y IS NOT NULL THEN d END) IGNORE NULLS)
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS d_prev,
+             last_value(y IGNORE NULLS)
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS y_prev,
+             first_value((CASE WHEN y IS NOT NULL THEN d END) IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS d_next,
+             first_value(y IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS y_next
+      FROM j)
+    SELECT d,
+           CAST(y IS NULL AS BOOLEAN) AS interpolated,
+           CAST(CASE WHEN y IS NOT NULL THEN y * 1000000
+                     ELSE (y_prev * CAST(d_next - d AS BIGINT)
+                           + y_next * CAST(d - d_prev AS BIGINT)) * 1000000
+                          // CAST(d_next - d_prev AS BIGINT)
+                END AS BIGINT) AS value_micro
+    FROM w
+    """,
+)
+def events_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase counts with interior gaps filled by LINEAR
+    interpolation (the numeric complement of the LOCF fill in
+    ``events_gapfill_locf``): a missing day takes the distance-
+    weighted blend of its nearest known neighbors.
+
+    Exactness: the blend is the barycentric form
+    ``(y0·(d1−d) + y1·(d−d0)) · 1e6 div (d1−d0)`` — the numerator is
+    a sum of PRODUCTS OF NON-NEGATIVE integers, so the integer
+    division cannot straddle the engines' different negative-division
+    conventions (Spark div truncates; so does DuckDB's //, but
+    neither is exercised). Spine endpoints are known days by
+    construction (min/max come from the data), so every gap is
+    interior and y_prev/y_next always exist.
+
+    Scale shape: one corpus pass (date-keyed count), then windows
+    over the calendar-bounded daily frame. The unpartitioned windows
+    run on |days| rows — a few thousand for a decade — NOT the
+    corpus; this is the documented exception to the no-global-window
+    rule (same as the date-spine ops).
+    """
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dr = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    j = spine.join(dr, "d", "left")
+    w_back = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    known_d = F.when(F.col("y").isNotNull(), F.col("d"))
+    w = (
+        j.withColumn("d_prev", F.last(known_d, ignorenulls=True).over(w_back))
+        .withColumn("y_prev", F.last("y", ignorenulls=True).over(w_back))
+        .withColumn("d_next", F.first(known_d, ignorenulls=True).over(w_fwd))
+        .withColumn("y_next", F.first("y", ignorenulls=True).over(w_fwd))
+    )
+    return w.select(
+        "d",
+        F.col("y").isNull().alias("interpolated"),
+        F.when(F.col("y").isNotNull(), F.col("y") * 1_000_000)
+        .otherwise(
+            F.expr(
+                "(y_prev * CAST(datediff(d_next, d) AS BIGINT)"
+                " + y_next * CAST(datediff(d, d_prev) AS BIGINT)) * 1000000"
+                " div CAST(datediff(d_next, d_prev) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("value_micro"),
+    )

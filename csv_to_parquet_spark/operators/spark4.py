@@ -445,3 +445,104 @@ def sketch_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("approx_users").cast("bigint").alias("approx_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# listagg (Spark 4.0 SQL:2023 ordered string aggregation)
+# ---------------------------------------------------------------------------
+
+
+@CAT.query(
+    "agg_listagg_nations",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation via ``listagg ... WITHIN GROUP``
+    (SQL:2023, Spark 4.0) — the deterministic report-formatting
+    aggregate (``collect_list`` + ``array_join`` has NO ordering
+    guarantee without an explicit sort_array; listagg's WITHIN GROUP
+    makes the order part of the aggregate's contract, which is what
+    makes the result hash-comparable across engines at all).
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic Python UDTF: output schema computed by analyze()
+# ---------------------------------------------------------------------------
+
+_UDTF_TOP_N = 3
+
+
+@CAT.query(
+    "udtf_polymorphic_top_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents)
+    SELECT doc_id,
+           {", ".join(f"toks[{i}] AS token_{i}" for i in range(1, _UDTF_TOP_N + 1))}
+    FROM t
+    """,
+)
+def udtf_polymorphic_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is not
+    declared statically but computed by the class's ``analyze()`` from
+    the call's constant argument — ``top_tokens(doc_id, text, 3)``
+    returns columns token_1..token_3; change the literal and the
+    schema follows at PLAN time (the static-returnType UDTF
+    ``udtf_split_bigrams`` cannot do this). The leading columns pass
+    through so the lateral join needs no re-join on doc_id.
+    """
+    from pyspark.sql.functions import (
+        AnalyzeArgument,
+        AnalyzeResult,
+        udtf,
+    )
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    @udtf
+    class TopTokensUDTF:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument,
+            text: AnalyzeArgument,
+            n: AnalyzeArgument,
+        ) -> AnalyzeResult:
+            k = int(n.value)  # constant-foldable argument drives schema
+            schema = StructType().add("doc_id", LongType())
+            for i in range(1, k + 1):
+                schema = schema.add(f"token_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id, text, n):
+            toks = text.strip().split()
+            yield (doc_id,) + tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            )
+
+    spark.udtf.register("top_tokens", TopTokensUDTF)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "docs_udtf_poly"
+    )
+    return spark.sql(
+        f"SELECT s.* FROM docs_udtf_poly d, "
+        f"LATERAL top_tokens(d.doc_id, d.text, {_UDTF_TOP_N}) s"
+    )

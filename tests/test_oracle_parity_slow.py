@@ -89,6 +89,8 @@ HEAVY = [
     "rank_global_two_phase",  # ranks must be boundary-placement-proof
     "er_phonetic_block_join",  # bucket sizes grow with vocabulary
     "stream_state_introspection",  # state-store roundtrip at volume
+    "events_gapfill_linear",  # interpolation across denser gap structure
+    "udtf_polymorphic_top_tokens",  # row-at-a-time UDTF at volume
 ]
 
 QUERIES = entry_mod.queries()
