@@ -29,6 +29,18 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLE) <= set(QUERIES)
 
 
+@pytest.fixture(autouse=True)
+def _drop_tracked_caches():
+    """Keep the 297-query sweep memory-flat: operators persist
+    intermediates their returned plan references, and only the sweep
+    harness can release them after materialization (same contract as
+    bench.py)."""
+    yield
+    from csv_to_parquet_spark.operators.cache import release_caches
+
+    release_caches()
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_smoke, name):
     fn = QUERIES[name]

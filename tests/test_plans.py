@@ -382,3 +382,27 @@ def test_bench_headline_names_exist_in_catalog():
     q = entry_mod.queries()
     missing = [n for n in bench.HEADLINE if n not in q]
     assert not missing, f"bench HEADLINE names not in catalog: {missing}"
+
+
+def test_no_untracked_persists_in_operators():
+    """Every cache must go through the tracked registry
+    (operators/cache.py) so sweep harnesses can release it between
+    queries — a raw .persist() leaks past release_caches() and stays
+    memory-resident for the rest of a 297-query session (caught live:
+    an early stats_spearman_rank draft). Static lint: zero raw
+    .persist( calls outside cache.py."""
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "csv_to_parquet_spark"
+    )
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py") or f == "cache.py":
+                continue
+            path = os.path.join(root, f)
+            for i, line in enumerate(open(path), 1):
+                if ".persist(" in line and "persist_tracked" not in line:
+                    offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
