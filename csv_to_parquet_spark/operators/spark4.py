@@ -546,3 +546,57 @@ def udtf_polymorphic_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT s.* FROM docs_udtf_poly d, "
         f"LATERAL top_tokens(d.doc_id, d.text, {_UDTF_TOP_N}) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark: the third query dialect (SQL, DataFrame, pandas)
+# ---------------------------------------------------------------------------
+
+
+@CAT.query(
+    "ps_pandas_api_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ps_pandas_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup written in the pandas API on Spark
+    (``pyspark.pandas``) — the third query dialect next to SQL and the
+    DataFrame API, for teams porting pandas pipelines wholesale. The
+    pandas-style expressions compile to the SAME Catalyst plan (ps
+    ``.round`` IS Spark's HALF_UP round, not numpy's half-even — which
+    is exactly why the cents arithmetic stays oracle-exact here).
+
+    Scale note: the default index type is pinned to ``distributed``
+    for the conversion — the default distributed-sequence index forces
+    extra jobs to make ids consecutive, and ``sequence`` would move
+    the corpus through ONE partition; none of the ids matter for an
+    aggregation, so the coordination-free index is the right one.
+    """
+    import pyspark.pandas as ps
+
+    prev = ps.get_option("compute.default_index_type")
+    ps.set_option("compute.default_index_type", "distributed")
+    try:
+        psdf = spark.read.parquet(f"{sf_dir}/orders.parquet")[
+            ["o_orderpriority", "o_totalprice"]
+        ].pandas_api()
+        psdf["cents"] = (
+            (psdf["o_totalprice"] * 100).round(0).astype("int64")
+        )
+        out = (
+            psdf.groupby("o_orderpriority")
+            .agg(n_orders=("cents", "count"), revenue_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return out.to_spark().select(
+            "o_orderpriority",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+    finally:
+        ps.set_option("compute.default_index_type", prev)
