@@ -931,3 +931,77 @@ def er_phonetic_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lev") <= 2)
         .select("word_a", "word_b", "pk", "lev")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe scalar arithmetic: the try_* family
+# ---------------------------------------------------------------------------
+
+
+@CAT.query(
+    "scalar_try_functions",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_bp,
+             CASE WHEN l_quantity < 10
+                  THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                  ELSE 'n/a' END AS qty_str
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag,
+             CASE WHEN tax_bp = 0 THEN NULL
+                  ELSE CAST(FLOOR(CAST(price_c AS DOUBLE) / tax_bp) AS BIGINT)
+             END AS ratio,
+             try_cast(qty_str AS BIGINT) AS qty_parsed
+      FROM d)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_tax,
+           CAST(SUM(ratio) AS BIGINT) AS sum_ratio,
+           CAST(COUNT(qty_parsed) AS BIGINT) AS n_parsed,
+           CAST(SUM(qty_parsed) AS BIGINT) AS sum_parsed
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-safe ``try_*`` scalar family under ANSI mode:
+    ``try_divide`` (NULL on division by zero instead of the runtime
+    error plain ``/`` raises under spark.sql.ansi.enabled) and
+    ``try_cast`` (NULL on unparseable input) — the error-tolerant
+    arithmetic a pipeline needs when a 100 TB scan cannot afford one
+    poisoned row killing the job. Both engines fold the NULLs into
+    the same aggregates; DuckDB lacks try_divide so its oracle spells
+    out the equivalent CASE (documenting exactly what the function
+    means).
+    """
+    d = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("price_c"),
+        cents("l_tax").alias("tax_bp"),
+        F.when(
+            F.col("l_quantity") < 10,
+            F.col("l_quantity").cast("bigint").cast("string"),
+        )
+        .otherwise(F.lit("n/a"))
+        .alias("qty_str"),
+    )
+    r = d.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(FLOOR(try_divide(CAST(price_c AS DOUBLE), tax_bp))"
+            " AS BIGINT)"
+        ).alias("ratio"),
+        F.expr("try_cast(qty_str AS BIGINT)").alias("qty_parsed"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_tax"),
+        F.sum("ratio").cast("bigint").alias("sum_ratio"),
+        F.count("qty_parsed").cast("bigint").alias("n_parsed"),
+        F.sum("qty_parsed").cast("bigint").alias("sum_parsed"),
+    )

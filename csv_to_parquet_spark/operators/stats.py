@@ -922,3 +922,82 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"* 1000000 div {n} AS BIGINT)"
         ).alias("winsorized_mean_micro"),
     )
+
+
+@CAT.query(
+    "events_acf_daily",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events WHERE event_type = 'purchase'),
+    sp AS (
+      SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b),
+    dr AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    daily AS (
+      SELECT sp.d, COALESCE(dr.y, 0) AS y FROM sp LEFT JOIN dr USING (d)),
+    l AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS lag),
+    p AS (
+      SELECT l.lag, a.y AS x, b2.y AS y
+      FROM daily a
+      CROSS JOIN l
+      JOIN daily b2 ON b2.d = a.d + CAST(l.lag AS INTEGER)),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s_x, CAST(SUM(y) AS BIGINT) AS s_y,
+             CAST(SUM(x * x) AS BIGINT) AS s_xx,
+             CAST(SUM(y * y) AS BIGINT) AS s_yy,
+             CAST(SUM(x * y) AS BIGINT) AS s_xy
+      FROM p GROUP BY lag)
+    SELECT lag, n AS n_days, {_XCORR_CORR} AS corr_micro
+    FROM s
+    """,
+)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily purchase-count series at
+    lags 0..7 (lag 0 ≡ 1.0 as a built-in sanity row; the weekly lag-7
+    spike is the signature of day-of-week seasonality, which
+    ``orders_seasonal_decompose`` then factors out).
+
+    Same machinery as ``events_lag_xcorr`` with both sides the SAME
+    series: one corpus-touching date-keyed count, a zero-filled spine,
+    an explode-generated lag fan-out (a generator, not a join), and a
+    broadcast hash self-join on the shifted date. Pearson over exact
+    integer daily counts; shared float fragment with the oracle.
+    """
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(F.to_date("ts").alias("d"))
+    dr = e.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    bounds = e.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    daily = spine.join(dr, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    a = daily.select(
+        F.col("d").alias("da"),
+        F.col("y").alias("x"),
+        F.explode(F.array(*[F.lit(i) for i in range(0, 8)])).alias("lag"),
+    )
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("y"))
+    p = a.join(
+        F.broadcast(b),
+        F.col("db") == F.expr("date_add(da, CAST(lag AS INT))"),
+    )
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s_x"),
+        F.sum("y").cast("bigint").alias("s_y"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s_xx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s_yy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("s_xy"),
+    )
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.expr(_XCORR_CORR).alias("corr_micro"),
+    )
