@@ -139,6 +139,13 @@ HEADLINE = [
     "er_phonetic_block_join",
     "mm_phash_near_dup",
     "stream_state_introspection",
+    # round-6 sixth wave
+    "agg_listagg_nations",
+    "udtf_polymorphic_top_tokens",
+    "ps_pandas_api_rollup",
+    "events_gapfill_linear",
+    "scalar_try_functions",
+    "events_acf_daily",
     # streaming
     "stream_tumbling_counts",
     "stream_static_enrich",
