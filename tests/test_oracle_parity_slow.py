@@ -91,6 +91,10 @@ HEAVY = [
     "stream_state_introspection",  # state-store roundtrip at volume
     "events_gapfill_linear",  # interpolation across denser gap structure
     "udtf_polymorphic_top_tokens",  # row-at-a-time UDTF at volume
+    "agg_listagg_nations",  # ordered aggregation contract at volume
+    "ps_pandas_api_rollup",  # pandas-dialect plan at volume
+    "scalar_try_functions",  # NULL-on-error folding across more rows
+    "events_acf_daily",  # denser spine, same shared float fragment
 ]
 
 QUERIES = entry_mod.queries()
