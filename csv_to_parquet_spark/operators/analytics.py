@@ -3852,3 +3852,65 @@ def events_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_micro"),
     )
+
+
+@CAT.query(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'purchase'
+                       THEN INTERVAL 30 MINUTE
+                       ELSE INTERVAL 10 MINUTE END AS e_end
+      FROM events),
+    m AS (
+      SELECT user_id, ts, e_end,
+             MAX(e_end) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+      FROM e),
+    s AS (
+      SELECT user_id, ts, e_end,
+             SUM(CASE WHEN prev_max IS NULL OR ts >= prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(e_end) AS TIMESTAMP) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT inactivity gap:
+    ``session_window(ts, <gap expression>)`` — purchases hold the
+    session open 30 minutes, everything else 10 (the
+    engagement-weighted sessionization real funnels use; the static-
+    gap variant is ``session_window_batch``).
+
+    Semantics pinned by the oracle: each event contributes
+    [ts, ts+gap); sessions are merged transitive overlaps, a new one
+    starts iff ts >= the running max of prior interval ends (interval
+    equality does NOT merge — verified to match Spark's merge rule).
+    The lag-free DuckDB formulation is the islands pattern over that
+    running max. Scale: Spark's native session_window aggregates
+    map-side per partition and merges across — no per-user window
+    sort of the raw corpus in the Spark plan; the oracle's windows
+    are DuckDB-side only.
+    """
+    e = _events(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )

@@ -95,6 +95,7 @@ HEAVY = [
     "ps_pandas_api_rollup",  # pandas-dialect plan at volume
     "scalar_try_functions",  # NULL-on-error folding across more rows
     "events_acf_daily",  # denser spine, same shared float fragment
+    "session_window_dynamic_gap",  # merge-rule ties densify with rows
 ]
 
 QUERIES = entry_mod.queries()
