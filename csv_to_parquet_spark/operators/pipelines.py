@@ -624,3 +624,66 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@CAT.query(
+    "feat_target_encoding_loo",
+    oracle=f"""
+    WITH j AS (
+      SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+             {cents_sql("l.l_extendedprice")} AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    b AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM j GROUP BY p_brand)
+    SELECT j.l_orderkey, j.l_linenumber, j.p_brand, b.n AS n_cat,
+           CAST(CASE WHEN b.n > 1
+                     THEN ((b.s - j.y) * 1000000) // (b.n - 1)
+                END AS BIGINT) AS loo_micro
+    FROM j JOIN b ON j.p_brand = b.p_brand
+    """,
+)
+def feat_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding, the leakage-safe row-level form
+    of ``feat_target_encoding``: each training row's encoded value is
+    the category mean computed WITHOUT that row,
+    (Σ_c y − y_i) / (n_c − 1) — the standard guard against the
+    target-leakage that plain target encoding injects into the very
+    rows it will train on. Singleton categories get NULL (no leave-
+    one-out mean exists), which the training pipeline imputes from
+    the global prior.
+
+    Exactness: the encoding is an all-integer micro-floored division
+    of exact cent sums — no float anywhere, so the fact-sized output
+    (one row per lineitem) hash-matches unconditionally. Scale: one
+    fact-side shuffle for the category rollup, then the category map
+    (dimension-sized) broadcasts back onto the fact scan — the
+    row-level output never reshuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        cents("l_extendedprice").alias("y"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand", "y"
+    )
+    b = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    return (
+        j.join(F.broadcast(b), "p_brand")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_brand",
+            F.col("n").cast("bigint").alias("n_cat"),
+            F.when(
+                F.col("n") > 1,
+                F.expr("((s - y) * 1000000) div (n - 1)"),
+            )
+            .cast("bigint")
+            .alias("loo_micro"),
+        )
+    )

@@ -230,7 +230,16 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CELLS = 16
-_IVF_PROBES = 4
+#: Probes/cells is the recall/cost knob. On the synthetic near-UNIFORM
+#: corpus cell membership barely correlates with the top-10
+#: neighborhood, so recall tracks the scan fraction plus a rank boost:
+#: measured at sf0.1 — 4/16 → 0.49, 5/16 → 0.58, 6/16 → 0.70
+#: recall@10. 6 keeps the scan strictly sub-linear (37.5% of the
+#: corpus per query) while clearing a usable headline recall; on
+#: clustered real-world embeddings the same setting is ≥0.9 (pinned in
+#: tests/test_llm_ops.py) because the neighbor cluster fits in far
+#: fewer probes.
+_IVF_PROBES = 6
 _IVF_KMEANS_ITERS = 2
 
 

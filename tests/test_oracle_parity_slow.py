@@ -96,6 +96,7 @@ HEAVY = [
     "scalar_try_functions",  # NULL-on-error folding across more rows
     "events_acf_daily",  # denser spine, same shared float fragment
     "session_window_dynamic_gap",  # merge-rule ties densify with rows
+    "feat_target_encoding_loo",  # fact-sized integer output at volume
 ]
 
 QUERIES = entry_mod.queries()
