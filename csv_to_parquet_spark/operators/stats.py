@@ -1001,3 +1001,110 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.expr(_XCORR_CORR).alias("corr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Huber M-estimator of location — all-integer IRLS
+# ---------------------------------------------------------------------------
+
+#: Huber tuning constant (cents): residuals beyond this are
+#: down-weighted hyperbolically. Fixed (not MAD-derived) so every
+#: iteration is a pure function of the data and the constant.
+_HUBER_K = 2_000_000  # $20k
+#: Weight quantization: w = min(Q, K*Q div |x-m|) keeps IRLS in exact
+#: integers (the float w = min(1, K/|x-m|) scaled by Q and floored).
+_HUBER_Q = 10_000
+_HUBER_ITERS = 3
+
+
+@CAT.query(
+    "stats_huber_location",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+    a0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) // COUNT(*) AS BIGINT) AS m FROM v),
+    i1 AS (
+      SELECT CAST(CAST(SUM(w * x) AS BIGINT)
+                  // CAST(SUM(w) AS BIGINT) AS BIGINT) AS m
+      FROM (SELECT x, least({_HUBER_Q},
+                     {_HUBER_K * _HUBER_Q}
+                       // greatest(abs(x - (SELECT m FROM a0)), 1)) AS w
+            FROM v)),
+    i2 AS (
+      SELECT CAST(CAST(SUM(w * x) AS BIGINT)
+                  // CAST(SUM(w) AS BIGINT) AS BIGINT) AS m
+      FROM (SELECT x, least({_HUBER_Q},
+                     {_HUBER_K * _HUBER_Q}
+                       // greatest(abs(x - (SELECT m FROM i1)), 1)) AS w
+            FROM v)),
+    i3 AS (
+      SELECT CAST(CAST(SUM(w * x) AS BIGINT)
+                  // CAST(SUM(w) AS BIGINT) AS BIGINT) AS m
+      FROM (SELECT x, least({_HUBER_Q},
+                     {_HUBER_K * _HUBER_Q}
+                       // greatest(abs(x - (SELECT m FROM i2)), 1)) AS w
+            FROM v))
+    SELECT a0.n,
+           a0.m AS mean_cents,
+           (SELECT m FROM i1) AS huber_iter1_cents,
+           (SELECT m FROM i2) AS huber_iter2_cents,
+           (SELECT m FROM i3) AS huber_cents
+    FROM a0
+    """,
+)
+def stats_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the order-total location via IRLS kept
+    ENTIRELY in integers: weights w = min(1, K/|x−m|) are quantized to
+    w_q = min(Q, K·Q div |x−m|) and each iterate is the exact integer
+    division (Σ w_q·x) div (Σ w_q) — so three unrolled iterations are
+    bit-identical across engines with NO float accumulation anywhere
+    (a float IRLS would hash-diverge on summation order). The robust
+    mean between the plain mean and the median: outliers beyond K
+    cents get hyperbolically shrinking weight instead of the mean's
+    full leverage or the median's zero gradient.
+
+    Scale shape: each iteration is one map-side-combined aggregate
+    over the persisted narrow column with the previous iterate as a
+    LITERAL (the k-means centroid-literal pattern; scalars collected
+    driver-side are model-sized). Fixed iteration count — IRLS on a
+    convex loss contracts fast and a data-dependent stop would make
+    the plan nondeterministic. Weight products stay within
+    int64 through ~1.5e7 rows (w·x ≈ 6e11/row); past that, widen the
+    sums — but NOT via DECIMAL `//`, which DuckDB routes through
+    double and floors one ulp differently (measured off-by-one at
+    iteration 2); HUGEINT casts keep the division integral there.
+    """
+    from csv_to_parquet_spark.operators.cache import persist_tracked
+
+    vals = persist_tracked(
+        _t(spark, sf_dir, "orders").select(cents("o_totalprice").alias("x"))
+    )
+    first = vals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(x) div COUNT(*) AS BIGINT)").alias("m"),
+    ).collect()[0]
+    n, m = int(first.n), int(first.m)
+    iters = []
+    for _ in range(_HUBER_ITERS):
+        w = (
+            f"least({_HUBER_Q}, {_HUBER_K * _HUBER_Q}"
+            f" div greatest(abs(x - {m}), 1))"
+        )
+        m = int(
+            vals.agg(
+                F.expr(
+                    f"CAST(CAST(SUM(({w}) * x) AS BIGINT)"
+                    f" div CAST(SUM({w}) AS BIGINT) AS BIGINT)"
+                ).alias("m")
+            ).collect()[0].m
+        )
+        iters.append(m)
+    return vals.limit(1).select(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(int(first.m)).cast("bigint").alias("mean_cents"),
+        F.lit(iters[0]).cast("bigint").alias("huber_iter1_cents"),
+        F.lit(iters[1]).cast("bigint").alias("huber_iter2_cents"),
+        F.lit(iters[2]).cast("bigint").alias("huber_cents"),
+    )

@@ -97,6 +97,7 @@ HEAVY = [
     "events_acf_daily",  # denser spine, same shared float fragment
     "session_window_dynamic_gap",  # merge-rule ties densify with rows
     "feat_target_encoding_loo",  # fact-sized integer output at volume
+    "stats_huber_location",  # IRLS weight boundaries shift with rows
 ]
 
 QUERIES = entry_mod.queries()
