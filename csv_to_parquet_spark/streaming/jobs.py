@@ -1324,3 +1324,61 @@ def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("cnt").cast("bigint").alias("n_events"))
     )
+
+
+@CAT.query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'purchase'
+                       THEN INTERVAL 30 MINUTE
+                       ELSE INTERVAL 10 MINUTE END AS e_end
+      FROM events),
+    m AS (
+      SELECT user_id, ts, e_end,
+             MAX(e_end) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+      FROM e),
+    s AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev_max IS NULL OR ts >= prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dynamic-gap sessionization: ``session_window`` with a
+    per-event gap expression under a watermark — the state-store
+    sessionizer merges a user's open sessions across micro-batches and
+    holds each open until the watermark passes its (event-dependent)
+    gap. Batch twin with the full merge-rule discussion:
+    ``session_window_dynamic_gap``; the oracle is the same
+    islands-over-running-max formulation, aggregated to per-user
+    session counts (complete mode drains every session on the finite
+    fixture).
+    """
+    ev = _events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    res = _run_to_memory(
+        sess, mode="complete",
+        state_partitions=_auto_state_partitions(spark, sf_dir),
+    )
+    return res.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )

@@ -98,6 +98,7 @@ HEAVY = [
     "session_window_dynamic_gap",  # merge-rule ties densify with rows
     "feat_target_encoding_loo",  # fact-sized integer output at volume
     "stats_huber_location",  # IRLS weight boundaries shift with rows
+    "stream_session_dynamic_gap",  # state-store session merges at volume
 ]
 
 QUERIES = entry_mod.queries()
