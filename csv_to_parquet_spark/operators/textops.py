@@ -2730,3 +2730,75 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_query_terms"),
         F.sum("term_micro").cast("bigint").alias("bm25_micro"),
     )
+
+
+#: Group-sample size for the two-phase grouped top-k (mirrors
+#: sample_group_topk_hash's contract).
+_TOPK2_K = 5
+
+
+@CAT.query(
+    "sample_group_topk_two_phase",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY {md5_60_sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+               AS rk
+      FROM documents)
+    SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_TOPK2_K}
+    """,
+)
+def sample_group_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-PHASE grouped top-k that ``sample_group_topk_hash``'s
+    docstring names as the jumbo-stratum upgrade — same contract
+    (exactly k per (lang, source), deterministic hash order), same
+    oracle, different physical shape:
+
+    Phase 1 (mapInArrow, bounded memory, NO shuffle): each Arrow
+    batch keeps only its per-group k smallest (hash, doc_id) keys — a
+    pandas groupby-head over the sorted batch. The global per-group
+    top-k is a subset of the union of per-batch top-ks (any row it
+    contains is within the top-k of every set it belongs to), so the
+    screen is lossless; survivors are ≤ k·groups per BATCH instead of
+    the full stratum.
+
+    Phase 2 (exact): the standard window ranks only the survivors —
+    the shuffle carries ≤ k·groups·batches rows, never a jumbo
+    stratum through one task's sort. Hash keys are computed JVM-side
+    BEFORE the kernel (same md5_60 the single-window variant uses),
+    so the Python crossing ships 4 narrow columns and does zero
+    hashing.
+    """
+    import pyarrow as pa
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        md5_60(F.col("doc_id").cast("string")).alias("h"),
+    )
+
+    def batch_topk(batches):
+        for batch in batches:
+            pdf = batch.to_pandas()
+            keep = (
+                pdf.sort_values(["h", "doc_id"])
+                .groupby(["lang", "source"], sort=False)
+                .head(_TOPK2_K)
+            )
+            yield pa.RecordBatch.from_pandas(
+                keep, schema=batch.schema, preserve_index=False
+            )
+
+    survivors = docs.mapInArrow(
+        batch_topk, "doc_id bigint, lang string, source string, h bigint"
+    )
+    w = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _TOPK2_K)
+        .select("lang", "source", "doc_id", "rk")
+    )

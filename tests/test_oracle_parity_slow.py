@@ -99,6 +99,7 @@ HEAVY = [
     "feat_target_encoding_loo",  # fact-sized integer output at volume
     "stats_huber_location",  # IRLS weight boundaries shift with rows
     "stream_session_dynamic_gap",  # state-store session merges at volume
+    "sample_group_topk_two_phase",  # screen losslessness needs many batches
 ]
 
 QUERIES = entry_mod.queries()
