@@ -3914,3 +3914,91 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+@CAT.query(
+    "events_mutual_information",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 + 3)
+              % 7) + 1 AS iso_dow,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, iso_dow, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+             CAST(SUM(c) OVER (PARTITION BY iso_dow) AS BIGINT) AS cw,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM cells)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c * CAST(FLOOR(ln((CAST(c AS DOUBLE) * n)
+                                      / (CAST(ct AS DOUBLE) * cw))
+                                   * {_ENT_SCALE}) AS BIGINT))
+                // MAX(n) AS BIGINT) AS mi_micro,
+           CAST(SUM(CASE WHEN iso_dow = 1 THEN
+                  ct * CAST(FLOOR(ln(CAST(n AS DOUBLE) / ct)
+                                  * {_ENT_SCALE}) AS BIGINT) END)
+                // MAX(n) AS BIGINT) AS h_type_micro
+    FROM m
+    """,
+)
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and ISO weekday, in
+    integer micro-nats — the dependence measure behind the chi-square
+    test (``events_chisq_independence`` asks IF the two are dependent;
+    MI says HOW MUCH, in bits/nats usable as a feature-selection
+    score), alongside the type-marginal entropy H(T) for normalization
+    (NMI = MI/H).
+
+    Fixed-point discipline (same as the entropy/unigram-LM ops): the
+    only doubles are the per-cell ln() arguments — products ≤ ~6e11,
+    exactly representable — and every aggregation is an
+    order-independent integer sum: MI = Σ c·⌊1e6·ln(c·N/(c_t·c_w))⌋
+    div N. Weekday uses the epoch-arithmetic convention shared with
+    the heatmap op (engine dayofweek numberings disagree). Plan: one
+    corpus-keyed groupBy to the ≤35-cell grid; the marginals are
+    windows OVER THE GRID (the documented tiny-frame exception), and
+    H(T) folds into the same aggregate via the iso_dow=1 slice of the
+    type marginal (each type's ct appears once per weekday).
+    """
+    e = _events(spark, sf_dir)
+    d = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    cells = (
+        e.select(
+            "event_type",
+            ((d % 7 + 3) % 7 + 1).cast("int").alias("iso_dow"),
+        )
+        .groupBy("event_type", "iso_dow")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = (
+        cells.withColumn(
+            "ct", F.sum("c").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("cw", F.sum("c").over(Window.partitionBy("iso_dow")))
+        .withColumn(
+            "n",
+            F.sum("c").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    return m.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.expr(
+            f"CAST(SUM(c * CAST(FLOOR(ln((CAST(c AS DOUBLE) * n)"
+            f" / (CAST(ct AS DOUBLE) * cw)) * {_ENT_SCALE}) AS BIGINT))"
+            f" div MAX(n) AS BIGINT)"
+        ).alias("mi_micro"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN iso_dow = 1 THEN"
+            f" ct * CAST(FLOOR(ln(CAST(n AS DOUBLE) / ct)"
+            f" * {_ENT_SCALE}) AS BIGINT) END)"
+            f" div MAX(n) AS BIGINT)"
+        ).alias("h_type_micro"),
+    )

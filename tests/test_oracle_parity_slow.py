@@ -100,6 +100,7 @@ HEAVY = [
     "stats_huber_location",  # IRLS weight boundaries shift with rows
     "stream_session_dynamic_gap",  # state-store session merges at volume
     "sample_group_topk_two_phase",  # screen losslessness needs many batches
+    "events_mutual_information",  # denser cells shift the ln() inputs
 ]
 
 QUERIES = entry_mod.queries()
