@@ -146,7 +146,14 @@ HEADLINE = [
     "events_gapfill_linear",
     "scalar_try_functions",
     "events_acf_daily",
+    # round-6 seventh wave
+    "session_window_dynamic_gap",
+    "stats_huber_location",
+    "feat_target_encoding_loo",
+    "sample_group_topk_two_phase",
+    "events_mutual_information",
     # streaming
+    "stream_session_dynamic_gap",
     "stream_tumbling_counts",
     "stream_static_enrich",
     "stream_kafka_shaped_decode",
