@@ -4002,3 +4002,128 @@ def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div MAX(n) AS BIGINT)"
         ).alias("h_type_micro"),
     )
+
+
+#: Bucket width for the all-pairs interval-join prefilter (1 hour) and
+#: the minimum co-presence worth reporting (10 minutes): pairs that
+#: merely touch are noise, and the threshold keeps the all-pairs
+#: output proportional to real co-presence, not to session density.
+_COPRES_BUCKET_US = 3_600 * 1_000_000
+_COPRES_MIN_US = 10 * 60 * 1_000_000
+
+
+@CAT.query(
+    "events_copresence_bucketed",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                    > {_SESS_GAP_US} OR
+                  LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev),
+    numbered AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM marked),
+    sess AS (
+      SELECT user_id, sid, MIN(us) AS s0, MAX(us) AS s1
+      FROM numbered GROUP BY user_id, sid),
+    ov AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             LEAST(a.s1, b.s1) - GREATEST(a.s0, b.s0) AS ov_us
+      FROM sess a JOIN sess b
+        ON a.s0 <= b.s1 AND b.s0 <= a.s1 AND a.user_id < b.user_id
+      WHERE LEAST(a.s1, b.s1) - GREATEST(a.s0, b.s0) >= {_COPRES_MIN_US})
+    SELECT user_a, user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(ov_us) AS BIGINT) AS total_overlap_us
+    FROM ov GROUP BY 1, 2
+    """,
+)
+def events_copresence_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-PAIRS session co-presence — the unbounded variant
+    ``events_copresence_topk``'s docstring defers to: every user pair
+    whose sessions overlap by ≥ 10 minutes, with counts and exact
+    total overlapping microseconds.
+
+    Candidate scheme (lossless): each session explodes to the 1-hour
+    time buckets it spans; two overlapping intervals both contain the
+    overlap's first instant, hence share ITS bucket — so the bucket
+    equi-join is a complete candidate generator, and the exact
+    interval predicate + length threshold verify per candidate. The
+    theta join the oracle runs directly would be O(|sessions|²) at
+    scale; the bucketed form is Θ(Σ per-bucket pairs), the classic
+    temporal-join binning, with the bucket width trading candidate
+    fan-out (narrow) against per-interval replication (wide —
+    replication is bounded by session span / width, here ≤ a few
+    buckets for 30-min-gap sessions). Distinct-before-verify removes
+    the multi-bucket duplicates of long co-presences.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _events(spark, sf_dir).select("user_id", us.alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        ev.withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("us") - F.col("prev") > _SESS_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s0"), F.max("us").alias("s1"))
+    )
+    sess = persist_tracked(sess)
+    buckets = sess.select(
+        "user_id",
+        "sid",
+        "s0",
+        "s1",
+        F.explode(
+            F.sequence(
+                F.expr(f"s0 div {_COPRES_BUCKET_US}"),
+                F.expr(f"s1 div {_COPRES_BUCKET_US}"),
+            )
+        ).alias("bkt"),
+    )
+    a = buckets.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sid").alias("sid_a"),
+        F.col("s0").alias("a0"),
+        F.col("s1").alias("a1"),
+        "bkt",
+    )
+    b = buckets.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sid").alias("sid_b"),
+        F.col("s0").alias("b0"),
+        F.col("s1").alias("b1"),
+        "bkt",
+    )
+    ov = F.least("a1", "b1") - F.greatest("a0", "b0")
+    cand = (
+        a.join(
+            b,
+            (a.bkt == b.bkt) & (F.col("user_a") < F.col("user_b")),
+        )
+        .filter(ov >= _COPRES_MIN_US)
+        .select("user_a", "sid_a", "user_b", "sid_b", "a0", "a1", "b0", "b1")
+        .distinct()
+    )
+    return (
+        cand.withColumn("ov_us", F.least("a1", "b1") - F.greatest("a0", "b0"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.sum("ov_us").cast("bigint").alias("total_overlap_us"),
+        )
+    )

@@ -101,6 +101,7 @@ HEAVY = [
     "stream_session_dynamic_gap",  # state-store session merges at volume
     "sample_group_topk_two_phase",  # screen losslessness needs many batches
     "events_mutual_information",  # denser cells shift the ln() inputs
+    "events_copresence_bucketed",  # bucket fan-out grows with density
 ]
 
 QUERIES = entry_mod.queries()
