@@ -2802,3 +2802,118 @@ def sample_group_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK2_K)
         .select("lang", "source", "doc_id", "rk")
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1 — the public corpus-filter
+# recipe). Ratio rules compare via integer cross-multiplication so no
+# floats enter the verdicts. Line-shape rules (bullet/ellipsis) are
+# omitted: the synthetic corpus is single-line by construction and the
+# rules would vacuously pass.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL = 3  # mean word length bounds (chars/word)
+_GOPHER_MAX_MWL = 10
+_GOPHER_ALPHA_PCT = 80  # >= 80% of words contain an alphabetic char
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_STOPS = 2  # distinct stop words required
+
+
+@CAT.query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(list_sum(list_transform(toks, w -> CAST(len(w) AS BIGINT)))
+                  AS BIGINT) AS n_chars,
+             CAST(len(list_intersect(list_transform(toks, w -> lower(w)),
+                  {list(_GOPHER_STOPS)})) AS BIGINT) AS n_stops
+      FROM t),
+    v AS (
+      SELECT doc_id,
+             CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                  AS INT) AS r_words,
+             CAST(n_chars >= {_GOPHER_MIN_MWL} * n_words
+                  AND n_chars <= {_GOPHER_MAX_MWL} * n_words AS INT) AS r_mwl,
+             CAST(n_alpha * 100 >= {_GOPHER_ALPHA_PCT} * n_words AS INT)
+               AS r_alpha,
+             CAST(n_stops >= {_GOPHER_MIN_STOPS} AS INT) AS r_stops
+      FROM d)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r_words) AS BIGINT) AS pass_word_count,
+           CAST(SUM(r_mwl) AS BIGINT) AS pass_mean_word_len,
+           CAST(SUM(r_alpha) AS BIGINT) AS pass_alpha_ratio,
+           CAST(SUM(r_stops) AS BIGINT) AS pass_stop_words,
+           CAST(SUM(r_words * r_mwl * r_alpha * r_stops) AS BIGINT)
+             AS pass_all
+    FROM v
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher corpus-filter rules (Rae et al. 2021, A1.1) as a
+    per-rule pass-count report over the documents table: word-count
+    bounds, mean-word-length bounds, alphabetic-word ratio, and
+    stop-word presence — the named public recipe behind most web-scale
+    pretraining filters (C4/RefinedWeb variants tighten the same
+    axes). The line-shape rules (bullet/ellipsis starts) are omitted:
+    this corpus is single-line by construction and they pass
+    vacuously.
+
+    Exactness: every ratio rule compares by integer
+    cross-multiplication (n_chars ≥ 3·n_words, 100·n_alpha ≥
+    80·n_words) so the verdicts involve no floats at all; the report
+    is five exact integer sums off one tokenize pass — a single
+    map-side-combined aggregate, no shuffle of document content.
+    """
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    toks = tokenize("text")
+    d = _docs(spark, sf_dir).select(
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(
+            F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+        ).cast("bigint").alias("n_alpha"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc + F.length(w).cast("bigint"),
+        ).alias("n_chars"),
+        F.size(
+            F.array_intersect(
+                F.transform(toks, lambda w: F.lower(w)), stops
+            )
+        ).cast("bigint").alias("n_stops"),
+    )
+    r_words = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    ).cast("int")
+    r_mwl = (
+        (F.col("n_chars") >= _GOPHER_MIN_MWL * F.col("n_words"))
+        & (F.col("n_chars") <= _GOPHER_MAX_MWL * F.col("n_words"))
+    ).cast("int")
+    r_alpha = (
+        F.col("n_alpha") * 100 >= _GOPHER_ALPHA_PCT * F.col("n_words")
+    ).cast("int")
+    r_stops = (F.col("n_stops") >= _GOPHER_MIN_STOPS).cast("int")
+    v = d.select(
+        r_words.alias("r_words"),
+        r_mwl.alias("r_mwl"),
+        r_alpha.alias("r_alpha"),
+        r_stops.alias("r_stops"),
+    )
+    return v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("r_words").cast("bigint").alias("pass_word_count"),
+        F.sum("r_mwl").cast("bigint").alias("pass_mean_word_len"),
+        F.sum("r_alpha").cast("bigint").alias("pass_alpha_ratio"),
+        F.sum("r_stops").cast("bigint").alias("pass_stop_words"),
+        F.sum(
+            F.col("r_words") * F.col("r_mwl") * F.col("r_alpha") * F.col("r_stops")
+        ).cast("bigint").alias("pass_all"),
+    )

@@ -102,6 +102,7 @@ HEAVY = [
     "sample_group_topk_two_phase",  # screen losslessness needs many batches
     "events_mutual_information",  # denser cells shift the ln() inputs
     "events_copresence_bucketed",  # bucket fan-out grows with density
+    "quality_gopher_rules",  # verdict boundaries hit with more docs
 ]
 
 QUERIES = entry_mod.queries()
