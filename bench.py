@@ -152,6 +152,8 @@ HEADLINE = [
     "feat_target_encoding_loo",
     "sample_group_topk_two_phase",
     "events_mutual_information",
+    "events_copresence_bucketed",
+    "quality_gopher_rules",
     # streaming
     "stream_session_dynamic_gap",
     "stream_tumbling_counts",
