@@ -42,30 +42,48 @@ CANARIES = [
     "source_jdbc_roundtrip",
 ]
 
-# VERDICT r5 #1: these existed before round 6 but have never appeared
-# in a driver CORRECTNESS sample (they pass local parity). They outrank
-# brand-new round-6 queries within the never-checked tier so the driver
-# converts their local evidence into recorded cross-engine evidence
-# first; once green they fall out of this tier automatically.
+# VERDICT r6 #1: the 34 catalog entries that have never appeared in a
+# driver CORRECTNESS sample (union of r1-r6; they all pass local
+# parity). They outrank brand-new round-7 queries within the
+# never-checked tier so the driver converts their local evidence into
+# recorded cross-engine evidence first; once green they fall out of
+# this tier automatically. (The r5 FRONTLOAD names all went green in
+# the r6 window and were dropped from this list.)
 FRONTLOAD = [
-    "ivm_incremental_agg",
-    "maintenance_gdpr_erase",
-    "mm_audio_energy_stub",
-    "mm_payload_dedup",
-    "pipeline_training_manifest",
-    "scd2_as_of_lookup",
-    "sink_dynamic_partition_overwrite",
-    "sink_jsonl_roundtrip",
-    "source_avro_scan",
-    "source_fixed_width_scan",
-    "source_gzip_csv_scan",
-    "source_json_corrupt_tolerant",
-    "source_multiline_csv_scan",
-    "stream_exactly_once_sink",
-    "stream_kafka_shaped_decode",
-    "stream_static_enrich",
-    "stream_stream_full_outer",
-    "stream_stream_left_outer",
+    "orders_kaplan_meier",
+    "events_gapfill_linear",
+    "session_window_dynamic_gap",
+    "events_mutual_information",
+    "events_copresence_bucketed",
+    "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    "stats_anova_oneway",
+    "stats_corr_matrix",
+    "stats_ols_two_factor",
+    "events_lag_xcorr",
+    "stats_spearman_rank",
+    "stats_winsorized_mean",
+    "events_acf_daily",
+    "stats_huber_location",
+    "source_python_datasource",
+    "variant_events_shred",
+    "sql_udf_disc_revenue",
+    "mapinarrow_norm_audit",
+    "pipeline_observe_metrics",
+    "sketch_hll_daily_rollup",
+    "agg_listagg_nations",
+    "udtf_polymorphic_top_tokens",
+    "ps_pandas_api_rollup",
+    "recursive_doc_ancestry",
+    "recursive_yearly_compound",
+    "graph_label_propagation",
+    "feat_target_encoding_loo",
+    "mm_phash_near_dup",
+    "source_latin1_csv_scan",
+    "source_utf16_csv_scan",
+    "stream_backfill_rate_limited",
+    "stream_state_introspection",
+    "stream_session_dynamic_gap",
 ]
 
 

@@ -866,8 +866,10 @@ def rank_global_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Shared-text phonetic blocking key (soundex-LIKE, own definition so
 #: BOTH engines evaluate the identical expression): uppercase, keep the
 #: first letter, map consonant classes to digits (vowels/H/W/Y -> 0),
-#: drop the zeros, collapse digit runs (three halving replace rounds
-#: handle runs up to 8 — part-name words are <= 10 chars).
+#: drop the zeros, collapse digit runs (four halving replace rounds:
+#: each round halves a same-digit run — ceil(n/2) — so four rounds
+#: collapse runs up to 16, covering any word of <= 17 chars; ADVICE r6
+#: showed three rounds leave 'B11' for a 10-digit run).
 _PHON_SRC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _PHON_DST = "01230120022455012623010202"
 
@@ -875,7 +877,7 @@ _PHON_DST = "01230120022455012623010202"
 def _phonetic_key_sql(col: str) -> str:
     digits = f"substring(translate(upper({col}), '{_PHON_SRC}', '{_PHON_DST}'), 2)"
     collapsed = f"replace({digits}, '0', '')"
-    for _ in range(3):
+    for _ in range(4):
         inner = collapsed
         for d in "123456":
             inner = f"replace({inner}, '{d}{d}', '{d}')"

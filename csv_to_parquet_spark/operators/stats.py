@@ -917,9 +917,14 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("bigint").alias("n"),
         F.lit(p_lo).cast("bigint").alias("p05_cents"),
         F.lit(p_hi).cast("bigint").alias("p95_cents"),
+        # the clamped sum is ~2.3e18 already at sf0.1 (4x int64
+        # headroom) — widen to DECIMAL(38,0) like the sibling
+        # second-moment sums so sf0.5+ can't overflow (DuckDB's SUM
+        # accumulates in HUGEINT on its side); Spark `div` on decimal
+        # yields an exact BIGINT quotient (ADVICE r6).
         F.expr(
-            f"CAST(SUM(cnt * least(greatest(val, {p_lo}), {p_hi})) "
-            f"* 1000000 div {n} AS BIGINT)"
+            f"CAST(SUM(CAST(cnt * least(greatest(val, {p_lo}), {p_hi}) "
+            f"AS DECIMAL(38,0))) * 1000000 div {n} AS BIGINT)"
         ).alias("winsorized_mean_micro"),
     )
 

@@ -601,10 +601,14 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for pdf in rows:
                 n += len(pdf)
-                # half-away-from-zero matches Spark/DuckDB ROUND;
-                # numpy .round is half-even and would diverge
+                # half-AWAY-FROM-ZERO matches Spark/DuckDB ROUND;
+                # numpy .round is half-even, and floor(v+0.5) is
+                # half-up toward +inf (diverges for negative .5
+                # boundaries, e.g. refunds) — round the magnitude and
+                # restore the sign (ADVICE r6)
+                v = pdf["value"].to_numpy() * 100
                 cents_total += int(
-                    np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum()
+                    np.copysign(np.floor(np.abs(v) + 0.5), v).sum()
                 )
                 us = pdf["ts"].astype("datetime64[us]").astype("int64")
                 lo = int(us.min())

@@ -422,8 +422,10 @@ def test_winsorized_boundaries_match_numpy_definition(pairs, den):
 def test_phonetic_key_reference_model(word):
     """The nested-replace SQL pipeline in er_phonetic_block_join must
     equal the straightforward Python model: first letter + vowel-free
-    digit string with runs collapsed (runs here are <= 12 so the three
-    halving rounds always suffice)."""
+    digit string with runs collapsed (runs here are <= 12; each replace
+    round ceil-halves a run, so the FOUR rounds in _phonetic_key_sql
+    cover runs up to 16 — three only covered 8, which this test caught
+    via 'bbbbbbbbbb' -> 'B11', ADVICE r6)."""
     from csv_to_parquet_spark.operators.relational4 import (
         _PHON_DST,
         _PHON_SRC,
