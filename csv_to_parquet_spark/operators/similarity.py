@@ -10,9 +10,9 @@ Scale posture:
   side never shuffles for the join; top-k per query uses a window on
   the (tiny) scored side after per-partition pre-pruning.
 - The LSH variant buckets the corpus ONCE (a narrow map — sign bits of
-  16 fixed hyperplane dot products) and joins queries only to matching
-  buckets (multiprobe over hamming-1 neighbors): candidate cost is
-  O(n/2^bits · probes) per query instead of O(n).
+  L×k fixed hyperplane dot products) and joins queries only to probed
+  buckets (query-directed multiprobe, margin-ranked ≤2-bit flips):
+  candidate cost is O(n·L·T/2^k) per query instead of O(n).
 - Dot products stay JVM-side via zip_with/aggregate higher-order
   functions — no Python UDF in any hot path.
 """
@@ -41,15 +41,15 @@ TOP_K = 10
 # recall when true neighbors sit at modest cosine (this corpus's top-10
 # live at cos ≈ 0.25–0.48, the hard regime); the standard fix is
 # multiple independent coarse tables whose candidate sets union, plus
-# query-side Hamming-1 multiprobe (each query also probes the k
-# buckets one bit-flip away — k extra probes of a tiny broadcast side
-# buy ~k·p^(k-1)(1-p) extra per-table recall for free). With per-bit
-# agreement p = 1 - θ/π ≈ 0.62 in this corpus's cosine band, recall
-# 1-(1-(p^k + k·p^(k-1)(1-p)))^L ≈ 0.5 at L=12, k=10 while the
-# candidate fraction L(k+1)/2^k drops to ~13% of the corpus (vs 25%
-# at the earlier L=8, k=5 with no probes) — and ≳0.95 recall for
-# clustered real-world embeddings (cos ≥ 0.8). Bigger k keeps
-# shrinking the fraction as corpus density grows.
+# QUERY-DIRECTED multiprobe (Lv et al., VLDB'07): per table the query
+# also probes the _T_PROBES-1 perturbed buckets ranked most probable
+# by its own hyperplane margins — small-margin 1- and 2-bit flips,
+# where the neighbor mass actually is, instead of uniform Hamming-1.
+# Measured at sf0.1 on the near-uniform corpus: recall@10 0.76 at a
+# candidate fraction of L·T/2^k = 12·20/1024 ≈ 23% (the r6 uniform
+# Hamming-1 shape gave 0.54 at ~13%; IVF gives 0.70 at 37.5%), and
+# ≳0.95 for clustered real-world embeddings (cos ≥ 0.8). Bigger k
+# keeps shrinking the fraction as corpus density grows.
 _DIM, _N_TABLES, _K_BITS = 64, 12, 10
 _rng = random.Random(7)
 _PLANES = [
@@ -160,56 +160,124 @@ def _table_buckets(vec: Column) -> Column:
     return buckets_udf(vec)
 
 
+#: Query-directed multiprobe budget: probe buckets PER TABLE per query
+#: (the base bucket plus the T-1 most-probable perturbations). 20
+#: probes/table → candidate fraction L·T/2^k = 12·20/1024 ≈ 23% of the
+#: corpus per query — still sub-linear, below IVF's 37.5% scan.
+_T_PROBES = 20
+
+#: All bit-flip masks of size ≤ 2 over k bits, paired with the margin
+#: indices they flip — the scoring universe for query-directed probing
+#: (1 + k + C(k,2) = 56 candidates at k=10; top _T_PROBES survive).
+_PERTURB = [((), 0)] + [((i,), 1 << i) for i in range(_K_BITS)] + [
+    ((i, j), (1 << i) | (1 << j))
+    for i in range(_K_BITS)
+    for j in range(i + 1, _K_BITS)
+]
+
+
+def _query_probes(vec: Column) -> Column:
+    """array<array<bigint>>: for each of the L tables, the _T_PROBES
+    bucket ids a query should probe, most-probable first.
+
+    Query-directed multiprobe (Lv et al., VLDB'07): a true neighbor
+    that misses the query's bucket in a table almost always differs on
+    the bits whose hyperplane margin |q·h| is SMALLEST — the flip
+    probability per bit decays with margin. So instead of blindly
+    flipping every bit once (uniform Hamming-1, the r6 shape that
+    measured 0.54), score every ≤2-bit perturbation by the sum of
+    squared margins it flips and take the T cheapest: small-margin
+    1-flips and 2-flips outrank large-margin 1-flips, concentrating
+    the probe budget where the neighbor mass actually is.
+
+    Runs only on the tiny query side (n_queries × L × 56 scored
+    perturbations in numpy — microseconds); the corpus keeps its
+    single-bucket-per-table map.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_PLANES, dtype=np.float64).reshape(
+        _N_TABLES * _K_BITS, _DIM
+    )
+    weights = 1 << np.arange(_K_BITS, dtype=np.int64)
+
+    @pandas_udf("array<array<bigint>>")
+    def probes_udf(emb: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in emb.values])
+        proj = v @ planes.T  # (n, L*k)
+        bits = (proj >= 0).astype(np.int64)
+        buckets = bits.reshape(len(v), _N_TABLES, _K_BITS) @ weights
+        m2 = (proj.reshape(len(v), _N_TABLES, _K_BITS)) ** 2
+        out = []
+        for r in range(len(v)):
+            tables = []
+            for t in range(_N_TABLES):
+                scored = sorted(
+                    (sum(m2[r, t, i] for i in idxs), mask)
+                    for idxs, mask in _PERTURB
+                )
+                base = int(buckets[r, t])
+                tables.append(
+                    [base ^ mask for _, mask in scored[:_T_PROBES]]
+                )
+            out.append(tables)
+        return pd.Series(out)
+
+    return probes_udf(vec)
+
+
 @CAT.query("knn_lsh_ann")  # approximate by design → rows-only check
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via multi-table random-hyperplane LSH with Hamming-1
-    multiprobe.
+    """ANN top-k via multi-table random-hyperplane LSH with
+    query-directed multiprobe.
 
     Corpus pass: one narrow map computes each vector's bucket in each
     of the L tables (sign bits of k fixed hyperplane dot products),
     exploded to (tbl, bucket) keys. The (tiny, broadcast) query side
-    additionally probes every bucket one bit-flip away, so the corpus
-    is scanned EXACTLY ONCE with zero shuffle for the candidate join.
+    probes, per table, the ``_T_PROBES`` buckets ranked most probable
+    by the query's own hyperplane margins (see :func:`_query_probes`),
+    so the corpus is scanned EXACTLY ONCE with zero shuffle for the
+    candidate join.
 
     Exact cosine is computed at join time, so the only thing that ever
     shuffles is (query_id, vec_id, cs) triples — the cross-table
     dedupe is a groupBy-max over those 20-byte rows, never over the
     64-float embedding arrays (a duplicated pair costs ≤L redundant
     JVM dot products, which at 100 TB is far cheaper than shuffling
-    vectors). Candidate cost ≈ L(k+1)/2^k of the corpus per query
-    instead of O(n); recall vs the brute-force baseline is asserted in
-    tests and emitted per-round by bench.py (``recall_at_10``).
+    vectors). Candidate cost ≈ L·T/2^k of the corpus per query instead
+    of O(n); recall vs the brute-force baseline is asserted in tests
+    and emitted per-round by bench.py (``recall_at_10``).
 
     Recall honesty: the driver's synthetic embeddings are near-uniform
     on the sphere, so a query's true top-10 sit at cosine ≈ 0.3 —
-    collision probability per hyperplane only 0.6, i.e. the regime
-    where ANY sub-linear ANN structurally cannot reach high recall
-    (0.95 here would require probing >100% of the corpus; measured
-    recall@10 ≈ 0.54 at sf0.1 for ~13% candidate fraction). On real
-    clustered embedding corpora — the production case — neighbors sit
-    at cosine 0.8+, where the same parameters give per-table collision
-    0.9^k and recall ≈ 1-(1-0.9^k)^L ≈ 0.99. In production k is sized
-    to the corpus (k ≈ log₂(n/target_bucket)) — fixed here so the
-    driver's rows-only check stays deterministic per sf.
+    collision probability per hyperplane only 0.6, the regime where
+    ANY sub-linear ANN pays dearly for recall. Measured at sf0.1:
+    recall@10 ≈ 0.76 for a ~23% candidate fraction with directed
+    probing (uniform Hamming-1 gave 0.54 at ~13%; 0.95 would require
+    probing >100%). On real clustered embedding corpora — the
+    production case — neighbors sit at cosine 0.8+, where the same
+    parameters give per-table collision 0.9^k and recall
+    ≈ 1-(1-0.9^k)^L ≈ 0.99 (pinned ≥0.9 in tests/test_llm_ops.py). In
+    production k is sized to the corpus (k ≈ log₂(n/target_bucket)) —
+    fixed here so the driver's rows-only check stays deterministic
+    per sf.
     """
     e = _emb(spark, sf_dir).select(
         "vec_id",
         "embedding",
         F.posexplode(_table_buckets(F.col("embedding"))).alias("tbl", "bucket"),
     )
-    base = F.col("bucket")
-    probes = F.array(base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(_K_BITS)])
     q = F.broadcast(
         _queries(spark, sf_dir)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
-            F.posexplode(_table_buckets(F.col("embedding"))).alias("tbl", "bucket"),
+            F.posexplode(_query_probes(F.col("embedding"))).alias(
+                "qtbl", "plist"
+            ),
         )
-        .select(
-            "query_id", "qv", "tbl", F.explode(probes).alias("qbucket")
-        )
-        .withColumnRenamed("tbl", "qtbl")
+        .select("query_id", "qv", "qtbl", F.explode("plist").alias("qbucket"))
     )
     cs = cosine_similarity("qv", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))

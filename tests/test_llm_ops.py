@@ -42,10 +42,11 @@ def test_ann_recall_vs_bruteforce(spark, sf_smoke, queries):
     recall = len(exact & ann) / len(exact)
     # This corpus is the hard regime for LSH — near-uniform random
     # vectors whose true top-10 sit at cos ≈ 0.25–0.48. At L=12/k=10
-    # with Hamming-1 multiprobe the analytic recall there is ~0.5
-    # (≳0.95 for clustered real-world embeddings at cos ≥ 0.8) at a
-    # ~13% candidate fraction; gate at 0.35 to stay deterministic-safe.
-    assert recall >= 0.35, f"ANN recall {recall:.2f} too low vs brute force"
+    # with query-directed multiprobe (_T_PROBES=20, ~23% candidate
+    # fraction) measured recall is 0.69 at sf0.01 / 0.76 at sf0.1
+    # (≳0.95 for clustered real-world embeddings at cos ≥ 0.8); gate
+    # at 0.6 — deterministic modulo testdata regeneration.
+    assert recall >= 0.6, f"ANN recall {recall:.2f} too low vs brute force"
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_smoke, queries):
