@@ -1232,6 +1232,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-dup (exact baseline; LSH path in similarity.py)
 # ---------------------------------------------------------------------------
 
+#: Block-partitioned pair generation: each side is bucketed by
+#: vec_id mod B and replicated to its bucket PAIRS, so every task
+#: compares exactly one (bucket_i, bucket_j) block. B(B+1)/2 uniform
+#: tasks; per-task memory is two n/B-row blocks, never the corpus.
+_COS_BLOCKS = 16
+
+
 @CAT.query(
     "dedup_embedding_cosine",
     oracle="""
@@ -1252,28 +1259,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline the ANN path is measured against. All-double sequential
     accumulation matches DuckDB's list_dot_product bit-for-bit.
     Zero-norm vectors are filtered on both engines before scoring —
-    see :func:`csv_to_parquet_spark.functions.nonzero_norm`."""
+    see :func:`csv_to_parquet_spark.functions.nonzero_norm`.
+
+    Scale shape (r6 VERDICT fix): the semantics are inherently O(n²)
+    compute, but the MEMORY no longer is — the r6 shape broadcast the
+    whole corpus for a nested-loop join, and an n-sized broadcast dies
+    long before the compute does. Now both sides are bucketed by
+    ``vec_id mod _COS_BLOCKS`` and exploded to bucket-pair keys (left
+    row in bucket i → pairs (i, j≥i); right row in bucket j → pairs
+    (i≤j, j)), so the block join is a plain EQUALITY shuffle join on
+    (bi, bj): B(B+1)/2 uniformly-sized tasks, each holding two
+    n/B-row blocks — bounded per-task memory, no broadcast of
+    anything but literals. An unordered vector pair meets exactly
+    once: in its (min-bucket, max-bucket) task for distinct buckets
+    (emitted as least/greatest id), id-ordered within the diagonal
+    tasks. Shuffle volume is n·(B+1)/2 vector rows — the price of
+    removing the O(n) broadcast; at 100 TB you raise B so blocks fit
+    executors and the task count, not a single driver broadcast,
+    absorbs the growth.
+    """
     from csv_to_parquet_spark.functions import cosine_similarity, nonzero_norm
 
+    B = _COS_BLOCKS
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .filter(nonzero_norm("embedding"))
     )
-    # stream side spread across cores: the theta join is a broadcast
-    # nested loop, so its parallelism equals the streamed side's
-    # partition count — a single-file scan would run the whole O(n²)
-    # scoring on ONE task (measured 87 s -> ~4 s at sf0.1)
-    a = spread(e).select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = F.broadcast(
-        e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    left = e.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("va"),
+        (F.col("vec_id") % B).cast("int").alias("bi"),
+    ).select(
+        "ida",
+        "va",
+        "bi",
+        F.explode(F.sequence(F.col("bi"), F.lit(B - 1))).alias("bj"),
     )
+    right = e.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("vb"),
+        (F.col("vec_id") % B).cast("int").alias("bj"),
+    ).select(
+        "idb",
+        "vb",
+        "bj",
+        F.explode(F.sequence(F.lit(0), F.col("bj"))).alias("bi"),
+    )
+    # explicit numPartitions: the shuffle is tiny in BYTES but the
+    # post-join scoring is the CPU hot path — AQE would coalesce a
+    # planner shuffle down to a few tasks on byte size alone, while an
+    # explicit repartition count is respected
+    n_tasks = spark.sparkContext.defaultParallelism
+    left = left.repartition(n_tasks, "bi", "bj")
+    right = right.repartition(n_tasks, "bi", "bj")
     cs = cosine_similarity("va", "vb")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        # SHUFFLE_HASH pins the equality join to a shuffled hash join:
+        # Catalyst's size estimate would otherwise re-broadcast the
+        # replicated corpus side (the exact anti-pattern this shape
+        # removes) and run the whole O(n²) scoring on one task
+        left.hint("SHUFFLE_HASH")
+        .join(right, ["bi", "bj"])
+        # diagonal blocks would otherwise see both orders of a pair
+        .filter((F.col("bi") != F.col("bj")) | (F.col("ida") < F.col("idb")))
         .withColumn("cs", cs)
         .filter(F.col("cs") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cs", 6).alias("cosine"))
+        .select(
+            F.least("ida", "idb").alias("vec_a"),
+            F.greatest("ida", "idb").alias("vec_b"),
+            F.round("cs", 6).alias("cosine"),
+        )
     )
 
 

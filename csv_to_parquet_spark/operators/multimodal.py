@@ -336,17 +336,31 @@ _PHASH_TILE = 32  # decode target: 32x32 "luma" tile, classic pHash
 def _phash_kernel(batches):
     """mapInPandas kernel: payload bytes → 64-bit perceptual hash.
 
-    Stub decode (same contract as :func:`_decode_payload`): the byte
-    stream is tiled into a 32×32 uint8 "image" deterministically; a
-    real build swaps ONLY that step for a codec + grayscale resize.
+    Stub decode (same contract as :func:`_decode_payload`): the
+    payload is reduced to a CONTENT-ROBUST 32×32 feature tile — a
+    hashed token histogram (crc32(token) mod 1024 counts). A real
+    build swaps ONLY that step for a codec + grayscale resize; what
+    must be preserved is the perceptual-hash contract that small
+    perturbations of the decoded content move the tile only slightly.
+    (The r6 kernel tiled RAW BYTES in stream order, which is
+    edit-POSITION-sensitive — a one-word edit shifted every later
+    byte and scrambled the whole tile, so re-encoded/perturbed
+    payloads never matched and the operator returned 0 rows on
+    fixtures without byte-identical dupes. A real image pHash is
+    robust to exactly those perturbations; the histogram tile
+    restores that property for byte payloads.)
+
     The hash itself is the classic pHash pipeline run in FIXED POINT:
     orthonormal DCT-II matrix scaled by 1e4 and rounded to int64, two
-    integer matmuls (max |value| ≈ 2.6e13 — comfortably int64), keep
-    the top-left 8×8 coefficient block, threshold each coefficient at
-    the block median → 64 bits. Integer end to end ⇒ the same payload
-    hashes identically on every run, partition order, and platform
-    (float DCT would round differently under different BLAS kernels).
+    integer matmuls (|d| ≤ 1e8·n·max_count — comfortably int64 for
+    payloads to ~100 GB), keep the top-left 8×8 coefficient block,
+    threshold each coefficient at the block median → 64 bits. Integer
+    end to end ⇒ the same payload hashes identically on every run,
+    partition order, and platform (float DCT would round differently
+    under different BLAS kernels).
     """
+    import zlib
+
     import numpy as np
 
     n = _PHASH_TILE
@@ -359,14 +373,18 @@ def _phash_kernel(batches):
     for pdf in batches:
         hashes = np.empty(len(pdf), dtype=np.uint64)
         for i, payload in enumerate(pdf["payload"]):
-            buf = np.frombuffer(payload, dtype=np.uint8)
-            need = n * n
-            if len(buf) < need:  # tile the bytes to fill the frame
-                reps = -(-need // max(len(buf), 1))
-                buf = np.tile(buf, reps)[:need]
-            else:
-                buf = buf[:need]
-            tile = buf.reshape(n, n).astype(np.int64)
+            tile = np.zeros(n * n, dtype=np.int64)
+            toks = bytes(payload).split()
+            if toks:
+                # crc32 is C-speed and platform-stable; bincount
+                # aggregates the whole doc in one vectorized pass
+                idx = np.fromiter(
+                    (zlib.crc32(w) % (n * n) for w in toks),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                tile = np.bincount(idx, minlength=n * n).astype(np.int64)
+            tile = tile.reshape(n, n)
             d = t @ tile @ t.T  # integer DCT, exact
             block = d[:8, :8].ravel()
             bits = block > np.median(block)
