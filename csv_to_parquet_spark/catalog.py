@@ -84,6 +84,9 @@ FRONTLOAD = [
     "stream_backfill_rate_limited",
     "stream_state_introspection",
     "stream_session_dynamic_gap",
+    # un-gated in r7 via pbcompat (system protobuf runtime) — needs its
+    # first driver row
+    "stream_transform_with_state",
 ]
 
 
