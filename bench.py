@@ -321,7 +321,11 @@ def main() -> int:
     # compression-quality number, reported alongside the two
     # rows-only ANN paths. All three paths exclude self-matches
     # before ranking, so the numbers are apples-to-apples.
-    for ann_name in ("knn_lsh_ann", "knn_ivf_ann", "knn_pq_adc"):
+    # knn_ivf_pq_ann compounds the IVF probe loss with the PQ
+    # quantization loss — its recall is expected to sit below both
+    # single-leg paths; reporting all four makes the composite's
+    # price visible next to its parts.
+    for ann_name in ("knn_lsh_ann", "knn_ivf_ann", "knn_pq_adc", "knn_ivf_pq_ann"):
         if ann_name not in queries:
             continue
         got = _topk_sets(queries[ann_name](spark, sf_dir))

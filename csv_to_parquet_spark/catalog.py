@@ -163,6 +163,7 @@ def build_catalog() -> Catalog:
         "analytics",
         "stats",
         "spark4",
+        "spark4b",
         "recursion",
         "graph",
         "pipelines",

@@ -3251,14 +3251,17 @@ def events_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The join predicate is the interval-overlap theta condition
     (a.s0 <= o.s1 AND o.s0 <= a.s1), which no equi-join expresses.
-    The scalable form is exactly what runs here: the anchor side is
+    This entry is the K-ANCHORED report: the anchor side is
     deliberately BOUNDED (K users' sessions — top-K by activity,
     deterministic ties) and broadcast, so the big session frame
     streams through a broadcast nested-loop once with no shuffle at
-    all. For the unbounded all-pairs variant the same pipeline first
-    equi-joins on coarse time buckets (each interval exploded to the
-    buckets it spans) and applies this exact predicate per bucket —
-    documented here, not needed for the K-anchored report.
+    all — the right plan when one side is bounded by construction.
+    The unbounded ALL-PAIRS production scale path is its sibling
+    ``events_copresence_bucketed`` (same module): it equi-joins on
+    coarse time buckets (each session exploded to the buckets it
+    spans) and applies this exact predicate per bucket, Θ(per-bucket
+    pairs) with no broadcast of anything unbounded. Use topk when you
+    have anchors, bucketed when you need every pair.
 
     Sessions are the standard 30-min-gap sessionization (one window
     per user — the sessionize exchange); overlap lengths are exact

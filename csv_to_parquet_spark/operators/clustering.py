@@ -1081,3 +1081,104 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _ADC_TOPK)
         .select("query_id", "vec_id", "dist_micro2", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composite (the FAISS IVFPQ shape): coarse-probe, then ADC
+# ---------------------------------------------------------------------------
+
+#: Cells probed per query in the composite index. Same knob semantics
+#: as similarity._IVF_PROBES; kept its own constant so the two
+#: entries' recall/cost trade-offs can diverge independently.
+_IVFPQ_PROBES = 6
+
+
+@CAT.query("knn_ivf_pq_ann")  # lossy composite by design → rows-only
+def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{_ADC_TOPK} via IVF coarse quantization OVER PQ codes —
+    the composite every production vector store actually deploys
+    (FAISS ``IVFx,PQy``): the inverted file bounds WHICH fraction of
+    the corpus a query touches, PQ bounds the BYTES per touched
+    vector. The single-leg entries remain the measured references:
+    ``knn_ivf_ann`` (coarse probe, exact rerank) isolates the probe
+    loss, ``knn_pq_adc`` (full-scan ADC) isolates the quantization
+    loss; this entry's recall is their compounding, the honest price
+    of 100 TB practicality, reported side by side in bench.py's
+    ``recall_at_10``.
+
+    Pipeline: train centroids with the shared Lloyd trainer
+    (similarity._ivf_train_centroids — model-sized collect only),
+    assign corpus cells with the JVM argmax map, PQ-encode with the
+    SHARED encoder (the audit, the full-scan ADC, and this index must
+    agree on codes), and attach the cell to each code row. Per query:
+    probe the {_IVFPQ_PROBES} nearest cells (a queries×probes literal
+    — broadcast), score candidates through the same broadcast
+    (query, subspace, code) → d2 lookup table as ``knn_pq_adc``, sum
+    over subspaces, window top-k. The corpus-side scan reads only
+    probed cells' CODE rows: probes/cells of the corpus at
+    {_PQ_M} small ints per vector, no embedding column after encode,
+    no shuffle carrying vectors — the exchange holds
+    (query_id, vec_id, d2) triples for candidates only.
+    """
+    import numpy as np
+
+    from csv_to_parquet_spark.operators.similarity import (
+        _cell_ranks,
+        _emb,
+        _ivf_train_centroids,
+    )
+
+    e = _emb(spark, sf_dir)
+    cents = _ivf_train_centroids(e)
+    cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    cells = e.select(
+        "vec_id", _cell_ranks(cent_lit, F.col("embedding"), 1)[0].alias("cell")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d_sub = 64 // _PQ_M
+    codebook = _pq_codebook(emb)
+    # inner join: also drops zero-norm vectors (absent from `cells`),
+    # matching the other ANN paths' corpus filter
+    codes = _pq_encode(emb, codebook, with_err=False).join(cells, "vec_id")
+
+    q_rows = (
+        e.filter(F.col("vec_id") < _ADC_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents_np = np.array(cents, dtype=np.float64)
+    cent_norm = np.sqrt((cents_np * cents_np).sum(axis=1))
+    probe_rows, lut_rows = [], []
+    for r in q_rows:
+        qv = np.array(r.embedding, dtype=np.float64)
+        sims = cents_np @ qv / cent_norm  # query norm constant per query
+        for c in np.argsort(-sims)[:_IVFPQ_PROBES]:
+            probe_rows.append((r.vec_id, int(c)))
+        qq = _pq_quant(qv)
+        for s in range(_PQ_M):
+            sl = slice(s * d_sub, (s + 1) * d_sub)
+            d2 = ((qq[sl][None, :] - codebook[:, sl]) ** 2).sum(axis=1)
+            lut_rows.extend(
+                (r.vec_id, s + 1, c, int(d2[c])) for c in range(len(d2))
+            )
+    probes = spark.createDataFrame(probe_rows, "query_id BIGINT, cell INT")
+    lut = spark.createDataFrame(
+        lut_rows, "query_id BIGINT, subspace BIGINT, code BIGINT, d2 BIGINT"
+    )
+
+    adc = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("dist_micro2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist_micro2", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _ADC_TOPK)
+        .select("query_id", "vec_id", "dist_micro2", "rk")
+    )

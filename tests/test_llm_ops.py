@@ -49,6 +49,22 @@ def test_ann_recall_vs_bruteforce(spark, sf_smoke, queries):
     assert recall >= 0.6, f"ANN recall {recall:.2f} too low vs brute force"
 
 
+def test_ivfpq_recall_vs_bruteforce(spark, sf_smoke, queries):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in queries["knn_bruteforce_cosine"](spark, sf_smoke).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in queries["knn_ivf_pq_ann"](spark, sf_smoke).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    # compounds IVF probe loss (~0.70 standalone) with PQ quantization
+    # loss (~0.67 standalone); measured 0.575 at sf0.01 AND sf0.1 on
+    # the uniform corpus — gate at 0.45
+    assert recall >= 0.45, f"IVFPQ recall {recall:.2f} too low vs brute force"
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_smoke, queries):
     exact = {
         (r.query_id, r.vec_id)
@@ -301,6 +317,12 @@ def test_ann_recall_clustered_corpus(spark, tmp_path, queries):
     got = topk("knn_pq_adc")
     recall = len(exact & got) / len(exact)
     assert recall >= 0.6, f"knn_pq_adc clustered recall {recall:.3f} < 0.6"
+    # the IVF+PQ composite compounds probe loss with quantization
+    # loss; on clustered data the probe loss ~vanishes (the neighbor
+    # cluster fits in the probed cells), so its bound tracks PQ's
+    got = topk("knn_ivf_pq_ann")
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.55, f"knn_ivf_pq_ann clustered recall {recall:.3f} < 0.55"
 
 
 def test_pair_banding_envelope():

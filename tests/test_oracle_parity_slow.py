@@ -108,6 +108,29 @@ HEAVY = [
 QUERIES = entry_mod.queries()
 ORACLE = entry_mod.oracle_sql()
 
+#: Collected outcomes, dumped to CORRECTNESS_SLOW.json at module
+#: teardown (VERDICT r6 #8: the sf0.1 battery was the only evidence
+#: tier with no committed artifact). Entries are written as each test
+#: passes, so a -x abort still leaves the greens recorded; a failed or
+#: never-run test simply has no row claiming green.
+_SLOW_RESULTS: dict[str, dict] = {}
+_ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CORRECTNESS_SLOW.json")
+
+
+def _record(name: str, **row) -> None:
+    _SLOW_RESULTS[name] = {"sf_dir": SF_BENCH, **row}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _slow_artifact():
+    yield
+    if _SLOW_RESULTS:
+        import json
+
+        with open(_ARTIFACT, "w") as f:
+            json.dump(dict(sorted(_SLOW_RESULTS.items())), f, indent=2, default=str)
+            f.write("\n")
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -125,6 +148,14 @@ def test_heavy_query_matches_oracle_at_bench_sf(spark, name, duck):
     release_caches()
     duck_pdf = duck.execute(ORACLE[name]).df()
     problems = compare_frames(spark_pdf, duck_pdf)
+    _record(
+        name,
+        kind="oracle_compare",
+        match=not problems,
+        problems=problems,
+        spark_rows=len(spark_pdf),
+        oracle_rows=len(duck_pdf),
+    )
     assert not problems, f"{name} @ {SF_BENCH}: " + "; ".join(problems)
 
 
@@ -217,6 +248,13 @@ def test_minhash_lsh_matches_lossless_truth_at_bench_sf(spark, pair_truth):
     for p, j in recomputed.items():
         assert j >= JACCARD_THRESHOLD
         assert abs(mh[p] - round(j, 6)) < 5e-6
+    _record(
+        "invariant_minhash_lsh_vs_lossless_truth",
+        kind="invariant",
+        match=True,
+        truth_pairs=len(pair_truth),
+        lsh_pairs=len(mh),
+    )
 
 
 @pytest.mark.slow
@@ -231,6 +269,12 @@ def test_capped_index_jaccard_matches_lossless_truth_at_bench_sf(
     assert set(ng) == set(pair_truth)
     for p, j in ng.items():
         assert abs(j - pair_truth[p]) < 1e-9
+    _record(
+        "invariant_capped_index_vs_lossless_truth",
+        kind="invariant",
+        match=True,
+        pairs=len(ng),
+    )
 
 
 @pytest.mark.slow
@@ -259,6 +303,12 @@ def test_sampled_non_pairs_below_threshold_at_bench_sf(spark, pair_truth):
     recomputed = _exact_jaccard_for_pairs(spark, sorted(non_pairs))
     assert len(recomputed) == 200
     assert all(j < JACCARD_THRESHOLD for j in recomputed.values())
+    _record(
+        "invariant_seeded_non_pairs_below_threshold",
+        kind="invariant",
+        match=True,
+        non_pairs=len(recomputed),
+    )
 
 
 @pytest.mark.slow
@@ -297,6 +347,12 @@ def test_containment_pairs_reverify_at_bench_sf(spark):
     for r in rec.collect():
         assert r.c >= CONTAINMENT_THRESHOLD
         assert abs(got[(r.doc_a, r.doc_b)] - round(r.c, 6)) < 5e-6
+    _record(
+        "invariant_containment_pairs_reverified",
+        kind="invariant",
+        match=True,
+        pairs=len(got),
+    )
 
 
 @pytest.mark.slow
@@ -315,3 +371,10 @@ def test_connected_components_respect_truth_pairs_at_bench_sf(
     for a, b in pair_truth:
         assert a in label and b in label
         assert label[a] == label[b], (a, b)
+    _record(
+        "invariant_connected_components_respect_truth",
+        kind="invariant",
+        match=True,
+        docs=len(label),
+        truth_pairs=len(pair_truth),
+    )
