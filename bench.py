@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_simhash_signatures",
     "knn_bruteforce_cosine",
     "knn_lsh_ann",
+    "knn_ivf_ann",
     "text_quality_scores",
     "text_tfidf_top_terms",
     "text_ngram_top50",
@@ -161,6 +162,15 @@ HEADLINE = [
     "stream_kafka_shaped_decode",
     "stream_stream_left_outer",
     "stream_backfill_rate_limited",
+    # round-7 operators
+    "dedup_embedding_cosine",  # de-broadcast block-pair shape (r7)
+    "knn_ivf_pq_ann",
+    "sql_scripting_compound_loop",
+    "sql_execute_immediate_pivot",
+    "join_collation_ci_segments",
+    "agg_approx_top_k_brands",
+    "mm_phash_near_dup",  # content-robust kernel (r7)
+    "stream_transform_with_state",  # un-gated in r7
 ]
 
 

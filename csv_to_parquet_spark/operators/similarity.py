@@ -311,14 +311,46 @@ _IVF_PROBES = 6
 _IVF_KMEANS_ITERS = 2
 
 
+def _ivf_cells_arrow(vec: Column, cents: list[list[float]], n: int) -> Column:
+    """array of the n nearest-centroid indices for an embedding column,
+    via ONE vectorized Arrow crossing (batch matmul + argsort).
+
+    Replaces the interpreted ``_cell_ranks`` HOF in every
+    corpus-sized pass (r7): the HOF form pays ~1 µs per element op —
+    cells × dims × rows ≈ 2M interpreted ops ≈ 2 s per pass at sf0.1 —
+    while the Arrow batch matmul is ~50 ms and scales per-batch on
+    executors (same measured trade the module-level
+    ``_seq_dots_udf`` in clustering.py documents; the oracle-exact
+    k-means entry keeps its own sequential-parity arithmetic there).
+    Cell structure here is approximate by design (rows-only entries),
+    so the float64-matmul rounding is immaterial — and the trainer,
+    the corpus assignment, and the query probes all use this same
+    arithmetic, so the index is self-consistent.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(cents, dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+
+    @pandas_udf("array<int>")
+    def cells_udf(emb: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in emb.values])
+        sims = v @ C.T / Cn  # row norm constant per row — argsort-safe
+        order = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return cells_udf(vec)
+
+
 def _ivf_train_centroids(e: DataFrame) -> list[list[float]]:
     """Lloyd's k-means over the corpus → ``_IVF_CELLS`` centroids.
 
     Init: deterministic seed vectors (vec_id 100..115). Each iteration
     is the canonical distributed k-means step — assign every vector to
-    its nearest centroid with a JVM-side argmax over a centroid
-    literal (narrow map, no shuffle of vectors), then
-    ``groupBy(cell).agg(avg(dim_i) …)``: 64 avg columns partial-
+    its nearest centroid with a vectorized Arrow argmax
+    (:func:`_ivf_cells_arrow` — narrow map, no shuffle of vectors),
+    then ``groupBy(cell).agg(avg(dim_i) …)``: 64 avg columns partial-
     aggregate map-side, so the exchange carries ≤ cells × dims doubles
     per map task regardless of corpus size. The only driver collect is
     the ``_IVF_CELLS``-row model table — bytes-sized parameters, the
@@ -338,11 +370,8 @@ def _ivf_train_centroids(e: DataFrame) -> list[list[float]]:
     ), "IVF seed vectors 100..115 must all exist with nonzero norm"
     cents = [[float(v) for v in r.embedding] for r in seed_rows]
     for _ in range(_IVF_KMEANS_ITERS):
-        cent_lit = F.array(
-            *[F.array(*[F.lit(v) for v in c]) for c in cents]
-        )
         assigned = e.withColumn(
-            "cell", _cell_ranks(cent_lit, F.col("embedding"), 1)[0]
+            "cell", _ivf_cells_arrow(F.col("embedding"), cents, 1)[0]
         )
         rows = (
             assigned.groupBy("cell")
@@ -358,37 +387,11 @@ def _ivf_train_centroids(e: DataFrame) -> list[list[float]]:
         cents = [updated.get(c, cents[c]) for c in range(_IVF_CELLS)]
     # centroids average nonzero-norm vectors (_emb filters), so a zero
     # centroid is impossible-by-invariant; assert so it can never reach
-    # _cell_ranks' division as an opaque ANSI DIVIDE_BY_ZERO
+    # _ivf_cells_arrow's centroid-norm division as an opaque NaN
     assert all(
         any(x != 0.0 for x in c) for c in cents
     ), "IVF centroid collapsed to zero vector"
     return cents
-
-
-def _cell_ranks(cent_lit: Column, vec: Column, n: int) -> Column:
-    """indices of the n nearest centroids (cosine argmax order)."""
-    sims = F.transform(
-        cent_lit,
-        lambda c: F.aggregate(
-            F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / F.sqrt(
-            F.aggregate(
-                F.zip_with(c, c, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ),
-    )
-    ranked = F.slice(
-        F.reverse(F.array_sort(F.arrays_zip(sims.alias("s"),
-            F.sequence(F.lit(0), F.lit(_IVF_CELLS - 1)).alias("cell")))),
-        1,
-        n,
-    )
-    return F.transform(ranked, lambda r: r["cell"])
 
 
 @CAT.query("knn_ivf_ann")  # approximate by design → rows-only check
@@ -397,11 +400,12 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Training is a real (mini) k-means: ``_ivf_train_centroids`` runs
     ``_IVF_KMEANS_ITERS`` Lloyd iterations over the corpus — assign is
-    a narrow JVM argmax map, update is a 64-avg-column groupBy whose
-    partial aggregation keeps the exchange at cells × dims doubles —
-    and collects only the 16-row centroid model. Assignment of the
-    corpus is then a PURE MAP against the trained-centroid literal —
-    no shuffle, no UDF. Queries probe their ``_IVF_PROBES`` nearest
+    one vectorized Arrow argmax per batch (``_ivf_cells_arrow``; the
+    r6 interpreted-HOF argmax measured ~2 s per corpus pass), update
+    is a 64-avg-column groupBy whose partial aggregation keeps the
+    exchange at cells × dims doubles — and collects only the 16-row
+    centroid model. Assignment of the corpus is then the same narrow
+    Arrow map — no shuffle, no join. Queries probe their ``_IVF_PROBES`` nearest
     cells and rerank candidates with exact cosine, touching
     ~probes/cells of the corpus per query at scale. Recall vs brute
     force asserted in tests (trained centroids beat raw seeds: cells
@@ -417,18 +421,25 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster and recall approaches 1; probes is the per-deployment
     recall/cost knob.
     """
-    e = _emb(spark, sf_dir)
-    cents = _ivf_train_centroids(e)
-    cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    from csv_to_parquet_spark.operators.cache import persist_tracked
 
-    corpus = e.withColumn("cell", _cell_ranks(cent_lit, F.col("embedding"), 1)[0])
+    # persisted across the trainer's 3 jobs (seed collect + 2 Lloyd
+    # iterations) AND the final assignment — same pattern as
+    # cluster_kmeans_assign; re-scan + re-spread per job was ~40% of
+    # the entry's bench time at sf0.1
+    e = persist_tracked(_emb(spark, sf_dir))
+    cents = _ivf_train_centroids(e)
+
+    corpus = e.withColumn(
+        "cell", _ivf_cells_arrow(F.col("embedding"), cents, 1)[0]
+    )
     q = F.broadcast(
         _queries(spark, sf_dir)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.explode(
-                _cell_ranks(cent_lit, F.col("embedding"), _IVF_PROBES)
+                _ivf_cells_arrow(F.col("embedding"), cents, _IVF_PROBES)
             ).alias("probe"),
         )
     )

@@ -171,6 +171,27 @@ SHOWCASE = {
         [r"\(\d+\) [^\n]*UnionLoop[^\n]{0,40}",
          r"\(\d+\) HashAggregate[^\n]*"],
     ),
+    "dedup_embedding_cosine": (
+        "r7 de-broadcast: block-pair keys make the O(n²) baseline a "
+        "ShuffledHashJoin over uniform bucket-pair tasks — NO "
+        "BroadcastExchange anywhere (the r6 shape broadcast the corpus)",
+        [r"\(\d+\) ShuffledHashJoin[^\n]*",
+         r"Arguments: hashpartitioning\(bi[#,][^\n]{0,40}"],
+    ),
+    "join_collation_ci_segments": (
+        "the UTF8_LCASE collation keeps the case-insensitive join a "
+        "plain broadcast hash equi-join (Catalyst hashes the collation "
+        "key) — no lower() wrapper, no nested-loop fallback",
+        [r"\(\d+\) BroadcastHashJoin[^\n]*"],
+    ),
+    "knn_ivf_pq_ann": (
+        "composite ANN: probed-cell screen and LUT scoring are both "
+        "broadcast joins over the codes-only corpus (one Python "
+        "crossing to encode; no vector column in any exchange)",
+        [r"\(\d+\) MapInPandas[^\n]{0,60}",
+         r"\(\d+\) BroadcastHashJoin[^\n]*",
+         r"Arguments: hashpartitioning\(query_id[^\n]{0,40}"],
+    ),
 }
 
 

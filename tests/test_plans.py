@@ -180,6 +180,20 @@ def test_merge_upsert_no_base_shuffle(spark, sf_smoke, queries):
     assert _n_ops(plan, "Exchange") == 0, plan  # union+broadcast only
 
 
+def test_embedding_cosine_block_join_never_broadcasts_corpus(
+    spark, sf_smoke, queries
+):
+    """r6 VERDICT #4 'done' criterion, pinned mechanically: the exact
+    cosine pair baseline must plan a SHUFFLED equality join over the
+    block-pair keys — no BroadcastExchange anywhere (the corpus is the
+    only join input, so any broadcast is an n-sized broadcast), no
+    nested-loop fallback."""
+    plan = _plan(queries["dedup_embedding_cosine"](spark, sf_smoke))
+    assert "BroadcastExchange" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
 def test_embedding_lsh_pairs_candidate_join_ships_ids_only(spark, sf_smoke, queries):
     """The band self-join and candidate distinct must exchange id/band
     longs, never the 64-float embedding arrays (vectors re-join only
@@ -195,7 +209,8 @@ def test_embedding_lsh_pairs_candidate_join_ships_ids_only(spark, sf_smoke, quer
 # LSH paths are measured against) or a 1-row scalar broadcast (a
 # cross-join against a single aggregate row — constant-size build side).
 _BNLJ_ALLOW = {
-    "dedup_embedding_cosine",  # exact O(n²) baseline, broadcast NLJ by design
+    # dedup_embedding_cosine left this list in r7: its block-partitioned
+    # pair generation plans a ShuffledHashJoin (pinned below)
     "knn_bruteforce_cosine",  # exact top-k ground truth, broadcast NLJ by design
     "text_tfidf_top_terms",  # 1-row corpus doc-count broadcast for IDF
     "q22_idle_customers",  # 1-row scalar average threshold broadcast
