@@ -698,6 +698,183 @@ if _HAS_PROTOBUF:
     )
 
 
+#: Session gap for the timer-based sessionizer (microseconds). A new
+#: event more than this after the session's last event starts a new
+#: session (strict >; the oracle uses the same strict interval test).
+_TWS_GAP_US = 30 * 60 * 1_000_000
+
+_TWS_TIMERS_ORACLE = f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    b AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM e),
+    g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """
+
+
+def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization finalized by EVENT-TIME TIMERS — the
+    transformWithState capability its profile sibling
+    (``stream_transform_with_state``) doesn't touch: per-key timers
+    registered against the watermark (``handle.registerTimer``), fired
+    into ``handleExpiredTimer``, which emits the closed session and
+    clears state. This is the canonical timer use: sessions closed by
+    a SUBSEQUENT event emit inline from ``handleInputRows``; the final
+    open session of each user has no subsequent event and can only be
+    released by the watermark passing last_event + gap — i.e., by a
+    timer.
+
+    Determinism: session boundaries derive from event times only
+    (strict ``diff > gap`` split over per-key sorted timestamps), so
+    the emitted values are batching-independent; the staged far-future
+    sentinel (``flush_days`` — same mechanism the outer stream-stream
+    joins use) pushes the final watermark past every real session's
+    timer, so ALL real sessions emit and the oracle is plain
+    gaps-and-islands sessionization over the whole fixture. The
+    sentinel user (−1) is excluded; its own timer stays unfired by
+    construction. Timer hygiene: each data batch deletes the key's
+    live timers before registering the new end-of-session timer, so a
+    session extended across batches can't be double-emitted.
+
+    Scale: state per key is one (start, last, n) triple plus one
+    timer — O(active users); rows shuffle once on user_id into the
+    state store, emissions are session-sized.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F811 (worker-side import)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from csv_to_parquet_spark.pbcompat import ensure_protobuf
+
+    ensure_protobuf()  # see stream_transform_with_state
+
+    gap_us = _TWS_GAP_US
+    ev = _events_stream(spark, sf_dir, flush_days=30).withWatermark(
+        "ts", "1 hour"
+    )
+
+    class SessionTimerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            from csv_to_parquet_spark.pbcompat import ensure_protobuf as _ep
+
+            _ep()  # worker-side: processor is pickled by value
+            self.sess = handle.getValueState(
+                "sess", "start_us BIGINT, last_us BIGINT, n BIGINT"
+            )
+            self._handle = handle
+
+        def _emit(self, key, sessions):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "start_us": [s[0] for s in sessions],
+                    "end_us": [s[1] for s in sessions],
+                    "n_events": [s[2] for s in sessions],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            us_parts = []
+            for pdf in rows:
+                us_parts.append(
+                    pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+                )
+            us = np.sort(np.concatenate(us_parts))
+            closed = []
+            if self.sess.exists():
+                start, last, n = tuple(self.sess.get())
+                if int(us[0]) - last > gap_us:
+                    closed.append((start, last, n))
+                    start, last, n = int(us[0]), int(us[0]), 0
+            else:
+                start, last, n = int(us[0]), int(us[0]), 0
+            # split the sorted batch at strict >gap breaks; fold the
+            # carried open session into the first segment
+            breaks = np.where(np.diff(us) > gap_us)[0]
+            seg_start = 0
+            for b in list(breaks):
+                seg = us[seg_start : b + 1]
+                closed.append(
+                    (min(start, int(seg[0])), int(seg[-1]), n + len(seg))
+                )
+                start, n = int(us[b + 1]), 0
+                seg_start = b + 1
+            tail = us[seg_start:]
+            start = min(start, int(tail[0]))
+            last = int(tail[-1])
+            n += len(tail)
+            self.sess.update((start, last, n))
+            # one live timer per key: the end-of-session deadline moves
+            # with every extension
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer((last + gap_us) // 1000 + 1)
+            if closed:
+                yield self._emit(key, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.sess.exists():
+                start, last, n = tuple(self.sess.get())
+                self.sess.clear()
+                yield self._emit(key, [(start, last, n)])
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        SessionTimerProcessor(),
+        outputStructType="user_id BIGINT, start_us BIGINT, "
+        "end_us BIGINT, n_events BIGINT",
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    _PROVIDER = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(_PROVIDER, None)
+    spark.conf.set(
+        _PROVIDER,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        res = _run_to_memory(out, mode="append")
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER)
+        else:
+            spark.conf.set(_PROVIDER, prev)
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us"))
+        .cast("timestamp_ntz")
+        .alias("session_start"),
+        F.timestamp_micros(F.col("end_us"))
+        .cast("timestamp_ntz")
+        .alias("session_end"),
+        "n_events",
+    )
+
+
+if _HAS_PROTOBUF:
+    CAT.query("stream_tws_session_timers", oracle=_TWS_TIMERS_ORACLE)(
+        stream_tws_session_timers
+    )
+
+
 @CAT.query(
     "stream_foreach_batch_rollup",
     oracle="""
