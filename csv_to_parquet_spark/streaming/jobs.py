@@ -666,7 +666,11 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        res = _run_to_memory(out, mode="update")
+        res = _run_to_memory(
+            out,
+            mode="update",
+            state_partitions=_auto_state_partitions(spark, sf_dir),
+        )
     finally:
         if prev is None:
             spark.conf.unset(_PROVIDER)
@@ -851,7 +855,11 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        res = _run_to_memory(out, mode="append")
+        res = _run_to_memory(
+            out,
+            mode="append",
+            state_partitions=_auto_state_partitions(spark, sf_dir),
+        )
     finally:
         if prev is None:
             spark.conf.unset(_PROVIDER)
