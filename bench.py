@@ -172,6 +172,7 @@ HEADLINE = [
     "mm_phash_near_dup",  # content-robust kernel (r7)
     "stream_transform_with_state",  # un-gated in r7
     "stream_tws_session_timers",  # event-time timers (r7)
+    "stream_cdc_jdbc_upsert",
 ]
 
 

@@ -1600,3 +1600,154 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.sum("n_ev").cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC upsert into a JDBC store (foreachBatch + MERGE)
+# ---------------------------------------------------------------------------
+
+_CDC_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@CAT.query(
+    "stream_cdc_jdbc_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_cdc_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert into a relational store: every micro-batch
+    lands its per-user delta in a JDBC staging table (distributed
+    ``write.jdbc``), then one set-based ``MERGE INTO`` folds the stage
+    into the target — update-if-present, insert-if-absent — inside the
+    database (embedded Derby here; the exact pattern a production
+    pipeline uses against Postgres/MySQL serving stores).
+
+    Exactly-once: the additive MERGE is NOT naturally idempotent under
+    Structured Streaming's at-least-once batch replay, so the sink
+    keeps a BATCH LEDGER in the same database and commits each batch's
+    ledger row in the same transaction as its MERGE — a replayed batch
+    finds its batch_id in the ledger and skips. The replay is not
+    hypothetical: after the stream drains, the last batch is pushed
+    through the sink again and must be a no-op; the oracle equality on
+    the final table proves it (same proof shape as
+    ``stream_exactly_once_sink``, but for a transactional JDBC target
+    instead of partition-overwrite files).
+
+    Scale: per batch, Spark does one partial+final agg over the batch
+    (delta-sized) and a distributed JDBC write of the delta; the MERGE
+    is set-based inside the store (never a driver row loop). The
+    driver executes exactly two statements per batch. The final
+    read-back uses the partitioned-scan shape documented at
+    ``source_jdbc_roundtrip``.
+    """
+    ev = _events_stream(spark, sf_dir)
+    db = tempfile.mkdtemp(prefix="cdc_derby_")
+    os.rmdir(db)  # derby wants to create the dir itself
+    url = f"jdbc:derby:{db};create=true"
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(_CDC_DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE cdc_target (user_id BIGINT PRIMARY KEY, "
+        "n_events BIGINT, value_cents BIGINT)"
+    )
+    st.executeUpdate("CREATE TABLE cdc_batches (batch_id BIGINT PRIMARY KEY)")
+
+    last_batch: list[DataFrame] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        _apply_cdc_batch(spark, url, delta, batch_id)
+        last_batch[:] = [delta]
+
+    (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # simulate the crash-replay: the last batch re-enters the sink and
+    # must hit the ledger (batch ids are monotonically assigned from 0,
+    # so the drained count minus one is the last id)
+    if last_batch:
+        rs = st.executeQuery("SELECT MAX(batch_id) FROM cdc_batches")
+        rs.next()
+        _apply_cdc_batch(spark, url, last_batch[0], int(rs.getLong(1)))
+    st.close()
+    conn.close()
+
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "cdc_target")
+        .option("driver", _CDC_DERBY_DRIVER)
+        .option("partitionColumn", "user_id")
+        .option("lowerBound", "1")
+        .option("upperBound", "1000000000")
+        .option("numPartitions", "8")
+        .load()
+        .select(
+            F.col("user_id").cast("bigint"),
+            F.col("n_events").cast("bigint"),
+            F.col("value_cents").cast("bigint"),
+        )
+    )
+
+
+def _apply_cdc_batch(
+    spark: SparkSession, url: str, delta: DataFrame, batch_id: int
+) -> None:
+    """Stage the delta (distributed) and MERGE it into the target with
+    the ledger row in the SAME transaction — skip entirely if the
+    ledger already has this batch_id (replay)."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        rs = st.executeQuery(
+            f"SELECT COUNT(*) FROM cdc_batches WHERE batch_id = {int(batch_id)}"
+        )
+        rs.next()
+        if int(rs.getLong(1)) > 0:
+            return  # replayed batch: already applied
+        # distributed write of the delta into the staging table
+        (
+            delta.write.mode("overwrite")
+            .format("jdbc")
+            .option("url", url)
+            .option("dbtable", "cdc_stage")
+            .option("driver", _CDC_DERBY_DRIVER)
+            .option("truncate", "true")
+            .save()
+        )
+        conn.setAutoCommit(False)
+        # Spark's JDBC writer QUOTES column names, so the staging
+        # table's identifiers are case-sensitive lowercase in Derby —
+        # they must be quoted here; the driver-created target is
+        # ordinary (uppercase) and stays unquoted
+        st.executeUpdate(
+            'MERGE INTO cdc_target t USING cdc_stage s '
+            'ON t.user_id = s."user_id" '
+            "WHEN MATCHED THEN UPDATE SET "
+            'n_events = t.n_events + s."n_events", '
+            'value_cents = t.value_cents + s."value_cents" '
+            "WHEN NOT MATCHED THEN INSERT (user_id, n_events, value_cents) "
+            'VALUES (s."user_id", s."n_events", s."value_cents")'
+        )
+        st.executeUpdate(
+            f"INSERT INTO cdc_batches VALUES ({int(batch_id)})"
+        )
+        conn.commit()
+    finally:
+        conn.close()
