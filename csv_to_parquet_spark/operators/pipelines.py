@@ -639,7 +639,7 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j GROUP BY p_brand)
     SELECT j.l_orderkey, j.l_linenumber, j.p_brand, b.n AS n_cat,
            CAST(CASE WHEN b.n > 1
-                     THEN ((b.s - j.y) * 1000000) // (b.n - 1)
+                     THEN (CAST(b.s - j.y AS HUGEINT) * 1000000) // (b.n - 1)
                 END AS BIGINT) AS loo_micro
     FROM j JOIN b ON j.p_brand = b.p_brand
     """,
@@ -679,9 +679,13 @@ def feat_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "p_brand",
             F.col("n").cast("bigint").alias("n_cat"),
+            # per-brand cent sums reach ~7e17 at sf1; ×1e6 tops int64
+            # near sf10-20 — widen like the sibling second-moment sums
             F.when(
                 F.col("n") > 1,
-                F.expr("((s - y) * 1000000) div (n - 1)"),
+                F.expr(
+                    "(CAST(s - y AS DECIMAL(38,0)) * 1000000) div (n - 1)"
+                ),
             )
             .cast("bigint")
             .alias("loo_micro"),

@@ -152,7 +152,7 @@ _ECDF_SQL = f"""
     WITH {_ECDF_SQL}
     SELECT n1, n2,
            CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
-           CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) * 1000000
+           CAST(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS HUGEINT) * 1000000
                 // (n1 * n2) AS BIGINT) AS ks_micro
     FROM c, t
     GROUP BY n1, n2
@@ -179,7 +179,14 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         "ks_num",
-        F.expr("ks_num * 1000000 div (n1 * n2)").cast("bigint").alias("ks_micro"),
+        # ks_num ≤ n1·n2, so ks_num·1e6 tops int64 near sf10 (n≈3M per
+        # group) — widen like the sibling second-moment sums (DuckDB
+        # side widens to HUGEINT)
+        F.expr(
+            "CAST(ks_num AS DECIMAL(38,0)) * 1000000 div (n1 * n2)"
+        )
+        .cast("bigint")
+        .alias("ks_micro"),
     )
 
 
