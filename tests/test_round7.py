@@ -106,3 +106,47 @@ def test_lsh_query_probes_deterministic_and_sized(spark):
             assert plist[0] == base[vid][t]  # zero-perturbation first
             assert len(set(plist)) == _T_PROBES  # distinct buckets
             assert all(0 <= p < (1 << _K_BITS) for p in plist)
+
+
+def test_sql_scripting_recurrence_matches_python_loop(spark):
+    """The WHILE-loop compounding in sql_scripting_compound_loop must
+    equal the plain Python integer recurrence for edge seeds too
+    (zero, unit, and int64-scale balances) — the oracle only checks
+    the one fixture-derived seed."""
+    from csv_to_parquet_spark.operators.spark4b import (
+        _SCRIPT_PERIODS,
+        _SCRIPT_RATE_BP,
+    )
+
+    for seed in (0, 1, 17, 10**15):
+        got = spark.sql(
+            f"""
+            BEGIN
+              DECLARE bal BIGINT DEFAULT {seed};
+              DECLARE i INT DEFAULT 0;
+              WHILE i < {_SCRIPT_PERIODS} DO
+                SET bal = bal + bal * {_SCRIPT_RATE_BP} DIV 10000;
+                SET i = i + 1;
+              END WHILE;
+              SELECT bal AS final;
+            END
+            """
+        ).collect()[0].final
+        bal = seed
+        for _ in range(_SCRIPT_PERIODS):
+            bal = bal + bal * _SCRIPT_RATE_BP // 10000
+        assert got == bal, (seed, got, bal)
+
+
+def test_collation_join_is_broadcast_hash(spark):
+    """The UTF8_LCASE join must stay a broadcast HASH join — if a
+    Spark upgrade ever demotes collated equality to a nested loop,
+    this trips before the bench does."""
+    from csv_to_parquet_spark.operators.spark4b import (
+        join_collation_ci_segments,
+    )
+
+    df = join_collation_ci_segments(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
