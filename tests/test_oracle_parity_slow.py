@@ -103,6 +103,11 @@ HEAVY = [
     "events_mutual_information",  # denser cells shift the ln() inputs
     "events_copresence_bucketed",  # bucket fan-out grows with density
     "quality_gopher_rules",  # verdict boundaries hit with more docs
+    # round-7 additions with scale-sensitive semantics
+    "dedup_embedding_cosine",  # block-pair join: more pairs straddle buckets
+    "stream_tws_session_timers",  # timer eviction vs watermark at volume
+    "stream_cdc_jdbc_upsert",  # MERGE folding across more batch deltas
+    "sql_scripting_compound_loop",  # seed aggregate grows 10x (overflow guard)
 ]
 
 QUERIES = entry_mod.queries()
@@ -127,8 +132,18 @@ def _slow_artifact():
     if _SLOW_RESULTS:
         import json
 
+        # MERGE into the committed artifact: a partial (-k) run must
+        # refresh only the entries it actually ran, never clobber the
+        # rest of the battery's recorded evidence
+        merged: dict[str, dict] = {}
+        try:
+            with open(_ARTIFACT) as f:
+                merged.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+        merged.update(_SLOW_RESULTS)
         with open(_ARTIFACT, "w") as f:
-            json.dump(dict(sorted(_SLOW_RESULTS.items())), f, indent=2, default=str)
+            json.dump(dict(sorted(merged.items())), f, indent=2, default=str)
             f.write("\n")
 
 
