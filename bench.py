@@ -169,7 +169,6 @@ HEADLINE = [
     "sql_execute_immediate_pivot",
     "join_collation_ci_segments",
     "agg_approx_top_k_brands",
-    "mm_phash_near_dup",  # content-robust kernel (r7)
     "stream_transform_with_state",  # un-gated in r7
     "stream_tws_session_timers",  # event-time timers (r7)
     "stream_cdc_jdbc_upsert",

@@ -1136,16 +1136,20 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = persist_tracked(_emb(spark, sf_dir))
     cents = _ivf_train_centroids(e)
 
-    emb = load_table(spark, sf_dir, "embeddings")
     d_sub = 64 // _PQ_M
-    codebook = _pq_codebook(emb)
+    # codebook from the RAW table, identical BY CONSTRUCTION to the
+    # audit/full-scan entries' codebook (not merely identical because
+    # the fixture happens to have no zero-norm seed vectors)
+    codebook = _pq_codebook(load_table(spark, sf_dir, "embeddings"))
     # Cell assignment is FUSED into the encode pass (how production
     # IVFPQ encoders work): the trained centroids are already a
     # driver-side model, so one vectorized matmul per Arrow batch
     # assigns the cell alongside the PQ codes — no second corpus pass
     # through the interpreted HOF argmax and no codes⨝cells shuffle
     # (that first shape measured 5.0 s vs 0.7 s for each single leg).
-    # Zero-norm vectors are skipped in-kernel, matching _emb's filter.
+    # The corpus below is the PERSISTED, already-nonzero-norm-filtered
+    # frame from the trainer — no second raw scan, one home for the
+    # zero-norm rule (functions.nonzero_norm inside _emb).
     cents_np = np.array(cents, dtype=np.float64)
     cent_norm_k = np.sqrt((cents_np * cents_np).sum(axis=1))
 
@@ -1156,11 +1160,7 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
             )
-            keep = (v * v).sum(axis=1) > 0
-            if not keep.any():
-                continue
-            v = v[keep]
-            ids = pdf["vec_id"].to_numpy()[keep]
+            ids = pdf["vec_id"].to_numpy()
             # row norm is constant per row — argmax over cosine needs
             # only the centroid-norm division
             cell = (v @ cents_np.T / cent_norm_k).argmax(axis=1)
@@ -1176,7 +1176,7 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["code"].append(d2.argmin(axis=1).astype(np.int64))
             yield pd.DataFrame({k: np.concatenate(vv) for k, vv in out.items()})
 
-    codes = emb.select("vec_id", "embedding").mapInPandas(
+    codes = e.select("vec_id", "embedding").mapInPandas(
         encode, "vec_id BIGINT, cell BIGINT, subspace BIGINT, code BIGINT"
     )
 
@@ -1185,12 +1185,12 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    cents_np = np.array(cents, dtype=np.float64)
-    cent_norm = np.sqrt((cents_np * cents_np).sum(axis=1))
     probe_rows, lut_rows = [], []
     for r in q_rows:
         qv = np.array(r.embedding, dtype=np.float64)
-        sims = cents_np @ qv / cent_norm  # query norm constant per query
+        # same cents_np/cent_norm_k as the corpus kernel — one
+        # definition keeps probing and assignment self-consistent
+        sims = cents_np @ qv / cent_norm_k
         for c in np.argsort(-sims)[:_IVFPQ_PROBES]:
             probe_rows.append((r.vec_id, int(c)))
         qq = _pq_quant(qv)

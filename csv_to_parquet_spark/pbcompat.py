@@ -22,6 +22,13 @@ The resulting wire behavior is oracle-checked end to end by
 ``stream_transform_with_state`` (tests/test_round6c.py), which is the
 meaningful compatibility test.
 
+Shadowing caveat: Python imports at most ONE ``sitecustomize``, so if
+some other PYTHONPATH entry already provides one (e.g. coverage.py's
+subprocess hook), whichever comes first wins. The shim dir is
+PREPENDED because the spawned processes hard-fail without it in this
+container (no installed protobuf); an environment that both has a
+sitecustomize AND needs this shim must merge the two by hand.
+
 Worker caveat (why this is a function, not import-time state): the
 StatefulProcessor instance is cloudpickled BY VALUE, so the worker
 process may never import this package's modules at unpickle time.
@@ -122,12 +129,20 @@ def _export_shim_path() -> None:
         pass
 
 
-def ensure_protobuf() -> bool:
+def ensure_protobuf(export_env: bool = True) -> bool:
     """Make ``google.protobuf`` + pyspark's StateMessage_pb2 importable
     in this process if at all possible. Idempotent; safe to call from
     driver and worker alike. Returns True iff the state-server
-    messages load."""
-    _export_shim_path()
+    messages load.
+
+    ``export_env=False`` skips the PYTHONPATH/SparkContext export —
+    used by the import-time catalog gate so merely importing the
+    package never mutates process-global environment (r7 review); the
+    transformWithState query functions call with the default True at
+    use time, which is when spawned pythons actually need the shim.
+    """
+    if export_env:
+        _export_shim_path()
     try:
         import google.protobuf  # noqa: F401
 

@@ -24,7 +24,6 @@ checkpoints make every query exactly-once restartable.
 
 from __future__ import annotations
 
-import importlib.util
 import os
 import shutil
 import tempfile
@@ -541,7 +540,10 @@ def stream_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame
 #: which un-gates the operator in this container (r6 VERDICT item 5).
 from csv_to_parquet_spark.pbcompat import ensure_protobuf
 
-_HAS_PROTOBUF = ensure_protobuf()
+# export_env=False: the import-time gate must not mutate PYTHONPATH /
+# SparkContext.environment for batch-only consumers — the TWS query
+# functions re-call with the default True at use time
+_HAS_PROTOBUF = ensure_protobuf(export_env=False)
 
 _TWS_ORACLE = """
     SELECT user_id,
@@ -654,28 +656,12 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    # multiple named states = multiple column families, which the
-    # default HDFSBackedStateStoreProvider rejects — transformWithState
-    # requires the bundled RocksDB provider. Session conf, restored
-    # after the (availableNow, finite) run so sibling streaming ops
-    # keep the default provider.
-    _PROVIDER = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(_PROVIDER, None)
-    spark.conf.set(
-        _PROVIDER,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         res = _run_to_memory(
             out,
             mode="update",
             state_partitions=_auto_state_partitions(spark, sf_dir),
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(_PROVIDER)
-        else:
-            spark.conf.set(_PROVIDER, prev)
     latest = (
         res.groupBy("user_id")
         .agg(
@@ -702,10 +688,59 @@ if _HAS_PROTOBUF:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """Pin the RocksDB state-store provider for one streaming run,
+    restoring the previous provider afterward. transformWithState
+    needs it because multiple named states are multiple column
+    families, which the default HDFSBackedStateStoreProvider rejects;
+    sibling streaming ops keep the default."""
+    _PROVIDER = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(_PROVIDER, None)
+    spark.conf.set(
+        _PROVIDER,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER)
+        else:
+            spark.conf.set(_PROVIDER, prev)
+
+
 #: Session gap for the timer-based sessionizer (microseconds). A new
 #: event more than this after the session's last event starts a new
 #: session (strict >; the oracle uses the same strict interval test).
 _TWS_GAP_US = 30 * 60 * 1_000_000
+
+
+def merge_sessions(
+    sessions: list[tuple[int, int, int]], new_us: list[int], gap_us: int
+) -> list[tuple[int, int, int]]:
+    """Fold new event timestamps into a list of (start, last, n)
+    sessions: classic interval merge with a join distance of
+    ``gap_us`` (strict > splits). Pure and order-insensitive — the
+    result depends only on the SET of events folded in so far, which
+    is what makes the timer sessionizer's emissions immune to
+    late/out-of-order arrival across micro-batches (unit-tested
+    directly in tests/test_round7.py with late-arrival scenarios)."""
+    items = sorted(
+        [(int(t), int(t), 1) for t in new_us] + [tuple(s) for s in sessions]
+    )
+    merged: list[list[int]] = []
+    for st, en, n in items:
+        if merged and st - merged[-1][1] <= gap_us:
+            merged[-1][1] = max(merged[-1][1], en)
+            merged[-1][2] += n
+        else:
+            merged.append([st, en, n])
+    return [tuple(m) for m in merged]
 
 _TWS_TIMERS_ORACLE = f"""
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -734,30 +769,34 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformWithState capability its profile sibling
     (``stream_transform_with_state``) doesn't touch: per-key timers
     registered against the watermark (``handle.registerTimer``), fired
-    into ``handleExpiredTimer``, which emits the closed session and
-    clears state. This is the canonical timer use: sessions closed by
-    a SUBSEQUENT event emit inline from ``handleInputRows``; the final
-    open session of each user has no subsequent event and can only be
-    released by the watermark passing last_event + gap — i.e., by a
-    timer.
+    into ``handleExpiredTimer``, which emits every RIPE session (its
+    last_event + gap is behind the watermark) and keeps the rest.
 
-    Determinism: session boundaries derive from event times only
-    (strict ``diff > gap`` split over per-key sorted timestamps), so
-    the emitted values are batching-independent; the staged far-future
-    sentinel (``flush_days`` — same mechanism the outer stream-stream
-    joins use) pushes the final watermark past every real session's
-    timer, so ALL real sessions emit and the oracle is plain
-    gaps-and-islands sessionization over the whole fixture. The
-    sentinel user (−1) is excluded; its own timer stays unfired by
-    construction. Timer hygiene: each data batch deletes the key's
-    live timers before registering the new end-of-session timer, so a
-    session extended across batches can't be double-emitted.
+    Emission is TIMER-ONLY — this is what makes the output correct
+    under late, out-of-order arrival, not just under the sorted
+    single-batch fixture. An r7 review caught the inline-emission
+    draft corrupting boundaries when a within-watermark late event
+    arrived after a session had been closed by data; the fix is the
+    same contract Spark's own session_window operator uses: keep ALL
+    open sessions in a ListState, fold each batch's events into the
+    list (interval merge at the gap), and release a session only once
+    the watermark passes last + gap — at that point no event can ever
+    merge into it (anything later is > gap after its end by the
+    watermark guarantee), so the emission is immune to arrival order.
 
-    Scale: state per key is one (start, last, n) triple plus one
-    timer — O(active users); rows shuffle once on user_id into the
-    state store, emissions are session-sized.
+    Determinism: session boundaries derive from event times only, and
+    the staged far-future sentinel (``flush_days`` — the outer
+    stream-stream joins' flush mechanism) pushes the final watermark
+    past every real session's deadline, so ALL real sessions emit and
+    the oracle is plain gaps-and-islands sessionization over the whole
+    fixture. The sentinel user (−1) is filtered from the output. One
+    live timer per key (earliest open deadline), re-registered as the
+    list shrinks.
+
+    Scale: state per key is the OPEN sessions only (bounded by
+    activity within one gap horizon) plus one timer; rows shuffle once
+    on user_id into the state store, emissions are session-sized.
     """
-    import numpy as np
     import pandas as pd  # noqa: F811 (worker-side import)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -778,7 +817,7 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             from csv_to_parquet_spark.pbcompat import ensure_protobuf as _ep
 
             _ep()  # worker-side: processor is pickled by value
-            self.sess = handle.getValueState(
+            self.sess = handle.getListState(
                 "sess", "start_us BIGINT, last_us BIGINT, n BIGINT"
             )
             self._handle = handle
@@ -793,50 +832,44 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-        def handleInputRows(self, key, rows, timerValues):
-            us_parts = []
-            for pdf in rows:
-                us_parts.append(
-                    pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-                )
-            us = np.sort(np.concatenate(us_parts))
-            closed = []
-            if self.sess.exists():
-                start, last, n = tuple(self.sess.get())
-                if int(us[0]) - last > gap_us:
-                    closed.append((start, last, n))
-                    start, last, n = int(us[0]), int(us[0]), 0
-            else:
-                start, last, n = int(us[0]), int(us[0]), 0
-            # split the sorted batch at strict >gap breaks; fold the
-            # carried open session into the first segment
-            breaks = np.where(np.diff(us) > gap_us)[0]
-            seg_start = 0
-            for b in list(breaks):
-                seg = us[seg_start : b + 1]
-                closed.append(
-                    (min(start, int(seg[0])), int(seg[-1]), n + len(seg))
-                )
-                start, n = int(us[b + 1]), 0
-                seg_start = b + 1
-            tail = us[seg_start:]
-            start = min(start, int(tail[0]))
-            last = int(tail[-1])
-            n += len(tail)
-            self.sess.update((start, last, n))
-            # one live timer per key: the end-of-session deadline moves
-            # with every extension
+        def _rearm(self, sessions) -> None:
+            """One live timer per key at the earliest open deadline."""
             for t in list(self._handle.listTimers()):
                 self._handle.deleteTimer(t)
-            self._handle.registerTimer((last + gap_us) // 1000 + 1)
-            if closed:
-                yield self._emit(key, closed)
+            if sessions:
+                earliest = min(s[1] for s in sessions)
+                self._handle.registerTimer((earliest + gap_us) // 1000 + 1)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            from csv_to_parquet_spark.streaming.jobs import merge_sessions
+
+            us_parts = [
+                pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+                for pdf in rows
+            ]
+            merged = merge_sessions(
+                [tuple(s) for s in self.sess.get()],
+                [int(t) for t in np.concatenate(us_parts)],
+                gap_us,
+            )
+            self.sess.put(merged)
+            self._rearm(merged)
+            return iter([])  # timer-only emission (see docstring)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self.sess.exists():
-                start, last, n = tuple(self.sess.get())
+            wm = timerValues.getCurrentWatermarkInMs()
+            sessions = [tuple(s) for s in self.sess.get()]
+            ripe = [s for s in sessions if (s[1] + gap_us) // 1000 + 1 <= wm]
+            rest = [s for s in sessions if (s[1] + gap_us) // 1000 + 1 > wm]
+            if rest:
+                self.sess.put(rest)
+            else:
                 self.sess.clear()
-                yield self._emit(key, [(start, last, n)])
+            self._rearm(rest)
+            if ripe:
+                yield self._emit(key, ripe)
 
         def close(self) -> None:
             pass
@@ -848,23 +881,12 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Append",
         timeMode="EventTime",
     )
-    _PROVIDER = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(_PROVIDER, None)
-    spark.conf.set(
-        _PROVIDER,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         res = _run_to_memory(
             out,
             mode="append",
             state_partitions=_auto_state_partitions(spark, sf_dir),
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(_PROVIDER)
-        else:
-            spark.conf.set(_PROVIDER, prev)
     return res.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.timestamp_micros(F.col("start_us"))

@@ -122,29 +122,31 @@ _SLOW_RESULTS: dict[str, dict] = {}
 _ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CORRECTNESS_SLOW.json")
 
 
+def _flush_artifact() -> None:
+    """MERGE the recorded rows into the committed artifact: a partial
+    (-k) run refreshes only the entries it actually ran, never
+    clobbering the rest of the battery's recorded evidence."""
+    import json
+
+    merged: dict[str, dict] = {}
+    try:
+        with open(_ARTIFACT) as f:
+            merged.update(json.load(f))
+    except (OSError, ValueError):
+        pass
+    merged.update(_SLOW_RESULTS)
+    tmp = _ARTIFACT + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(dict(sorted(merged.items())), f, indent=2, default=str)
+        f.write("\n")
+    os.replace(tmp, _ARTIFACT)
+
+
 def _record(name: str, **row) -> None:
     _SLOW_RESULTS[name] = {"sf_dir": SF_BENCH, **row}
-
-
-@pytest.fixture(scope="module", autouse=True)
-def _slow_artifact():
-    yield
-    if _SLOW_RESULTS:
-        import json
-
-        # MERGE into the committed artifact: a partial (-k) run must
-        # refresh only the entries it actually ran, never clobber the
-        # rest of the battery's recorded evidence
-        merged: dict[str, dict] = {}
-        try:
-            with open(_ARTIFACT) as f:
-                merged.update(json.load(f))
-        except (OSError, ValueError):
-            pass
-        merged.update(_SLOW_RESULTS)
-        with open(_ARTIFACT, "w") as f:
-            json.dump(dict(sorted(merged.items())), f, indent=2, default=str)
-            f.write("\n")
+    # flush per record (atomic replace): a SIGKILL mid-battery — the
+    # run most likely to die abruptly — keeps every green so far
+    _flush_artifact()
 
 
 @pytest.fixture(scope="module")

@@ -150,3 +150,44 @@ def test_collation_join_is_broadcast_hash(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_sessions_late_arrival_invariance():
+    """Regression for the r7 review finding: the timer sessionizer's
+    state fold must be arrival-order-INSENSITIVE — a within-watermark
+    late event delivered in a later batch must yield exactly the
+    sessions a single sorted batch would."""
+    from csv_to_parquet_spark.streaming.jobs import merge_sessions
+
+    MIN = 60 * 1_000_000
+    gap = 30 * MIN
+    events = [0, 10 * MIN, 95 * MIN, 115 * MIN, 200 * MIN]
+
+    def fold(batches):
+        s: list = []
+        for b in batches:
+            s = merge_sessions(s, b, gap)
+        return s
+
+    expect = fold([sorted(events)])
+    assert [tuple(s) for s in expect] == [
+        (0, 10 * MIN, 2),
+        (95 * MIN, 115 * MIN, 2),
+        (200 * MIN, 200 * MIN, 1),
+    ]
+    # every 2-batch split, including late (out-of-order) deliveries
+    import itertools
+
+    for k in range(1, len(events)):
+        for first in itertools.combinations(events, k):
+            second = [e for e in events if e not in first]
+            assert fold([list(first), second]) == expect, (first, second)
+    # the review's exact scenario: late 09:30 after state holds
+    # last=10:00, then 10:20 — must stay ONE session, end 10:20
+    H = 60 * MIN
+    s = merge_sessions([], [9 * H, 10 * H], gap)  # 09:00, 10:00 (>gap split? 60min>30min gap -> two)
+    assert len(s) == 2
+    s = merge_sessions(s, [9 * H + 30 * MIN], gap)  # late 09:30 bridges
+    assert [tuple(x) for x in s] == [(9 * H, 10 * H, 3)]
+    s = merge_sessions(s, [10 * H + 20 * MIN], gap)  # 10:20 extends
+    assert [tuple(x) for x in s] == [(9 * H, 10 * H + 20 * MIN, 4)]
