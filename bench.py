@@ -172,6 +172,8 @@ HEADLINE = [
     "stream_transform_with_state",  # un-gated in r7
     "stream_tws_session_timers",  # event-time timers (r7)
     "stream_cdc_jdbc_upsert",
+    "sql_pipe_syntax_revenue",
+    "stream_tws_initial_state",
 ]
 
 

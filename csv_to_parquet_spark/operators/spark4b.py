@@ -290,3 +290,60 @@ def agg_approx_top_k_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("p_brand"))
         .limit(_TOPK_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operator chains)
+# ---------------------------------------------------------------------------
+
+
+@CAT.query(
+    "sql_pipe_syntax_revenue",
+    oracle="""
+    WITH f AS (
+      SELECT l_suppkey, l_returnflag,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01'),
+    a AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+      FROM f WHERE l_returnflag <> 'R' GROUP BY l_suppkey)
+    SELECT l_suppkey, n_items, rev_cents
+    FROM a
+    ORDER BY rev_cents DESC, l_suppkey
+    LIMIT 25
+    """,
+)
+def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>``): the same logical pipeline a
+    DataFrame chain expresses — scan, filter, derive, filter again,
+    aggregate, order, limit — written as a linear pipe instead of
+    inside-out nested SQL. Each ``|>`` stage compiles to the identical
+    Catalyst operator the keyword form produces (this is SYNTAX, not a
+    new engine path), so pushdown/codegen/TakeOrderedAndProject all
+    behave exactly as in the oracle's classic formulation.
+
+    Revenue is derived in exact integer cents before aggregation;
+    ordering carries the (rev DESC, suppkey) tiebreak so the LIMIT is
+    deterministic on both engines.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pipe")
+    return spark.sql(
+        """
+        FROM li_pipe
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> SELECT l_suppkey, l_returnflag,
+                  CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT) AS rev_cents
+        |> WHERE l_returnflag <> 'R'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                     CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+           GROUP BY l_suppkey
+        |> SELECT l_suppkey, n_items, rev_cents
+        |> ORDER BY rev_cents DESC, l_suppkey
+        |> LIMIT 25
+        """
+    )

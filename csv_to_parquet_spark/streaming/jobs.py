@@ -1773,3 +1773,157 @@ def _apply_cdc_batch(
         conn.commit()
     finally:
         conn.close()
+
+
+# ---------------------------------------------------------------------------
+# transformWithState with INITIAL STATE (batch-bootstrapped counters)
+# ---------------------------------------------------------------------------
+
+_TWS_INIT_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """
+
+
+def stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` with INITIAL STATE — the
+    migration path every stateful-pipeline rewrite needs: per-user
+    counters are BOOTSTRAPPED from a batch aggregate over the
+    historical half of the data (``initialState=GroupedData``,
+    delivered once into ``handleInitialState`` on each key's first
+    appearance), then the stream carries only the post-cutoff events
+    forward. Without this surface a replatformed pipeline must replay
+    its entire history through the stream to rebuild state; with it,
+    state starts where the warehouse left off.
+
+    The cutoff is the midpoint of the fixture's event-time range (two
+    scalar collects); history = strictly-before, stream = at-or-after,
+    so the disjoint union is exactly the full table and the oracle is
+    the plain per-user aggregate over ALL events — the equality proves
+    the handoff is seamless (no double count, no gap). All maintained
+    statistics are order-independent integer sums, so emission
+    batching cannot affect the final row set (same argument as
+    ``stream_transform_with_state``; last emission per user selected
+    by the monotone n_events max-struct).
+
+    Scale: the bootstrap is one batch partial+final agg shuffled on
+    the SAME key as the stream's state partitioning; history rows
+    never flow through the stream.
+    """
+    import pandas as pd  # noqa: F811 (worker-side import)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from csv_to_parquet_spark.pbcompat import ensure_protobuf
+
+    ensure_protobuf()  # see stream_transform_with_state
+
+    ev_all = _events_stream(spark, sf_dir)
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    lo, hi = batch.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).collect()[0]
+    cutoff_us = (int(lo) + int(hi)) // 2
+    cutoff = F.timestamp_micros(F.lit(cutoff_us))
+
+    hist = (
+        batch.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("cents"),
+        )
+        .groupBy("user_id")
+    )
+    ev = ev_all.filter(F.col("ts") >= cutoff)
+
+    class BootstrappedCounters(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            from csv_to_parquet_spark.pbcompat import ensure_protobuf as _ep
+
+            _ep()  # worker-side: processor is pickled by value
+            self.acc = handle.getValueState("acc", "n BIGINT, cents BIGINT")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            # one row per key from the batch bootstrap
+            self.acc.update(
+                (int(initialState["n"].iloc[0]), int(initialState["cents"].iloc[0]))
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            n, cents_total = (
+                tuple(self.acc.get()) if self.acc.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                v = pdf["value"].to_numpy() * 100
+                cents_total += int(
+                    np.copysign(np.floor(np.abs(v) + 0.5), v).sum()
+                )
+            self.acc.update((n, cents_total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_cents": [cents_total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        BootstrappedCounters(),
+        outputStructType="user_id BIGINT, n_events BIGINT, value_cents BIGINT",
+        outputMode="Update",
+        timeMode="None",
+        initialState=hist,
+    )
+    with _rocksdb_state_store(spark):
+        res = _run_to_memory(
+            out,
+            mode="update",
+            state_partitions=_auto_state_partitions(spark, sf_dir),
+        )
+    # users with only-historical events never appear in the stream —
+    # union their bootstrap rows back in (outer handoff completeness)
+    hist_rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").cast("timestamp") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+    latest = (
+        res.groupBy("user_id")
+        .agg(
+            F.max(F.struct("n_events", "value_cents")).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.value_cents").alias("value_cents"),
+        )
+    )
+    only_hist = hist_rows.join(
+        latest.select("user_id"), "user_id", "left_anti"
+    )
+    return latest.unionByName(only_hist)
+
+
+if _HAS_PROTOBUF:
+    CAT.query("stream_tws_initial_state", oracle=_TWS_INIT_ORACLE)(
+        stream_tws_initial_state
+    )
