@@ -108,6 +108,7 @@ HEAVY = [
     "stream_tws_session_timers",  # timer eviction vs watermark at volume
     "stream_cdc_jdbc_upsert",  # MERGE folding across more batch deltas
     "sql_scripting_compound_loop",  # seed aggregate grows 10x (overflow guard)
+    "stream_tws_initial_state",  # cutoff midpoint + handoff at volume
 ]
 
 QUERIES = entry_mod.queries()
