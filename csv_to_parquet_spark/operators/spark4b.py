@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401 (parity with sibling modules)
 
+from csv_to_parquet_spark.functions import cents
 from csv_to_parquet_spark.operators import Catalog
 from csv_to_parquet_spark.sources.tables import load_table
 
@@ -209,7 +210,7 @@ def join_collation_ci_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = spark.createDataFrame(_CI_LABELS, "label STRING, tier STRING")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_mktsegment").cast("string collate UTF8_LCASE").alias("seg_ci"),
-        (F.round(F.col("c_acctbal") * 100)).cast("bigint").alias("cents"),
+        cents("c_acctbal").alias("cents"),
     )
     return (
         cust.join(

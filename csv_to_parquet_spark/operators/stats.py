@@ -820,8 +820,12 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_x",
         "s_xx",
         "s_xy",
-        F.lit(s_y).cast("decimal(38,0)").alias("s_y"),
-        F.lit(s_yy).cast("decimal(38,0)").alias("s_yy"),
+        # re-inject via STRING literals: F.lit(int) builds a LongType
+        # literal capped at 2^63-1, which would crash exactly where the
+        # DECIMAL(38,0) accumulation exists to go (Σr2y² ≈ 4n³/3 tops
+        # int64 past ~1.3e6 rows — r7 review)
+        F.lit(str(s_y)).cast("decimal(38,0)").alias("s_y"),
+        F.lit(str(s_yy)).cast("decimal(38,0)").alias("s_yy"),
     ).selectExpr("n", _SPEARMAN_TAIL)
 
 

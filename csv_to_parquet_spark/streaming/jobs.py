@@ -122,7 +122,16 @@ def _events_stream(
                     f"{sf_dir}/events.parquet", columns=["ts"]
                 ).column("ts")
             ).value
-            unit_per_day = 86_400 * (10**9 if ts_is_nanos else 10**6)
+            # mx's integer unit follows the ARROW LOGICAL type alone —
+            # an INT96 source surfaces as timestamp[ns] with
+            # ts_is_nanos=False (that flag is about the nanosAsLong
+            # read path, not the raw value unit); keying the offset on
+            # it put the sentinel ~43 minutes out instead of 30 days
+            # (r7 review)
+            _unit_scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+            unit_per_day = 86_400 * _unit_scale[
+                getattr(ts_type, "unit", "us")
+            ]
             flush = int(mx) + flush_days * unit_per_day
             sentinel = pa.table(
                 {
@@ -139,7 +148,19 @@ def _events_stream(
                     "props": pa.array(["", ""], type=pa.string()),
                 }
             )
-            pq.write_table(sentinel, os.path.join(d, "zz_flush.parquet"))
+            # match the SOURCE's physical representation so the two
+            # files read under one declared schema: an INT96 source
+            # needs an INT96 sentinel (arrow would otherwise write
+            # TIMESTAMP(NANOS)-as-INT64, which nanosAsLong surfaces as
+            # BIGINT against the declared TIMESTAMP — r7 review)
+            pq.write_table(
+                sentinel,
+                os.path.join(d, "zz_flush.parquet"),
+                use_deprecated_int96_timestamps=(
+                    pf.metadata.schema.column(ts_idx).physical_type
+                    == "INT96"
+                ),
+            )
         _STAGED_EVENTS[cache_key] = d
     ts_decl = "BIGINT" if ts_is_nanos else "TIMESTAMP"
     schema = (
@@ -481,10 +502,13 @@ def stream_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame
 
         for pdf in batches:
             n += len(pdf)
-            # half-away-from-zero to match Spark/DuckDB ROUND (cents());
-            # pandas/numpy .round is half-even and would diverge on
-            # exact .5 fractions of a cent
-            cents_total += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+            # half-AWAY-FROM-ZERO to match Spark/DuckDB ROUND (cents());
+            # numpy .round is half-even and floor(v+0.5) is half-up
+            # toward +inf (wrong for negative .5 boundaries, e.g.
+            # refunds) — round the magnitude, restore the sign (same
+            # fix as the transformWithState sibling, ADVICE r6)
+            v = pdf["value"].to_numpy() * 100
+            cents_total += int(np.copysign(np.floor(np.abs(v) + 0.5), v).sum())
             last_us = max(
                 last_us, int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
             )
@@ -1123,10 +1147,16 @@ def stream_kafka_shaped_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
     # --- broker stand-in staging (the ONLY part a real deployment
     # deletes): events → keyed JSON messages in the Kafka wire schema.
-    # Staged once per sf (same _SUCCESS-gated pattern as the formats
-    # sinks): the staging write is fixture preparation, not part of
-    # the consumer pipeline being exercised.
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # Staged once per SOURCE VERSION (basename + mtime/size in the
+    # key, like _STAGED_EVENTS — a bare basename key would serve a
+    # rewritten or same-named fixture the previous corpus's staged
+    # messages; r7 review): the staging write is fixture preparation,
+    # not part of the consumer pipeline being exercised.
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        + f"_{st.st_mtime_ns}_{st.st_size}"
+    )
     stage = os.path.join(tempfile.gettempdir(), f"kafka_stage_{tag}")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         (
@@ -1834,15 +1864,20 @@ def stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff_us = (int(lo) + int(hi)) // 2
     cutoff = F.timestamp_micros(F.lit(cutoff_us))
 
-    hist = (
+    from csv_to_parquet_spark.operators.cache import persist_tracked
+
+    # ONE history aggregate, persisted: it feeds both the initialState
+    # bootstrap and the only-historical union below (an earlier draft
+    # scanned and re-aggregated the history twice — r7 review)
+    hist_agg = persist_tracked(
         batch.filter(F.col("ts") < cutoff)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(cents("value")).alias("cents"),
         )
-        .groupBy("user_id")
     )
+    hist = hist_agg.groupBy("user_id")
     ev = ev_all.filter(F.col("ts") >= cutoff)
 
     class BootstrappedCounters(StatefulProcessor):
@@ -1897,14 +1932,10 @@ def stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # users with only-historical events never appear in the stream —
     # union their bootstrap rows back in (outer handoff completeness)
-    hist_rows = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").cast("timestamp") < cutoff)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(cents("value")).alias("value_cents"),
-        )
+    hist_rows = hist_agg.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("cents").alias("value_cents"),
     )
     latest = (
         res.groupBy("user_id")

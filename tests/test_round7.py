@@ -191,3 +191,47 @@ def test_merge_sessions_late_arrival_invariance():
     assert [tuple(x) for x in s] == [(9 * H, 10 * H, 3)]
     s = merge_sessions(s, [10 * H + 20 * MIN], gap)  # 10:20 extends
     assert [tuple(x) for x in s] == [(9 * H, 10 * H + 20 * MIN, 4)]
+
+
+def test_events_stream_sentinel_survives_int96_source(spark, tmp_path):
+    """Regression for the r7 review: a legacy INT96 timestamp source
+    surfaces in arrow as timestamp[ns] while the nanosAsLong read path
+    stays off — the flush sentinel must still land flush_days out (not
+    ~43 minutes, the ns-vs-us unit slip) and be written in the SOURCE's
+    physical representation so both files read under one schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_spark.sources.tables import load_table
+    from csv_to_parquet_spark.streaming.jobs import _events_stream
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    pdf = src.toPandas()
+    sf_dir = str(tmp_path)
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(
+        tbl,
+        f"{sf_dir}/events.parquet",
+        use_deprecated_int96_timestamps=True,
+    )
+    meta = pq.ParquetFile(f"{sf_dir}/events.parquet")
+    ts_idx = meta.schema_arrow.get_field_index("ts")
+    assert meta.metadata.schema.column(ts_idx).physical_type == "INT96"
+
+    ev = _events_stream(spark, sf_dir, flush_days=30)
+    rows = (
+        ev.writeStream.format("memory")
+        .queryName("int96_sentinel_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    rows.awaitTermination()
+    got = spark.sql("SELECT * FROM int96_sentinel_probe")
+    real_max = got.filter(F.col("user_id") >= 0).agg(F.max("ts")).collect()[0][0]
+    sent_min = got.filter(F.col("user_id") < 0).agg(F.min("ts")).collect()[0][0]
+    gap_days = (sent_min - real_max).total_seconds() / 86_400
+    assert abs(gap_days - 30) < 1, f"sentinel landed {gap_days:.2f} days out"
+    assert got.filter(F.col("user_id") < 0).count() == 2
