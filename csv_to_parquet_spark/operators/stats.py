@@ -58,6 +58,60 @@ _GRP_A = "1-URGENT"
 _GRP_B = "5-LOW"
 
 
+def _bucketed_cumsum(
+    df: DataFrame,
+    val_col: str,
+    cnt_cols: list[str],
+    bucket_width: int,
+    with_totals: bool = False,
+) -> DataFrame:
+    """THE two-phase exact distributed prefix sum this module is built
+    on (previously four hand-maintained copies — r7 review): bucket =
+    val div width preserves value order, so parallel WITHIN-bucket
+    window cumulatives plus broadcast EXCLUSIVE bucket offsets compose
+    to the exact global cumulative — no single-partition global sort.
+
+    Adds ``cum_<c>`` per count column; every other input column passes
+    through. ``with_totals`` additionally rides the grand totals along
+    on the (tiny, already single-task) bucket-offsets frame as
+    constant ``n_<c>`` columns — ONE broadcast hash join delivers
+    offsets AND totals, never a scalar cross join (Catalyst can only
+    run that as a nested-loop join).
+    """
+    v = df.withColumn("bucket", F.expr(f"{val_col} div {bucket_width}"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = v
+    for c in cnt_cols:
+        within = within.withColumn(f"cum_{c}", F.sum(c).over(w_in))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = v.groupBy("bucket").agg(
+        *[F.sum(c).alias(f"b_{c}") for c in cnt_cols]
+    )
+    keep = ["bucket"]
+    for c in cnt_cols:
+        offsets = offsets.withColumn(
+            f"off_{c}", F.coalesce(F.sum(f"b_{c}").over(w_off), F.lit(0))
+        )
+        keep.append(f"off_{c}")
+    if with_totals:
+        w_all = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        for c in cnt_cols:
+            offsets = offsets.withColumn(
+                f"n_{c}", F.sum(f"b_{c}").over(w_all).cast("bigint")
+            )
+            keep.append(f"n_{c}")
+    out = within.join(F.broadcast(offsets.select(*keep)), "bucket")
+    for c in cnt_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"cum_{c}") + F.col(f"off_{c}"))
+    return out.drop(*[f"off_{c}" for c in cnt_cols])
+
+
 def _ecdf_counts(spark: SparkSession, sf_dir: str):
     """Shared KS / Mann-Whitney scaffold.
 
@@ -84,43 +138,14 @@ def _ecdf_counts(spark: SparkSession, sf_dir: str):
             F.sum("i1").cast("bigint").alias("c1"),
             F.sum("i2").cast("bigint").alias("c2"),
         )
-        .withColumn("bucket", F.expr(f"val div {_KS_BUCKET}"))
     )
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("val")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        _bucketed_cumsum(v, "val", ["c1", "c2"], _KS_BUCKET, with_totals=True)
+        .withColumnRenamed("cum_c1", "cum1")
+        .withColumnRenamed("cum_c2", "cum2")
+        .withColumnRenamed("n_c1", "n1")
+        .withColumnRenamed("n_c2", "n2")
     )
-    within = v.withColumn("cum_in1", F.sum("c1").over(w_in)).withColumn(
-        "cum_in2", F.sum("c2").over(w_in)
-    )
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    # Grand totals ride along on the (tiny, already single-task)
-    # bucket-totals frame via an unbounded window, so ONE broadcast
-    # hash join on `bucket` delivers offsets AND (n1, n2) — no scalar
-    # cross join (Catalyst can only run that as a nested-loop join).
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = (
-        v.groupBy("bucket")
-        .agg(F.sum("c1").alias("b1"), F.sum("c2").alias("b2"))
-        .withColumn("off1", F.coalesce(F.sum("b1").over(w_off), F.lit(0)))
-        .withColumn("off2", F.coalesce(F.sum("b2").over(w_off), F.lit(0)))
-        .withColumn("n1", F.sum("b1").over(w_all).cast("bigint"))
-        .withColumn("n2", F.sum("b2").over(w_all).cast("bigint"))
-    )
-    cum = (
-        within.join(
-            F.broadcast(
-                offsets.select("bucket", "off1", "off2", "n1", "n2")
-            ),
-            "bucket",
-        )
-        .withColumn("cum1", F.col("cum_in1") + F.col("off1"))
-        .withColumn("cum2", F.col("cum_in2") + F.col("off2"))
-    )
-    return cum
 
 
 # Shared DuckDB CTE producing the same per-value cumulative frame.
@@ -646,33 +671,13 @@ _RANK_BUCKET = 1 << 20
 
 def _rank2_map(vals: DataFrame, bucket_width: int) -> DataFrame:
     """(val, cnt) -> (val, cnt, r2) where r2 = doubled average rank =
-    2*cnt_less + cnt_eq + 1 (exact integer, tie-correct). Same
-    two-phase bucketed prefix sum as :func:`_ecdf_counts`: parallel
-    within-bucket cumulative counts + broadcast exclusive bucket
-    offsets — never a global single-task sort."""
-    v = vals.withColumn("bucket", F.expr(f"val div {bucket_width}"))
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("val")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = v.withColumn("cum_in", F.sum("cnt").over(w_in))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        v.groupBy("bucket")
-        .agg(F.sum("cnt").alias("b"))
-        .withColumn("off", F.coalesce(F.sum("b").over(w_off), F.lit(0)))
-        .select("bucket", "off")
-    )
-    return (
-        within.join(F.broadcast(offsets), "bucket")
-        .withColumn("cum", F.col("cum_in") + F.col("off"))
+    2*cnt_less + cnt_eq + 1 (exact integer, tie-correct), via the
+    shared :func:`_bucketed_cumsum` scaffold."""
+    return _bucketed_cumsum(vals, "val", ["cnt"], bucket_width).select(
+        "val",
+        "cnt",
         # cum = cnt_less + cnt_eq  =>  2*cum - cnt + 1 = 2*cnt_less + cnt_eq + 1
-        .select(
-            "val",
-            "cnt",
-            (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1)).alias("r2"),
-        )
+        (F.lit(2) * F.col("cum_cnt") - F.col("cnt") + F.lit(1)).alias("r2"),
     )
 
 
@@ -777,31 +782,11 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t_x"),
         )
     )
-    # two-phase doubled ranks over the distinct-x frame, t_x carried
-    # through (same scaffold as _rank2_map, inlined to keep the extra
-    # column)
-    v = xagg.withColumn("bucket", F.expr(f"x div {_RANK_BUCKET}"))
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = v.withColumn("cum_in", F.sum("cnt").over(w_in))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        v.groupBy("bucket")
-        .agg(F.sum("cnt").alias("b"))
-        .withColumn("off", F.coalesce(F.sum("b").over(w_off), F.lit(0)))
-        .select("bucket", "off")
-    )
-    xfull = (
-        within.join(F.broadcast(offsets), "bucket")
-        .withColumn(
-            "r2x",
-            F.lit(2) * (F.col("cum_in") + F.col("off"))
-            - F.col("cnt")
-            + F.lit(1),
-        )
+    # two-phase doubled ranks over the distinct-x frame; t_x passes
+    # through the shared scaffold untouched
+    xfull = _bucketed_cumsum(xagg, "x", ["cnt"], _RANK_BUCKET).withColumn(
+        "r2x",
+        F.lit(2) * F.col("cum_cnt") - F.col("cnt") + F.lit(1),
     )
     s = xfull.groupBy().agg(
         F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n"),
@@ -886,39 +871,18 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv_to_parquet_spark.operators.cache import persist_tracked
 
     vals = persist_tracked(vals)
-    v = vals.withColumn("bucket", F.expr(f"val div {_KS_BUCKET}"))
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("val")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = v.withColumn("cum_in", F.sum("cnt").over(w_in))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = (
-        v.groupBy("bucket")
-        .agg(F.sum("cnt").alias("b"))
-        .withColumn("off", F.coalesce(F.sum("b").over(w_off), F.lit(0)))
-        .withColumn("n", F.sum("b").over(w_all).cast("bigint"))
-        .select("bucket", "off", "n")
-    )
-    cum = (
-        within.join(F.broadcast(offsets), "bucket")
-        .withColumn("cum", F.col("cum_in") + F.col("off"))
-    )
+    cum = _bucketed_cumsum(vals, "val", ["cnt"], _KS_BUCKET, with_totals=True)
     bounds = cum.agg(
-        F.max("n").alias("n"),
+        F.max("n_cnt").alias("n"),
         F.min(
             F.when(
-                F.col("cum") * _WINSOR_DEN >= F.col("n"), F.col("val")
+                F.col("cum_cnt") * _WINSOR_DEN >= F.col("n_cnt"), F.col("val")
             )
         ).alias("p_lo"),
         F.min(
             F.when(
-                F.col("cum") * _WINSOR_DEN
-                >= F.col("n") * (_WINSOR_DEN - 1),
+                F.col("cum_cnt") * _WINSOR_DEN
+                >= F.col("n_cnt") * (_WINSOR_DEN - 1),
                 F.col("val"),
             )
         ).alias("p_hi"),
