@@ -7,7 +7,17 @@ defaults → YAML config file → CLI flag overrides, input required
   takes ``Delimiter[0]`` as a byte (converter/converter.go:127-130),
   silently ignoring the rest; Spark's ``sep`` would accept multi-char,
   so we truncate here.
+- ``delete_original`` defaults to **True** — the reference deletes
+  source CSVs after a verified convert unless ``--keep`` is passed
+  (config/config.go:26 ``DeleteOriginal: true``; README.md:64).
 - ``--keep`` inverts ``delete_original`` (config/config.go:36,64-66).
+- ``--config`` defaults to ``config.yaml`` and the file is
+  **auto-loaded when present** with no flag; a missing file is
+  tolerated only at the default path — an explicitly-given path that
+  can't be read is an error (config/config.go:34,46-50).
+- CLI flags override the config file only when "set" by the
+  reference's zero-value rule: strings when non-empty, ints when > 0
+  (config/config.go:58-78).
 - ``batch_size`` exists for CLI parity but, like the reference (it only
   drives a debug-log cadence, converter/converter.go:365-367), does not
   affect the written row groups (always 128 MB).
@@ -16,6 +26,7 @@ defaults → YAML config file → CLI flag overrides, input required
 from __future__ import annotations
 
 import argparse
+import os
 from dataclasses import dataclass, fields
 
 try:
@@ -31,7 +42,7 @@ class Settings:
     delimiter: str = ","
     batch_size: int = 10000  # log cadence only (config/config.go:27)
     sample_rows: int = 100  # inference sample (config/config.go:29)
-    delete_original: bool = False
+    delete_original: bool = True  # reference default (config/config.go:26)
     log_level: str = "info"
     # engine extensions beyond the reference surface:
     single_file: bool = True  # 1 CSV → 1 parquet file (reference layout)
@@ -48,7 +59,12 @@ def load_settings(argv: list[str] | None = None) -> Settings:
         prog="csv-to-parquet-spark",
         description="Convert CSV files to Parquet (Spark engine).",
     )
-    parser.add_argument("--config", "-c", help="YAML config file")
+    parser.add_argument(
+        "--config",
+        "-c",
+        default="config.yaml",
+        help="YAML config file (default config.yaml, auto-loaded when present)",
+    )
     parser.add_argument("--input", "-i", help="input CSV file or directory")
     parser.add_argument("--output", "-o", help="output directory")
     parser.add_argument("--delimiter", "-d", help="CSV delimiter (first char used)")
@@ -83,30 +99,43 @@ def load_settings(argv: list[str] | None = None) -> Settings:
     args = parser.parse_args(argv)
 
     cfg = Settings()
-    if args.config:
+    # config.yaml auto-probe (config/config.go:34,46-50): the default
+    # path is read when present and silently skipped when missing; an
+    # explicit --config that can't be opened is an error.
+    try:
+        f = open(args.config, encoding="utf-8")
+    except OSError:
+        if args.config != "config.yaml":
+            raise
+        f = None  # default config file missing is fine
+    if f is not None:
         if yaml is None:
-            raise RuntimeError("PyYAML not available but --config was given")
-        with open(args.config, encoding="utf-8") as f:
+            raise RuntimeError("PyYAML not available but a config file exists")
+        with f:
             doc = yaml.safe_load(f) or {}
-        valid = {f.name for f in fields(Settings)}
+        valid = {fld.name for fld in fields(Settings)}
         for k, v in doc.items():
             if k in valid:
                 setattr(cfg, k, v)
 
-    # CLI overrides (pflag precedence, config/config.go:58-78)
+    # CLI overrides (pflag zero-value precedence, config/config.go:58-78:
+    # strings override when non-empty, ints when > 0)
     for name in (
         "input",
         "output",
         "delimiter",
-        "batch_size",
-        "sample_rows",
-        "delete_original",
         "log_level",
         "charset",
     ):
         v = getattr(args, name)
-        if v is not None:
+        if v:  # non-empty string, like the reference's `!= ""` guards
             setattr(cfg, name, v)
+    for name in ("batch_size", "sample_rows"):
+        v = getattr(args, name)
+        if v is not None and v > 0:  # reference's `> 0` guards
+            setattr(cfg, name, v)
+    if args.delete_original is not None:
+        cfg.delete_original = args.delete_original
     if args.keep:
         cfg.delete_original = False
     if args.multi_file:

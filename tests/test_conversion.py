@@ -189,3 +189,84 @@ def test_empty_string_never_stored(spark, tmp_path):
     df = _roundtrip(spark, tmp_path, "empties.csv", 'a,b\nx, \ny,"  "\nz,w\n')
     vals = {r.a: r.b for r in df.collect()}
     assert vals == {"x": None, "y": None, "z": "w"}
+
+
+# ---------------------------------------------------------------------------
+# C1 config/CLI parity — defaults, precedence, and config.yaml auto-load
+# pinned against the reference (config/config.go:22-85, README.md:55-85).
+# Each row: (cli argv tail, config.yaml body or None, expected attrs).
+# All cases chdir into an empty tmp dir so the auto-probe is hermetic.
+# ---------------------------------------------------------------------------
+
+_C1_CASES = [
+    # pure defaults: delete-by-default like the reference (config.go:26)
+    (
+        ["-i", "in.csv"],
+        None,
+        {
+            "delete_original": True,
+            "log_level": "info",
+            "batch_size": 10000,
+            "delimiter": ",",
+            "sample_rows": 100,
+            "output": "",
+        },
+    ),
+    # --keep inverts the delete default (config.go:36,64-66)
+    (["-i", "in.csv", "--keep"], None, {"delete_original": False}),
+    # config.yaml auto-loads with NO --config flag (config.go:34,46-50)
+    (
+        ["-i", "cli.csv"],
+        "input: file.csv\ndelete_original: false\nbatch_size: 777\n",
+        {"input": "cli.csv", "delete_original": False, "batch_size": 777},
+    ),
+    # config file alone satisfies the input requirement (config.go:80-82)
+    (
+        [],
+        "input: from_yaml.csv\n",
+        {"input": "from_yaml.csv", "delete_original": True},
+    ),
+    # --keep still wins over an explicit config true (config.go:64-66)
+    (
+        ["--keep"],
+        "input: f.csv\ndelete_original: true\n",
+        {"delete_original": False},
+    ),
+    # pflag zero-value rule: 0 / "" CLI values do NOT override the file
+    # (config.go:67-78 guard on > 0 / != "")
+    (
+        ["--batch-size", "0", "--sample-rows", "0"],
+        "input: f.csv\nbatch_size: 555\nsample_rows: 42\n",
+        {"batch_size": 555, "sample_rows": 42},
+    ),
+    # non-zero CLI values DO override the file
+    (
+        ["--batch-size", "9", "--sample-rows", "7", "--delimiter", ";"],
+        "input: f.csv\nbatch_size: 555\nsample_rows: 42\ndelimiter: '|'\n",
+        {"batch_size": 9, "sample_rows": 7, "delimiter": ";"},
+    ),
+]
+
+
+@pytest.mark.parametrize("argv,yaml_body,expected", _C1_CASES)
+def test_c1_config_parity(tmp_path, monkeypatch, argv, yaml_body, expected):
+    from csv_to_parquet_spark.config import load_settings
+
+    monkeypatch.chdir(tmp_path)
+    if yaml_body is not None:
+        (tmp_path / "config.yaml").write_text(yaml_body)
+    cfg = load_settings(argv)
+    for attr, want in expected.items():
+        assert getattr(cfg, attr) == want, attr
+
+
+def test_c1_explicit_config_missing_errors(tmp_path, monkeypatch):
+    # an explicitly-passed --config path that can't be read is an error,
+    # unlike the tolerated missing default path (config.go:46-50)
+    from csv_to_parquet_spark.config import load_settings
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(OSError):
+        load_settings(["-i", "x.csv", "--config", "nope.yaml"])
+    # ...and the missing default path is fine
+    assert load_settings(["-i", "x.csv"]).delete_original is True
