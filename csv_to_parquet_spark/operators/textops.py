@@ -2498,64 +2498,76 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE len(trim(text)) > 0),
     dist AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
              FROM tok GROUP BY 1, 2),
-    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-            FROM tok GROUP BY 1),
-    pairs AS (SELECT a.source AS sa, b.source AS sb
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM dist GROUP BY 1),
+    pairs AS (SELECT a.source AS sa, a.n AS na, a.v AS va,
+                     b.source AS sb, b.n AS nb, b.v AS vb
               FROM tot a, tot b WHERE a.source < b.source),
-    da AS (SELECT sa, sb, t, c FROM pairs JOIN dist ON dist.source = sa),
-    db AS (SELECT sa, sb, t, c FROM pairs JOIN dist ON dist.source = sb),
-    j AS (
-      SELECT COALESCE(da.sa, db.sa) AS sa, COALESCE(da.sb, db.sb) AS sb,
-             COALESCE(da.t, db.t) AS t,
-             COALESCE(da.c, 0) AS ca, COALESCE(db.c, 0) AS cb
-      FROM da FULL JOIN db
-        ON da.sa = db.sa AND da.sb = db.sb AND da.t = db.t),
-    terms AS (
-      SELECT j.sa, j.sb,
-             CASE WHEN ca > 0 THEN CAST(FLOOR(
-               (CAST(ca AS DOUBLE) / na.n)
-               * ln(2 * (CAST(ca AS DOUBLE) / na.n)
-                    / (CAST(ca AS DOUBLE) / na.n
-                       + CAST(cb AS DOUBLE) / nb.n))
-               * 1000000000) AS BIGINT) ELSE 0 END AS term_a,
-             CASE WHEN cb > 0 THEN CAST(FLOOR(
-               (CAST(cb AS DOUBLE) / nb.n)
-               * ln(2 * (CAST(cb AS DOUBLE) / nb.n)
-                    / (CAST(ca AS DOUBLE) / na.n
-                       + CAST(cb AS DOUBLE) / nb.n))
-               * 1000000000) AS BIGINT) ELSE 0 END AS term_b
-      FROM j JOIN tot na ON j.sa = na.source
-             JOIN tot nb ON j.sb = nb.source)
-    SELECT sa AS source_a, sb AS source_b,
-           CAST(COUNT(*) AS BIGINT) AS n_union_terms,
-           CAST((SUM(term_a) + SUM(term_b)) // 2 AS BIGINT) AS jsd_nano
-    FROM terms GROUP BY sa, sb
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(a.c) AS BIGINT) AS ca_common,
+             CAST(SUM(b.c) AS BIGINT) AS cb_common,
+             SUM(CAST(FLOOR(
+               (CAST(a.c AS DOUBLE) / na.n)
+               * ln(2 * (CAST(a.c AS DOUBLE) / na.n)
+                    / (CAST(a.c AS DOUBLE) / na.n
+                       + CAST(b.c AS DOUBLE) / nb.n))
+               * 1000000000) AS BIGINT)) AS terms_a,
+             SUM(CAST(FLOOR(
+               (CAST(b.c AS DOUBLE) / nb.n)
+               * ln(2 * (CAST(b.c AS DOUBLE) / nb.n)
+                    / (CAST(a.c AS DOUBLE) / na.n
+                       + CAST(b.c AS DOUBLE) / nb.n))
+               * 1000000000) AS BIGINT)) AS terms_b
+      FROM dist a JOIN dist b ON a.t = b.t AND a.source < b.source
+           JOIN tot na ON a.source = na.source
+           JOIN tot nb ON b.source = nb.source
+      GROUP BY 1, 2)
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           CAST(p.va + p.vb - COALESCE(i.n_common, 0) AS BIGINT)
+             AS n_union_terms,
+           CAST((COALESCE(i.terms_a, 0) + COALESCE(i.terms_b, 0)
+             + CAST(FLOOR(CAST(p.na - COALESCE(i.ca_common, 0) AS DOUBLE)
+                          / p.na * ln(2) * 1000000000) AS BIGINT)
+             + CAST(FLOOR(CAST(p.nb - COALESCE(i.cb_common, 0) AS DOUBLE)
+                          / p.nb * ln(2) * 1000000000) AS BIGINT)
+            ) // 2 AS BIGINT) AS jsd_nano
+    FROM pairs p LEFT JOIN inter i ON p.sa = i.sa AND p.sb = i.sb
     """,
 )
 def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between the unigram
     distributions of every pair of document sources — the standard
     corpus-drift / mixture-design diagnostic ("how different is
-    source A's language from source B's?"; 0 = identical, ln 2 =
+    source A\'s language from source B\'s?"; 0 = identical, ln 2 =
     disjoint). Used when composing training mixtures to spot
     near-duplicate sources (waste) and outlier sources (contamination
     risk).
 
     Fixed-point determinism (the micro-nat pattern, at NANO scale
-    because each term carries a factor p ≈ 1/n): each vocabulary
-    term's p·ln(2p/(p+q)) contribution is floored to integer
-    nano-nats; the pair's statistic is the exact integer sum, so no
-    float-accumulation-order divergence is possible. When a token is
-    exclusive to one side, 2p/(p+q) is EXACTLY 2.0 in IEEE (2·p/p),
-    so the term is p·ln 2 in both engines bit-identically.
+    because each term carries a factor p ≈ 1/n): each SHARED
+    vocabulary term\'s p·ln(2p/(p+q)) contribution is floored to
+    integer nano-nats and summed exactly. Tokens exclusive to one
+    side contribute p·ln 2 each, and that mass is SEPARABLE:
+    Σ_{{t∈A∖B}} p_t = (n_A − Σ_{{t∈A∩B}} c_t)/n_A, an exact integer
+    ratio, so the whole exclusive tail collapses to ONE floored
+    float term per side per pair — no per-token work for tokens the
+    pair doesn\'t share (r8: this replaced a pair-expanded full-outer
+    join over the entire vocabulary; by Zipf most of the vocabulary
+    is exclusive hapax, so the old plan shuffled mostly rows whose
+    contribution is expressible in closed form).
 
-    Scale: sources are a bounded catalog dimension (like nations), so
-    the |S|² pair grid is tiny — the broadcast pair expansion
-    replicates each source's VOCABULARY row set |S|−1 times, never
-    the corpus; the heavy operation is one token-keyed full-outer
-    join per pair, all pairs sharing one shuffle on (pair, token).
-    The corpus itself is tokenized exactly once into a persisted
-    vocab frame."""
+    Scale: sources are a bounded catalog dimension, so the |S|² pair
+    grid is tiny. The heavy operation is ONE token-keyed self-join of
+    the per-source vocabulary frame restricted to co-occurring
+    tokens; the persisted dist frame is shuffled once on the token
+    key. Per-source totals are carried ON the vocabulary rows by a
+    window over the (per-source-vocab-sized) dist frame, so the plan
+    has no total-attaching joins and no driver actions. Worst-case
+    join fan-out per token is the pair grid itself, never the
+    corpus."""
     tok = (
         _docs(spark, sf_dir)
         .filter(F.length(F.trim("text")) > 0)
@@ -2564,63 +2576,80 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = _persist(
         tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
     )
-    tot = dist.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
-    srcs = tot.select("source")
-    pairs = (
-        srcs.alias("x")
-        .crossJoin(F.broadcast(srcs.alias("y")))
-        .filter(F.col("x.source") < F.col("y.source"))
-        .select(
-            F.col("x.source").alias("sa"), F.col("y.source").alias("sb")
-        )
+    # carry each source's totals ON the vocabulary rows via a window
+    # over the (tiny, per-source-vocab) dist frame — the self-join
+    # sides then already hold na/nb and no further total-attaching
+    # joins or driver actions exist anywhere in the plan
+    w = Window.partitionBy("source")
+    dist = dist.select(
+        "source",
+        "t",
+        "c",
+        F.sum("c").over(w).cast("bigint").alias("n"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("v"),
     )
-    da = dist.join(F.broadcast(pairs), dist.source == pairs.sa).select(
-        "sa", "sb", F.col("t").alias("ta"), F.col("c").alias("ca")
+    a = dist.select(
+        F.col("source").alias("sa"),
+        "t",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
     )
-    db = dist.join(F.broadcast(pairs), dist.source == pairs.sb).select(
-        F.col("sa").alias("sb_a"),
-        F.col("sb").alias("sb_b"),
+    b = dist.select(
+        F.col("source").alias("sb"),
         F.col("t").alias("tb"),
         F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
     )
-    j = da.join(
-        db,
-        (da.sa == db.sb_a) & (da.sb == db.sb_b) & (da.ta == db.tb),
-        "full_outer",
-    ).select(
-        F.coalesce("sa", "sb_a").alias("sa"),
-        F.coalesce("sb", "sb_b").alias("sb"),
-        F.coalesce("ca", F.lit(0)).alias("ca"),
-        F.coalesce("cb", F.lit(0)).alias("cb"),
-    )
-    na = tot.select(F.col("source").alias("na_s"), F.col("n").alias("na"))
-    nb = tot.select(F.col("source").alias("nb_s"), F.col("n").alias("nb"))
-    j = j.join(F.broadcast(na), j.sa == na.na_s).join(
-        F.broadcast(nb), j.sb == nb.nb_s
-    )
+    co = a.join(b, (a.t == b.tb) & (a.sa < b.sb))
     p = F.col("ca").cast("double") / F.col("na")
     q = F.col("cb").cast("double") / F.col("nb")
-    term_a = F.when(
-        F.col("ca") > 0,
-        F.floor(p * F.log(2 * p / (p + q)) * 1000000000).cast("bigint"),
-    ).otherwise(F.lit(0).cast("bigint"))
-    term_b = F.when(
-        F.col("cb") > 0,
-        F.floor(q * F.log(2 * q / (p + q)) * 1000000000).cast("bigint"),
-    ).otherwise(F.lit(0).cast("bigint"))
-    return (
-        j.select(
-            F.col("sa").alias("source_a"),
-            F.col("sb").alias("source_b"),
-            term_a.alias("term_a"),
-            term_b.alias("term_b"),
-        )
-        .groupBy("source_a", "source_b")
+    term_a = F.floor(p * F.log(2 * p / (p + q)) * 1000000000).cast("bigint")
+    term_b = F.floor(q * F.log(2 * q / (p + q)) * 1000000000).cast("bigint")
+    inter = (
+        co.select("sa", "sb", "ca", "cb", term_a.alias("ta"), term_b.alias("tb2"))
+        .groupBy("sa", "sb")
         .agg(
-            F.count(F.lit(1)).alias("n_union_terms"),
-            F.expr("(sum(term_a) + sum(term_b)) div 2")
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("ca").cast("bigint").alias("ca_common"),
+            F.sum("cb").cast("bigint").alias("cb_common"),
+            F.sum("ta").alias("terms_a"),
+            F.sum("tb2").alias("terms_b"),
+        )
+    )
+    tot = dist.select("source", "n", "v").distinct()
+    ga = tot.select(
+        F.col("source").alias("psa"),
+        F.col("n").alias("pna"),
+        F.col("v").alias("pva"),
+    )
+    gb = tot.select(
+        F.col("source").alias("psb"),
+        F.col("n").alias("pnb"),
+        F.col("v").alias("pvb"),
+    )
+    pairs = ga.crossJoin(F.broadcast(gb)).filter(F.col("psa") < F.col("psb"))
+    return (
+        pairs.join(
+            inter,
+            (pairs.psa == inter.sa) & (pairs.psb == inter.sb),
+            "left",
+        )
+        .select(
+            F.col("psa").alias("source_a"),
+            F.col("psb").alias("source_b"),
+            (
+                F.col("pva") + F.col("pvb") - F.coalesce("n_common", F.lit(0))
+            )
             .cast("bigint")
-            .alias("jsd_nano"),
+            .alias("n_union_terms"),
+            F.expr(
+                "cast((coalesce(terms_a, 0) + coalesce(terms_b, 0)"
+                " + cast(floor(cast(pna - coalesce(ca_common, 0) as double)"
+                "              / pna * ln(2) * 1000000000) as bigint)"
+                " + cast(floor(cast(pnb - coalesce(cb_common, 0) as double)"
+                "              / pnb * ln(2) * 1000000000) as bigint)"
+                ") div 2 as bigint)"
+            ).alias("jsd_nano"),
         )
     )
 
