@@ -343,10 +343,11 @@ def _ivf_cells_arrow(vec: Column, cents: list[list[float]], n: int) -> Column:
     return cells_udf(vec)
 
 
-def _ivf_train_centroids(e: DataFrame) -> list[list[float]]:
-    """Lloyd's k-means over the corpus → ``_IVF_CELLS`` centroids.
+def _ivf_train_centroids(e: DataFrame, ncells: int = _IVF_CELLS) -> list[list[float]]:
+    """Lloyd's k-means over the corpus → ``ncells`` centroids
+    (default ``_IVF_CELLS``; knn_ivf_pq_ann trains a finer grid).
 
-    Init: deterministic seed vectors (vec_id 100..115). Each iteration
+    Init: deterministic seed vectors (vec_id 100..100+ncells). Each iteration
     is the canonical distributed k-means step — assign every vector to
     its nearest centroid with a vectorized Arrow argmax
     (:func:`_ivf_cells_arrow` — narrow map, no shuffle of vectors),
@@ -359,15 +360,15 @@ def _ivf_train_centroids(e: DataFrame) -> list[list[float]]:
     """
     dim = _DIM
     seed_rows = (
-        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_CELLS))
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + ncells))
         .orderBy("vec_id")
         .collect()
     )
     # _emb's zero-norm filter could silently drop a seed and shift the
     # cell indexing (IndexError at the update step) — assert instead
     assert [int(r.vec_id) for r in seed_rows] == list(
-        range(100, 100 + _IVF_CELLS)
-    ), "IVF seed vectors 100..115 must all exist with nonzero norm"
+        range(100, 100 + ncells)
+    ), f"IVF seed vectors 100..{100 + ncells - 1} must all exist with nonzero norm"
     cents = [[float(v) for v in r.embedding] for r in seed_rows]
     for _ in range(_IVF_KMEANS_ITERS):
         assigned = e.withColumn(
@@ -384,7 +385,7 @@ def _ivf_train_centroids(e: DataFrame) -> list[list[float]]:
             .collect()
         )
         updated = {int(r["cell"]): [float(r[f"d{i}"]) for i in range(dim)] for r in rows}
-        cents = [updated.get(c, cents[c]) for c in range(_IVF_CELLS)]
+        cents = [updated.get(c, cents[c]) for c in range(ncells)]
     # centroids average nonzero-norm vectors (_emb filters), so a zero
     # centroid is impossible-by-invariant; assert so it can never reach
     # _ivf_cells_arrow's centroid-norm division as an opaque NaN
