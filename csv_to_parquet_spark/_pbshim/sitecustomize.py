@@ -16,6 +16,12 @@ is the only reliable point. Content mirrors
 :func:`csv_to_parquet_spark.pbcompat.ensure_protobuf` but is
 self-contained: PYTHONPATH carries only this directory, not the repo.
 
+Python loads at most ONE ``sitecustomize``, and this directory is
+PREPENDED to PYTHONPATH, so any pre-existing sitecustomize (e.g.
+coverage.py's subprocess hook) would be silently shadowed — the tail
+of this shim therefore CHAIN-LOADS the next ``sitecustomize`` found
+later on ``sys.path`` (ADVICE r7).
+
 Everything is best-effort and guarded: if a real protobuf is
 installed, this is a no-op beyond one cheap import attempt.
 """
@@ -54,12 +60,44 @@ try:
                 def _tolerant(*args, **kwargs):
                     try:
                         _orig(*args, **kwargs)
-                    except _rv.VersionError:
-                        pass  # system-fallback runtime: one-minor gap, see pbcompat
+                    except _rv.VersionError as _e:
+                        # mirror pbcompat._relax_version_check: the
+                        # swallowed mismatch must stay visible
+                        import warnings as _w
+
+                        _w.warn(
+                            f"protobuf gencode/runtime version mismatch "
+                            f"tolerated by the spark-graft pbshim "
+                            f"(system-fallback runtime, see "
+                            f"csv_to_parquet_spark.pbcompat): {_e}",
+                            stacklevel=2,
+                        )
 
                 _rv.ValidateProtobufRuntimeVersion = _tolerant
                 _rv._sparkgraft_relaxed = True
         except ImportError:
             pass
+
+    # chain-load a sitecustomize this shim shadowed: find the next
+    # sys.path entry (after this file's directory) that provides one
+    # and execute it under the same module name, so e.g. coverage.py's
+    # subprocess hook still runs in every spawned python
+    _here = _os.path.dirname(_os.path.abspath(__file__))
+    for _p in _sys.path:
+        _cand = _os.path.join(_p or ".", "sitecustomize.py")
+        try:
+            _same = _os.path.samefile(_os.path.dirname(_cand) or ".", _here)
+        except OSError:
+            _same = False
+        if _same or not _os.path.isfile(_cand):
+            continue
+        import runpy as _runpy
+
+        _shadowed = _runpy.run_path(_cand, run_name="sitecustomize_shadowed")
+        # expose it like site would have (best effort)
+        _sys.modules.setdefault(
+            "sitecustomize_shadowed", type(_sys)("sitecustomize_shadowed")
+        ).__dict__.update(_shadowed)
+        break
 except Exception:  # never break interpreter startup
     pass

@@ -146,16 +146,28 @@ def sql_execute_immediate_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.o_orderpriority
         for r in orders.select("o_orderpriority").distinct().collect()
     )
+    # splice order matters (ADVICE r7): escape backslashes BEFORE
+    # quotes — Spark string literals honor backslash escapes by
+    # default, so an unescaped backslash in a data-derived priority
+    # value would corrupt the assembled statement text
     cols = ", ".join(
         "CAST(COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS BIGINT)"
-        " AS p{i}".format(p=p.replace("'", "''"), i=i + 1)
+        " AS p{i}".format(
+            p=p.replace("\\", "\\\\").replace("'", "''"), i=i + 1
+        )
         for i, p in enumerate(prios)
     )
     return spark.sql(
         "EXECUTE IMMEDIATE "
-        "'SELECT o_orderstatus, " + cols.replace("'", "\\'") + " "
-        "FROM orders_ei WHERE o_totalprice >= :min_price "
-        "GROUP BY o_orderstatus' "
+        "'"
+        + (
+            "SELECT o_orderstatus, " + cols + " "
+            "FROM orders_ei WHERE o_totalprice >= :min_price "
+            "GROUP BY o_orderstatus"
+        )
+        .replace("\\", "\\\\")
+        .replace("'", "\\'")
+        + "' "
         "USING 1000.0 AS min_price"
     )
 

@@ -1,0 +1,84 @@
+"""Round-8 unit tests: the loud transformWithState gate (VERDICT r7
+item 7) and the catalog-presence contract for the gated entries."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+
+def test_tws_gate_warns_loudly_when_runtime_absent():
+    """Simulated absent protobuf runtime: the gate must emit the
+    documented RuntimeWarning naming every skipped entry and the
+    remedy — never a silent catalog shrink."""
+    from csv_to_parquet_spark.streaming import jobs
+
+    with pytest.warns(RuntimeWarning) as rec:
+        assert jobs._gate_transform_with_state(False) is False
+    (w,) = rec.list
+    msg = str(w.message)
+    assert msg == jobs.TWS_GATE_MESSAGE
+    for name in jobs._TWS_ENTRY_NAMES:
+        assert name in msg, f"gate message must name {name}"
+    assert "DISABLED" in msg and "protobuf" in msg
+    assert "pbcompat" in msg  # points at the documented remedy module
+
+
+def test_tws_gate_silent_when_runtime_present():
+    from csv_to_parquet_spark.streaming import jobs
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        assert jobs._gate_transform_with_state(True) is True
+
+
+def test_tws_entries_in_catalog_iff_protobuf():
+    """Catalog count contract: the three transformWithState entries
+    are present exactly when the runtime gate passed at import."""
+    import __spark_entry__ as entry_mod
+    from csv_to_parquet_spark.streaming import jobs
+
+    q = entry_mod.queries()
+    for name in jobs._TWS_ENTRY_NAMES:
+        assert (name in q) == jobs._HAS_PROTOBUF, name
+
+
+def test_merge_sessions_is_worker_shippable_by_value():
+    """The session-timer processor binds merge_sessions by VALUE
+    (rebuilt FunctionType) because workers may not have this package
+    importable. Two invariants guard that: (a) the body uses only
+    builtins, so an empty-globals rebuild is safe; (b) the rebuilt
+    function round-trips through pickle WITHOUT the package being
+    importable — simulated by unpickling with the module name blocked."""
+    import base64
+    import pickle
+    import subprocess
+    import sys
+    import types
+
+    from csv_to_parquet_spark.streaming.jobs import merge_sessions
+
+    assert set(merge_sessions.__code__.co_names) <= {"sorted", "max", "append"}
+
+    from pyspark import cloudpickle
+
+    rebuilt = types.FunctionType(
+        merge_sessions.__code__,
+        {"__builtins__": __import__("builtins")},
+        "merge_sessions",
+        merge_sessions.__defaults__,
+        merge_sessions.__closure__,
+    )
+    blob = base64.b64encode(cloudpickle.dumps(rebuilt)).decode()
+    code = (
+        "import sys, base64, pickle\n"
+        "sys.path = [p for p in sys.path if 'repo' not in p]\n"
+        "f = pickle.loads(base64.b64decode(%r))\n"
+        "assert f([], [1000, 2000], 30*60*1000000) == [(1000, 2000, 2)]\n"
+        "print('BYVALUE_OK')\n" % blob
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp"
+    )
+    assert "BYVALUE_OK" in out.stdout, out.stderr[-500:]
