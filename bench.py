@@ -55,6 +55,7 @@ HEADLINE = [
     # LLM-pipeline headliners
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_ngram_span_exact",
     "dedup_connected_components",
     "dedup_simhash_signatures",
     "knn_bruteforce_cosine",

@@ -10,6 +10,10 @@ defaults → YAML config file → CLI flag overrides, input required
 - ``delete_original`` defaults to **True** — the reference deletes
   source CSVs after a verified convert unless ``--keep`` is passed
   (config/config.go:26 ``DeleteOriginal: true``; README.md:64).
+  Deliberate split: only this CLI/config surface carries the
+  reference's destructive default; the library functions
+  (``convert_file``/``convert_all``) keep ``delete_original=False``
+  so a programmatic caller must opt in explicitly.
 - ``--keep`` inverts ``delete_original`` (config/config.go:36,64-66).
 - ``--config`` defaults to ``config.yaml`` and the file is
   **auto-loaded when present** with no flag; a missing file is

@@ -1856,3 +1856,145 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups are unacceptable (e.g. benchmark decontamination).
     """
     return jaccard_prefix_filter_pairs(_doc_shingles(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated n-gram spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the exact-substring
+# method, re-expressed at token-shingle granularity)
+# ---------------------------------------------------------------------------
+
+#: Tokens per shingle for span-level exact dedup. The paper uses 50
+#: BPE tokens on web-scale corpora; the fixture documents average ~54
+#: whitespace tokens, so 8 keeps span statistics non-degenerate at
+#: test scale while the operator itself is K-agnostic.
+_NGRAM_SPAN_K = 8
+
+
+@CAT.query(
+    "dedup_ngram_span_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i+{_NGRAM_SPAN_K}-1], ' ')) AS h
+      FROM toks, UNNEST(range(1, len(t)-{_NGRAM_SPAN_K}+2)) AS u(i)
+      WHERE len(t) >= {_NGRAM_SPAN_K}),
+    dup AS (SELECT h FROM sh GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos)
+                       <= {_NGRAM_SPAN_K - 1}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits),
+    g AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM b)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_NGRAM_SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {_NGRAM_SPAN_K} - MIN(pos) AS BIGINT)
+             AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
+    FROM g GROUP BY doc_id, grp
+    """,
+)
+def dedup_ngram_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level exact duplicate detection: for every document, the
+    merged token intervals covered by K-token shingles that occur
+    in at least one OTHER document — the exact-substring dedup of Lee
+    et al. 2022, which removes repeated PASSAGES (boilerplate,
+    licenses, quoted reposts) that document-level dedup can't touch
+    because the surrounding text differs. Downstream, these spans are
+    what a training pipeline cuts out of otherwise-kept documents.
+
+    Decomposition (all oracle-exact, zero Python in the hot path):
+
+    1. shingle: one narrow map — tokens arrive as an array per row,
+       and a JVM ``transform`` over ``sequence(1, n-K+1)`` emits
+       (pos, md5(K-token window)) WITHOUT any shuffle or token
+       explosion (a window/lead formulation would shuffle the token
+       stream; the HOF stays inside the row). The md5 hex string is
+       the cross-engine join key (same bytes in Spark and DuckDB).
+    2. global duplicate set: one hash-keyed shuffle,
+       ``COUNT(DISTINCT doc_id) >= 2`` — the only corpus-wide
+       exchange, and it carries (hash, doc_id) pairs, never text.
+    3. span assembly: positions of duplicated shingles rejoin on the
+       hash — the join strategy is left to AQE, which broadcasts when
+       the duplicate set turns out runtime-small and shuffles when it
+       is corpus-sized (no static broadcast assumption in the plan),
+       then a per-document window merges overlapping [pos, pos+K-1]
+       intervals with the classic gap rule (fixed K ⇒ new span iff
+       pos − prev_pos > K−1) — one shuffle on doc_id, emissions are
+       span-sized.
+
+    At 100 TB the shuffle in (2) is the same shape as every hash
+    dedup here (bucketed by shingle hash); a production deployment
+    raises K (the paper's 50) which SHRINKS both the shingle count
+    and the duplicate set. Suffix-array construction (the paper's
+    in-memory method) is deliberately NOT emulated: the shingle
+    formulation is the shuffle-native equivalent at fixed K.
+    """
+    K = _NGRAM_SPAN_K
+    toks = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", tokenize("text").alias("t"))
+        .filter(F.size("t") >= K)
+    )
+    # the shingle frame feeds BOTH the duplicate-set aggregate and the
+    # position join; tracked persist so tokenize + per-shingle md5 run
+    # once instead of twice (the pack_token_budget token-frame pattern)
+    sh = _persist(toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - K + 1),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("pos"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("t", i, K)).cast("binary")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = sh.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # two selects: Spark rejects a window function nested inside
+    # another window's argument (lag inside sum)
+    b = hits.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= K - 1, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("brk"),
+    )
+    g = b.select(
+        "doc_id",
+        "pos",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    return g.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + K - 1).cast("bigint").alias("span_end"),
+        (F.max("pos") + K - F.min("pos")).cast("bigint").alias("span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_shingles"),
+    ).drop("grp")

@@ -82,3 +82,35 @@ def test_merge_sessions_is_worker_shippable_by_value():
         [sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp"
     )
     assert "BYVALUE_OK" in out.stdout, out.stderr[-500:]
+
+
+def test_ngram_span_single_corpus_materialization(spark):
+    """dedup_ngram_span_exact's shingle frame feeds both the
+    duplicate-set aggregate and the position join; the tracked persist
+    must collapse the two branches onto ONE parquet scan (tokenize +
+    per-shingle md5 run once)."""
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.dedup import dedup_ngram_span_exact
+
+    df = dedup_ngram_span_exact(spark, "/root/testdata/sf0.001")
+    try:
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # both consumer branches (duplicate-set aggregate + position
+        # join) must read the CACHED shingle frame; the parquet scans
+        # visible in the text sit inside the InMemoryRelation
+        # descriptions and execute once at cache fill
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+        # interval merge stays one sort: both window passes share the
+        # doc_id exchange
+        rows = df.collect()
+        assert len(rows) > 0
+        assert all(
+            r.span_end - r.span_start + 1 == r.span_tokens for r in rows
+        )
+        assert all(r.span_tokens >= 8 for r in rows)  # >= one shingle
+    finally:
+        release_caches()
