@@ -382,6 +382,49 @@ def split_train_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@CAT.query(
+    "split_leakage_safe_groups",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS group_rep
+      FROM documents)
+    SELECT doc_id, group_rep,
+           {md5_60_sql("CAST(group_rep AS VARCHAR)")} % 100 AS bucket,
+           CASE WHEN {md5_60_sql("CAST(group_rep AS VARCHAR)")} % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM g
+    """,
+)
+def split_leakage_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware train/test split: every member of an exact
+    duplicate group lands in the SAME split, keyed by the hash of the
+    group's canonical representative (its minimum doc_id). The naive
+    per-document split (``split_train_test_hash``) leaks evaluation
+    data whenever a test document has a training-set duplicate — the
+    classic contamination path dedup-aware splitting exists to close
+    (the eval side of the same discipline as
+    ``decontam_train_eval``).
+
+    By construction the invariant "same group ⇒ same split" cannot be
+    violated: the split is a pure function of group_rep. Plan: ONE
+    exchange — the representative is a MIN window over the md5(text)
+    partition (no groupBy + join-back, no second fact pass), then the
+    bucket/split assignment is a narrow map. The md5 partition key
+    never crosses engines; only the representative doc_id does, so
+    the oracle comparison is hash-scheme-independent.
+    """
+    h = F.md5(F.col("text").cast("binary"))
+    rep = F.min("doc_id").over(Window.partitionBy(h))
+    bucket = F.pmod(md5_60(rep.cast("string")), F.lit(100))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        rep.alias("group_rep"),
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket < 90, "train").otherwise("test").alias("split"),
+    )
+
+
 # per-mille keep rates per language band — EN-heavy corpora downsample
 # the dominant language, keep the tail
 _STRATA_PERMILLE = {"en": 300, "de": 700, "fr": 700}

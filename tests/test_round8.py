@@ -114,3 +114,27 @@ def test_ngram_span_single_corpus_materialization(spark):
         assert all(r.span_tokens >= 8 for r in rows)  # >= one shingle
     finally:
         release_caches()
+
+
+def test_leakage_safe_split_invariant(spark):
+    """Every multi-member exact-duplicate group must land entirely on
+    one side of the split (the fixture contains exact dup docs, so
+    this exercises real groups, not just singletons)."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    # sf0.1: the smallest fixture whose documents table contains
+    # exact duplicate groups (8 groups; sf0.001/sf0.01 are all
+    # singletons — verified in DuckDB)
+    df = entry_mod.queries()["split_leakage_safe_groups"](
+        spark, "/root/testdata/sf0.1"
+    )
+    g = df.groupBy("group_rep").agg(
+        F.countDistinct("split").alias("nsplits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert g.filter(F.col("nsplits") > 1).count() == 0
+    assert g.filter(F.col("n") > 1).count() > 0, "fixture lost its dup groups"
+    # both sides populated at 90/10
+    sides = {r.split for r in df.select("split").distinct().collect()}
+    assert sides == {"train", "test"}
