@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_ngram_span_exact",
+    "bpe_learn_merges",
     "dedup_connected_components",
     "dedup_simhash_signatures",
     "knn_bruteforce_cosine",

@@ -1195,6 +1195,202 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Merge rounds learned by the BPE trainer (each is a full
+#: pair-count + argmax + apply cycle — the sequential dependency that
+#: makes tokenizer training the canonical iterative corpus job).
+_BPE_LEARN_ROUNDS = 8
+
+
+@CAT.query(
+    "bpe_learn_merges",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0),
+    words AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+    s0 AS (SELECT w, f,
+                  ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+                    AS seg
+           FROM words),
+    
+    p1 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
+      FROM (SELECT f, regexp_split_to_array(trim(seg), ' ') AS syms
+            FROM s0) t,
+           UNNEST(range(1, len(syms))) u(i)
+      GROUP BY 1, 2),
+    m1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+    s1 AS (
+      SELECT w, f,
+             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || m.b || ' ') AS seg
+      FROM s0, m1 m),
+    p2 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
+      FROM (SELECT f, regexp_split_to_array(trim(seg), ' ') AS syms
+            FROM s1) t,
+           UNNEST(range(1, len(syms))) u(i)
+      GROUP BY 1, 2),
+    m2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+    s2 AS (
+      SELECT w, f,
+             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || m.b || ' ') AS seg
+      FROM s1, m2 m),
+    p3 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
+      FROM (SELECT f, regexp_split_to_array(trim(seg), ' ') AS syms
+            FROM s2) t,
+           UNNEST(range(1, len(syms))) u(i)
+      GROUP BY 1, 2),
+    m3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1),
+    s3 AS (
+      SELECT w, f,
+             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || m.b || ' ') AS seg
+      FROM s2, m3 m),
+    p4 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
+      FROM (SELECT f, regexp_split_to_array(trim(seg), ' ') AS syms
+            FROM s3) t,
+           UNNEST(range(1, len(syms))) u(i)
+      GROUP BY 1, 2),
+    m4 AS (SELECT a, b, c FROM p4 ORDER BY c DESC, a, b LIMIT 1),
+    s4 AS (
+      SELECT w, f,
+             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || m.b || ' ') AS seg
+      FROM s3, m4 m),
+    p5 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
+      FROM (SELECT f, regexp_split_to_array(trim(seg), ' ') AS syms
+            FROM s4) t,
+           UNNEST(range(1, len(syms))) u(i)
+      GROUP BY 1, 2),
+    m5 AS (SELECT a, b, c FROM p5 ORDER BY c DESC, a, b LIMIT 1),
+    s5 AS (
+      SELECT w, f,
+             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || m.b || ' ') AS seg
+      FROM s4, m5 m),
+    p6 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
+      FROM (SELECT f, regexp_split_to_array(trim(seg), ' ') AS syms
+            FROM s5) t,
+           UNNEST(range(1, len(syms))) u(i)
+      GROUP BY 1, 2),
+    m6 AS (SELECT a, b, c FROM p6 ORDER BY c DESC, a, b LIMIT 1),
+    s6 AS (
+      SELECT w, f,
+             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || m.b || ' ') AS seg
+      FROM s5, m6 m),
+    p7 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
+      FROM (SELECT f, regexp_split_to_array(trim(seg), ' ') AS syms
+            FROM s6) t,
+           UNNEST(range(1, len(syms))) u(i)
+      GROUP BY 1, 2),
+    m7 AS (SELECT a, b, c FROM p7 ORDER BY c DESC, a, b LIMIT 1),
+    s7 AS (
+      SELECT w, f,
+             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || m.b || ' ') AS seg
+      FROM s6, m7 m),
+    p8 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
+      FROM (SELECT f, regexp_split_to_array(trim(seg), ' ') AS syms
+            FROM s7) t,
+           UNNEST(range(1, len(syms))) u(i)
+      GROUP BY 1, 2),
+    m8 AS (SELECT a, b, c FROM p8 ORDER BY c DESC, a, b LIMIT 1),
+    s8 AS (
+      SELECT w, f,
+             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || m.b || ' ') AS seg
+      FROM s7, m8 m)
+    SELECT * FROM (SELECT 1 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m1 UNION ALL SELECT 2 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m2 UNION ALL SELECT 3 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m3 UNION ALL SELECT 4 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m4 UNION ALL SELECT 5 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m5 UNION ALL SELECT 6 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m6 UNION ALL SELECT 7 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m7 UNION ALL SELECT 8 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m8) ORDER BY rank
+    """,
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the learn side that completes the
+    catalog's byte-pair-encoding triptych (``bpe_merge_candidates``
+    counts one round's candidates; ``text_subword_merge_stats``
+    applies a fixed cascade): run 8 full merge rounds and emit
+    the ordered merge table (rank, pair, frequency) — the artifact a
+    tokenizer trainer ships.
+
+    Shape: classic BPE trains on the WORD-TYPE histogram, not the
+    corpus — the per-round frames are vocabulary-sized, which is what
+    makes iterative tokenizer training tractable at 100 TB (one
+    corpus-scale tokenize + groupBy builds the histogram; every merge
+    round after that touches only word types × their frequencies).
+    Each round: adjacent-pair counts via a narrow zip of the symbol
+    array against itself (no shuffle beyond the tiny pair groupBy),
+    a deterministic argmax (count DESC, pair ASC — TakeOrdered, one
+    model-sized collect per round, the k-means-centroid pattern), and
+    the merge applied as ONE codegen'd literal replace on the
+    space-delimited symbol string (left-to-right non-overlapping
+    replace semantics are identical in Spark and DuckDB and equal
+    greedy BPE pairing — ' a a a ' -> ' aa a ').
+
+    The oracle replays all 8 rounds as chained CTEs, so the
+    LEARNED MERGES — not merely counts — are verified cross-engine.
+    The lazy replace chain recomputes from the persisted histogram
+    each round (8 narrow string ops at most — cheaper than
+    re-persisting vocabulary-sized churn every round).
+    """
+    from csv_to_parquet_spark.operators.cache import persist_tracked
+
+    words = persist_tracked(
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(tokenize(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    seg = words.select(
+        "w",
+        "f",
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("seg"),
+    )
+    merges = []
+    for rank in range(1, _BPE_LEARN_ROUNDS + 1):
+        syms = F.split(F.trim("seg"), " ")
+        pairs = seg.select(
+            "f",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(syms, 1, F.size(syms) - 1).alias("a"),
+                    F.slice(syms, 2, F.size(syms) - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )[0]
+        merges.append((rank, top.a, top.b, int(top.c)))
+        seg = seg.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {top.a} {top.b} "),
+                F.lit(f" {top.a}{top.b} "),
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "rank BIGINT, sym_a STRING, sym_b STRING, pair_freq BIGINT"
+    )
+
+
 #: Vocabulary size and per-doc encode length for text_vocab_encode.
 _VOCAB_K = 1000
 _ENC_LEN = 20

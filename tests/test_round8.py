@@ -138,3 +138,28 @@ def test_leakage_safe_split_invariant(spark):
     # both sides populated at 90/10
     sides = {r.split for r in df.select("split").distinct().collect()}
     assert sides == {"train", "test"}
+
+
+def test_bpe_learn_merges_semantics(spark):
+    """The learned merge table must be internally consistent: ranks
+    1..8, pair frequencies non-increasing (each merge removes mass
+    from the pair distribution it was the argmax of), and every
+    merged symbol buildable from earlier symbols (chars or prior
+    merges)."""
+    import __spark_entry__ as entry_mod
+
+    rows = sorted(
+        entry_mod.queries()["bpe_learn_merges"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, 9))
+    freqs = [r.pair_freq for r in rows]
+    assert all(f > 0 for f in freqs)
+    assert freqs == sorted(freqs, reverse=True), freqs
+    known = set()
+    for r in rows:
+        for side in (r.sym_a, r.sym_b):
+            assert len(side) == 1 or side in known, (side, known)
+        known.add(r.sym_a + r.sym_b)
