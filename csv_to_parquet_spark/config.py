@@ -16,9 +16,12 @@ defaults → YAML config file → CLI flag overrides, input required
   so a programmatic caller must opt in explicitly.
 - ``--keep`` inverts ``delete_original`` (config/config.go:36,64-66).
 - ``--config`` defaults to ``config.yaml`` and the file is
-  **auto-loaded when present** with no flag; a missing file is
-  tolerated only at the default path — an explicitly-given path that
-  can't be read is an error (config/config.go:34,46-50).
+  **auto-loaded when present** with no flag. Missing-file tolerance
+  is VALUE-based, exactly like the reference (config/config.go:46-50
+  compares ``*configPath != "config.yaml"``): any path equal to the
+  default string — including an explicitly typed ``--config
+  config.yaml`` — tolerates absence, while any other unreadable path
+  is an error.
 - CLI flags override the config file only when "set" by the
   reference's zero-value rule: strings when non-empty, ints when > 0
   (config/config.go:58-78).
@@ -30,7 +33,6 @@ defaults → YAML config file → CLI flag overrides, input required
 from __future__ import annotations
 
 import argparse
-import os
 from dataclasses import dataclass, fields
 
 try:
@@ -103,9 +105,10 @@ def load_settings(argv: list[str] | None = None) -> Settings:
     args = parser.parse_args(argv)
 
     cfg = Settings()
-    # config.yaml auto-probe (config/config.go:34,46-50): the default
-    # path is read when present and silently skipped when missing; an
-    # explicit --config that can't be opened is an error.
+    # config.yaml auto-probe (config/config.go:34,46-50): missing-file
+    # tolerance is VALUE-based like the reference — any path equal to
+    # the default string (even explicitly typed) tolerates absence;
+    # any other unreadable path raises.
     try:
         f = open(args.config, encoding="utf-8")
     except OSError:

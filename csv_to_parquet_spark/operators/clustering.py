@@ -1147,7 +1147,11 @@ def _pq_refine_codebook(e: DataFrame, codebook, iters: int):
             nz = np.nonzero(cnt)[0]
             for j in range(d_sub):
                 sums = np.bincount(code, weights=x[:, sl][:, j], minlength=_PQ_K)
-                cb[nz, s * d_sub + j] = np.round(sums[nz] / cnt[nz])
+                # half-AWAY-FROM-ZERO like _pq_quant (np.round would
+                # bankers-round .5 boundaries) — one rounding
+                # convention per file
+                m = sums[nz] / cnt[nz]
+                cb[nz, s * d_sub + j] = np.sign(m) * np.floor(np.abs(m) + 0.5)
     return cb
 
 

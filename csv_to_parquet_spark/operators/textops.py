@@ -1209,7 +1209,7 @@ _BPE_LEARN_ROUNDS = 8
       FROM documents WHERE len(trim(text)) > 0),
     words AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
     s0 AS (SELECT w, f,
-                  ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+                  ' ' || trim(regexp_replace(w, '(?s)(.)', '\\1 ', 'g')) || ' '
                     AS seg
            FROM words),
     
@@ -1221,9 +1221,7 @@ _BPE_LEARN_ROUNDS = 8
       GROUP BY 1, 2),
     m1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
     s1 AS (
-      SELECT w, f,
-             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
-                     ' ' || m.a || m.b || ' ') AS seg
+      SELECT w, f, replace(replace(seg, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS seg
       FROM s0, m1 m),
     p2 AS (
       SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
@@ -1233,9 +1231,7 @@ _BPE_LEARN_ROUNDS = 8
       GROUP BY 1, 2),
     m2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
     s2 AS (
-      SELECT w, f,
-             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
-                     ' ' || m.a || m.b || ' ') AS seg
+      SELECT w, f, replace(replace(seg, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS seg
       FROM s1, m2 m),
     p3 AS (
       SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
@@ -1245,9 +1241,7 @@ _BPE_LEARN_ROUNDS = 8
       GROUP BY 1, 2),
     m3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1),
     s3 AS (
-      SELECT w, f,
-             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
-                     ' ' || m.a || m.b || ' ') AS seg
+      SELECT w, f, replace(replace(seg, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS seg
       FROM s2, m3 m),
     p4 AS (
       SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
@@ -1257,9 +1251,7 @@ _BPE_LEARN_ROUNDS = 8
       GROUP BY 1, 2),
     m4 AS (SELECT a, b, c FROM p4 ORDER BY c DESC, a, b LIMIT 1),
     s4 AS (
-      SELECT w, f,
-             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
-                     ' ' || m.a || m.b || ' ') AS seg
+      SELECT w, f, replace(replace(seg, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS seg
       FROM s3, m4 m),
     p5 AS (
       SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
@@ -1269,9 +1261,7 @@ _BPE_LEARN_ROUNDS = 8
       GROUP BY 1, 2),
     m5 AS (SELECT a, b, c FROM p5 ORDER BY c DESC, a, b LIMIT 1),
     s5 AS (
-      SELECT w, f,
-             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
-                     ' ' || m.a || m.b || ' ') AS seg
+      SELECT w, f, replace(replace(seg, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS seg
       FROM s4, m5 m),
     p6 AS (
       SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
@@ -1281,9 +1271,7 @@ _BPE_LEARN_ROUNDS = 8
       GROUP BY 1, 2),
     m6 AS (SELECT a, b, c FROM p6 ORDER BY c DESC, a, b LIMIT 1),
     s6 AS (
-      SELECT w, f,
-             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
-                     ' ' || m.a || m.b || ' ') AS seg
+      SELECT w, f, replace(replace(seg, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS seg
       FROM s5, m6 m),
     p7 AS (
       SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
@@ -1293,9 +1281,7 @@ _BPE_LEARN_ROUNDS = 8
       GROUP BY 1, 2),
     m7 AS (SELECT a, b, c FROM p7 ORDER BY c DESC, a, b LIMIT 1),
     s7 AS (
-      SELECT w, f,
-             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
-                     ' ' || m.a || m.b || ' ') AS seg
+      SELECT w, f, replace(replace(seg, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS seg
       FROM s6, m7 m),
     p8 AS (
       SELECT syms[i] AS a, syms[i+1] AS b, SUM(f) AS c
@@ -1305,9 +1291,7 @@ _BPE_LEARN_ROUNDS = 8
       GROUP BY 1, 2),
     m8 AS (SELECT a, b, c FROM p8 ORDER BY c DESC, a, b LIMIT 1),
     s8 AS (
-      SELECT w, f,
-             replace(seg, ' ' || m.a || ' ' || m.b || ' ',
-                     ' ' || m.a || m.b || ' ') AS seg
+      SELECT w, f, replace(replace(seg, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS seg
       FROM s7, m8 m)
     SELECT * FROM (SELECT 1 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m1 UNION ALL SELECT 2 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m2 UNION ALL SELECT 3 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m3 UNION ALL SELECT 4 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m4 UNION ALL SELECT 5 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m5 UNION ALL SELECT 6 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m6 UNION ALL SELECT 7 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m7 UNION ALL SELECT 8 AS rank, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_freq FROM m8) ORDER BY rank
     """,
@@ -1326,13 +1310,26 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale tokenize + groupBy builds the histogram; every merge
     round after that touches only word types × their frequencies).
     Each round: adjacent-pair counts via a narrow zip of the symbol
-    array against itself (no shuffle beyond the tiny pair groupBy),
-    a deterministic argmax (count DESC, pair ASC — TakeOrdered, one
+    array against itself (no shuffle beyond the tiny pair groupBy), a
+    deterministic argmax (count DESC, pair ASC — TakeOrdered, one
     model-sized collect per round, the k-means-centroid pattern), and
-    the merge applied as ONE codegen'd literal replace on the
-    space-delimited symbol string (left-to-right non-overlapping
-    replace semantics are identical in Spark and DuckDB and equal
-    greedy BPE pairing — ' a a a ' -> ' aa a ').
+    the merge applied under the SAME replace-scan contract as
+    ``text_subword_merge_stats``/``_sw_segment_sql``: TWO
+    left-to-right non-overlapping literal replaces on the
+    space-delimited symbol string (one pass misses back-to-back
+    occurrences that share a delimiter space — ' b a n a n a ' with
+    merge (a,n) single-replaces to ' b an a n a ', two passes reach
+    greedy BPE's ' b an an a '). As documented on the sibling, this
+    equals classic greedy BPE everywhere except unbounded same-pair
+    adjacency chains, where a bounded number of passes merges in a
+    different (still deterministic) grouping. The char interleave is
+    DOTALL ('(?s)') so Java and RE2 dots agree on U+0085/U+2028/
+    U+2029 inside tokens (see ``_sw_segment_sql``).
+
+    If every word type collapses to a single symbol before
+    8 rounds complete, the trainer stops early and emits the
+    merges learned so far (vocabulary exhausted — nothing left to
+    merge).
 
     The oracle replays all 8 rounds as chained CTEs, so the
     LEARNED MERGES — not merely counts — are verified cross-engine.
@@ -1340,9 +1337,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round (8 narrow string ops at most — cheaper than
     re-persisting vocabulary-sized churn every round).
     """
-    from csv_to_parquet_spark.operators.cache import persist_tracked
-
-    words = persist_tracked(
+    words = _persist(
         _docs(spark, sf_dir)
         .filter(F.length(F.trim("text")) > 0)
         .select(F.explode(tokenize(F.lower(F.col("text")))).alias("w"))
@@ -1354,7 +1349,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f",
         F.concat(
             F.lit(" "),
-            F.trim(F.regexp_replace("w", "(.)", "$1 ")),
+            F.trim(F.regexp_replace("w", "(?s)(.)", "$1 ")),
             F.lit(" "),
         ).alias("seg"),
     )
@@ -1370,21 +1365,21 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p"),
         )
-        top = (
+        rows = (
             pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("f").alias("c"))
             .orderBy(F.desc("c"), "a", "b")
             .limit(1)
             .collect()
-        )[0]
+        )
+        if not rows:  # vocabulary exhausted: stop early, keep merges
+            break
+        top = rows[0]
         merges.append((rank, top.a, top.b, int(top.c)))
+        pat = F.lit(f" {top.a} {top.b} ")
+        rep = F.lit(f" {top.a}{top.b} ")
         seg = seg.withColumn(
-            "seg",
-            F.replace(
-                F.col("seg"),
-                F.lit(f" {top.a} {top.b} "),
-                F.lit(f" {top.a}{top.b} "),
-            ),
+            "seg", F.replace(F.replace(F.col("seg"), pat, rep), pat, rep)
         )
     return spark.createDataFrame(
         merges, "rank BIGINT, sym_a STRING, sym_b STRING, pair_freq BIGINT"
