@@ -109,6 +109,11 @@ HEAVY = [
     "stream_cdc_jdbc_upsert",  # MERGE folding across more batch deltas
     "sql_scripting_compound_loop",  # seed aggregate grows 10x (overflow guard)
     "stream_tws_initial_state",  # cutoff midpoint + handoff at volume
+    # round-8 additions with scale-sensitive semantics
+    "dedup_ngram_span_exact",  # duplicate-shingle density/span merges at volume
+    "split_leakage_safe_groups",  # real multi-member dup groups exist only at sf0.1
+    "bpe_learn_merges",  # argmax ties + two-pass replace chains on the bigger vocab
+    "text_js_divergence",  # r8 exclusive-mass identity: floored terms at volume
 ]
 
 QUERIES = entry_mod.queries()
