@@ -425,6 +425,101 @@ def split_leakage_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RAG-style chunking parameters: window and stride in tokens
+#: (overlap = window − stride). Containment-free chunk count:
+#: 1 + ceil(max(0, n − C)/S) — the last window clamps to the document
+#: end instead of emitting a tail fully covered by its predecessor.
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+@CAT.query(
+    "chunk_sliding_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0),
+    ch AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             CAST(1 + i*{_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+             CAST(LEAST(1 + i*{_CHUNK_STRIDE} + {_CHUNK_TOKENS} - 1, len(t))
+               AS BIGINT) AS end_tok,
+             array_to_string(
+               t[1 + i*{_CHUNK_STRIDE}
+                 : LEAST(1 + i*{_CHUNK_STRIDE} + {_CHUNK_TOKENS} - 1, len(t))],
+               ' ') AS chunk
+      FROM toks,
+           UNNEST(range(0, 1 + (GREATEST(len(t) - {_CHUNK_TOKENS}, 0)
+                                + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}))
+             u(i))
+    SELECT doc_id, chunk_idx, start_tok, end_tok,
+           end_tok - start_tok + 1 AS n_tokens,
+           {md5_60_sql("chunk")} AS chunk_hash
+    FROM ch
+    """,
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the splitter every
+    embedding/RAG ingestion pipeline runs before vectorizing:
+    {_CHUNK_TOKENS}-token windows at stride {_CHUNK_STRIDE}
+    (overlap {_CHUNK_TOKENS - _CHUNK_STRIDE}), the final window
+    clamped to the document end. The chunk COUNT rule is
+    containment-free — 1 + ceil(max(0, n−C)/S) — so a short tail that
+    would sit entirely inside its predecessor is never emitted
+    (verified: zero chunks with end ≤ previous end on the fixture).
+
+    Output pins CONTENT, not just offsets: chunk_hash is the shared
+    60-bit md5 of the space-joined window, so the oracle verifies the
+    exact token spans cross-engine. Plan: ONE narrow map — the token
+    array never explodes; windows are built per row by a JVM
+    ``transform`` over the chunk-index sequence and then unnested to
+    chunk rows. No shuffle at any corpus size; chunking 100 TB is
+    exactly one pass over the scan.
+    """
+    C, S = _CHUNK_TOKENS, _CHUNK_STRIDE
+    toks = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", tokenize("text").alias("t"))
+    )
+    n = F.size("t")
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(
+                        f"(greatest(size(t) - {C}, 0) + {S - 1}) div {S}"
+                    ).cast("int"),
+                ),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("chunk_idx"),
+                    (i * S + 1).cast("bigint").alias("start_tok"),
+                    F.least(i * S + C, n).cast("bigint").alias("end_tok"),
+                    md5_60(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                "t",
+                                i * S + 1,
+                                F.least(i * S + C, n) - (i * S),
+                            ),
+                        )
+                    ).alias("chunk_hash"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        "c.chunk_idx",
+        "c.start_tok",
+        "c.end_tok",
+        (F.col("c.end_tok") - F.col("c.start_tok") + 1).alias("n_tokens"),
+        "c.chunk_hash",
+    )
+
+
 # per-mille keep rates per language band — EN-heavy corpora downsample
 # the dominant language, keep the tail
 _STRATA_PERMILLE = {"en": 300, "de": 700, "fr": 700}
