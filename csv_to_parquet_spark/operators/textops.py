@@ -461,8 +461,8 @@ _CHUNK_STRIDE = 24
 def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking — the splitter every
     embedding/RAG ingestion pipeline runs before vectorizing:
-    {_CHUNK_TOKENS}-token windows at stride {_CHUNK_STRIDE}
-    (overlap {_CHUNK_TOKENS - _CHUNK_STRIDE}), the final window
+    ``_CHUNK_TOKENS``(=32)-token windows at stride
+    ``_CHUNK_STRIDE``(=24), overlap 8, the final window
     clamped to the document end. The chunk COUNT rule is
     containment-free — 1 + ceil(max(0, n−C)/S) — so a short tail that
     would sit entirely inside its predecessor is never emitted
@@ -483,6 +483,18 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokenize("text").alias("t"))
     )
     n = F.size("t")
+
+    def _chunk_struct(i):
+        end = F.least(i * S + C, n)  # bound once: end_tok AND slice length
+        return F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            (i * S + 1).cast("bigint").alias("start_tok"),
+            end.cast("bigint").alias("end_tok"),
+            md5_60(
+                F.concat_ws(" ", F.slice("t", i * S + 1, end - (i * S)))
+            ).alias("chunk_hash"),
+        )
+
     return toks.select(
         "doc_id",
         F.explode(
@@ -493,21 +505,7 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"(greatest(size(t) - {C}, 0) + {S - 1}) div {S}"
                     ).cast("int"),
                 ),
-                lambda i: F.struct(
-                    i.cast("bigint").alias("chunk_idx"),
-                    (i * S + 1).cast("bigint").alias("start_tok"),
-                    F.least(i * S + C, n).cast("bigint").alias("end_tok"),
-                    md5_60(
-                        F.concat_ws(
-                            " ",
-                            F.slice(
-                                "t",
-                                i * S + 1,
-                                F.least(i * S + C, n) - (i * S),
-                            ),
-                        )
-                    ).alias("chunk_hash"),
-                ),
+                _chunk_struct,
             )
         ).alias("c"),
     ).select(
