@@ -1169,8 +1169,9 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``recall_at_10``.
 
     Pipeline: train a {_IVFPQ_CELLS}-cell coarse grid with the shared
-    Lloyd trainer (similarity._ivf_train_centroids — model-sized
-    collect only; finer than knn_ivf_ann's 16 cells because at the
+    sample-Lloyd trainer (similarity._ivf_train_centroids_sampled —
+    one bounded collect, the FAISS train-on-sample convention; finer
+    than knn_ivf_ann's 16 cells because at the
     same probes/cells scan fraction finer cells localize neighbors
     better), Lloyd-refine the PQ codebook over the corpus
     ({_IVFPQ_REFINE_ITERS} sufficient-stats passes,
@@ -1201,13 +1202,13 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from csv_to_parquet_spark.operators.similarity import (
         _emb,
-        _ivf_train_centroids,
+        _ivf_train_centroids_sampled,
     )
 
     # persisted across the trainer's jobs and the query collect —
     # same rationale as knn_ivf_ann (lint: operators/cache.py)
     e = persist_tracked(_emb(spark, sf_dir))
-    cents = _ivf_train_centroids(e, _IVFPQ_CELLS)
+    cents = _ivf_train_centroids_sampled(e, _IVFPQ_CELLS)
 
     d_sub = 64 // _PQ_M
     # init codebook from the RAW table (same construction as the

@@ -343,6 +343,60 @@ def _ivf_cells_arrow(vec: Column, cents: list[list[float]], n: int) -> Column:
     return cells_udf(vec)
 
 
+#: Coarse-quantizer training-sample budget for the rows-only ANN
+#: entries — one bounded, deterministic collect (lowest vec_ids),
+#: constant regardless of corpus size (the FAISS convention: coarse
+#: quantizers are model parameters trained on a sample; the fully
+#: distributed corpus-Lloyd remains showcased, oracle-exact, in
+#: clustering.cluster_kmeans_assign).
+_IVF_TRAIN_SAMPLE = 2048
+
+
+def _ivf_train_centroids_sampled(
+    e: DataFrame, ncells: int = _IVF_CELLS
+) -> list[list[float]]:
+    """Sample-trained Lloyd k-means for the ANN coarse quantizers.
+
+    Same semantics as :func:`_ivf_train_centroids` (seed vectors
+    vec_id 100.., cosine argmax assign, mean update, empty cells keep
+    their centroid, ``_IVF_KMEANS_ITERS`` iterations) but trained on
+    the ``_IVF_TRAIN_SAMPLE`` lowest vec_ids collected once to the
+    driver — replacing 2×iterations distributed jobs (~2.4 s of stage
+    overhead per ANN entry at bench scale, measured, on model-sized
+    work) with one bounded collect + numpy. At 100 TB this is exactly
+    how production vector stores train coarse quantizers; partial-sum
+    float ordering differs ulp-level from the distributed trainer's
+    per-partition aggregation, which is why the oracle-exact
+    ``cluster_kmeans_assign`` keeps the distributed form.
+    """
+    import numpy as np
+
+    rows = (
+        e.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    ids = np.array([int(r.vec_id) for r in rows])
+    V = np.array([list(map(float, r.embedding)) for r in rows])
+    seed_pos = [np.nonzero(ids == i)[0] for i in range(100, 100 + ncells)]
+    assert all(len(p) == 1 for p in seed_pos), (
+        f"IVF seed vectors 100..{100 + ncells - 1} must all exist with "
+        "nonzero norm inside the training sample"
+    )
+    C = V[[p[0] for p in seed_pos]].copy()
+    vnorm = np.sqrt((V * V).sum(axis=1))
+    for _ in range(_IVF_KMEANS_ITERS):
+        cn = np.sqrt((C * C).sum(axis=1))
+        cell = (V @ C.T / (vnorm[:, None] * cn[None, :])).argmax(axis=1)
+        for k in range(ncells):
+            m = cell == k
+            if m.any():
+                C[k] = V[m].mean(axis=0)
+    assert (C != 0).any(axis=1).all(), "IVF centroid collapsed to zero vector"
+    return [[float(x) for x in c] for c in C]
+
+
 def _ivf_train_centroids(e: DataFrame, ncells: int = _IVF_CELLS) -> list[list[float]]:
     """Lloyd's k-means over the corpus → ``ncells`` centroids
     (default ``_IVF_CELLS``; knn_ivf_pq_ann trains a finer grid).
@@ -399,14 +453,16 @@ def _ivf_train_centroids(e: DataFrame, ncells: int = _IVF_CELLS) -> list[list[fl
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization.
 
-    Training is a real (mini) k-means: ``_ivf_train_centroids`` runs
-    ``_IVF_KMEANS_ITERS`` Lloyd iterations over the corpus — assign is
-    one vectorized Arrow argmax per batch (``_ivf_cells_arrow``; the
-    r6 interpreted-HOF argmax measured ~2 s per corpus pass), update
-    is a 64-avg-column groupBy whose partial aggregation keeps the
-    exchange at cells × dims doubles — and collects only the 16-row
-    centroid model. Assignment of the corpus is then the same narrow
-    Arrow map — no shuffle, no join. Queries probe their ``_IVF_PROBES`` nearest
+    Training is a real (mini) k-means on a BOUNDED SAMPLE
+    (``_ivf_train_centroids_sampled`` — the FAISS convention: coarse
+    quantizers are model parameters trained on a fixed-size sample;
+    one deterministic collect + numpy Lloyd replaced ~2.4 s of
+    distributed stage overhead per entry on model-sized work, recall
+    unchanged at 0.70. The fully distributed corpus-Lloyd remains
+    showcased, oracle-exact, in ``cluster_kmeans_assign``.)
+    Assignment of the corpus is a narrow vectorized Arrow map
+    (``_ivf_cells_arrow``) — no shuffle, no join. Queries probe their
+    ``_IVF_PROBES`` nearest
     cells and rerank candidates with exact cosine, touching
     ~probes/cells of the corpus per query at scale. Recall vs brute
     force asserted in tests (trained centroids beat raw seeds: cells
@@ -429,7 +485,7 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster_kmeans_assign; re-scan + re-spread per job was ~40% of
     # the entry's bench time at sf0.1
     e = persist_tracked(_emb(spark, sf_dir))
-    cents = _ivf_train_centroids(e)
+    cents = _ivf_train_centroids_sampled(e)
 
     corpus = e.withColumn(
         "cell", _ivf_cells_arrow(F.col("embedding"), cents, 1)[0]
