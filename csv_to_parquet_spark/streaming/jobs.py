@@ -923,17 +923,20 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-        def _rearm(self, sessions, fired: bool = False) -> None:
+        def _rearm(self, sessions, had_timer: bool = True) -> None:
             """One live timer per key at the earliest open deadline.
 
-            ``fired=True`` (timer-expiry path): the key's single live
-            timer just expired and the framework removes an expired
-            timer after the callback, so the listTimers/deleteTimer
-            walk would be two wasted state-server roundtrips per key
-            — the one-timer-per-key invariant this method maintains
-            makes skipping it safe (the oracle would catch a lingering
+            ``had_timer=False`` skips the listTimers/deleteTimer walk —
+            two state-server roundtrips per key — on the two paths
+            where no live timer can exist: the timer-expiry callback
+            (the key's single timer just fired and the framework
+            removes an expired timer after the callback) and a key's
+            FIRST input batch (timers are only ever armed alongside
+            non-empty session state, so empty prior state ⇒ no timer).
+            The one-timer-per-key invariant this method maintains
+            makes both skips safe (the oracle would catch a lingering
             timer as duplicate emissions)."""
-            if not fired:
+            if had_timer:
                 for t in list(self._handle.listTimers()):
                     self._handle.deleteTimer(t)
             if sessions:
@@ -947,13 +950,15 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
                 for pdf in rows
             ]
+            prior = [tuple(s) for s in self.sess.get()]
             merged = _merge(
-                [tuple(s) for s in self.sess.get()],
+                prior,
                 [int(t) for t in np.concatenate(us_parts)],
                 gap_us,
             )
             self.sess.put(merged)
-            self._rearm(merged)
+            # empty prior state ⇒ this key has never armed a timer
+            self._rearm(merged, had_timer=bool(prior))
             return iter([])  # timer-only emission (see docstring)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
@@ -965,7 +970,7 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 self.sess.put(rest)
             else:
                 self.sess.clear()
-            self._rearm(rest, fired=True)
+            self._rearm(rest, had_timer=False)  # expired timer auto-removed
             if ripe:
                 yield self._emit(key, ripe)
 
