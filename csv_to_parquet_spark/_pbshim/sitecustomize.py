@@ -93,7 +93,20 @@ try:
             continue
         import runpy as _runpy
 
-        _shadowed = _runpy.run_path(_cand, run_name="sitecustomize_shadowed")
+        # Report (don't swallow) failures inside the downstream hook —
+        # CPython's site module prints sitecustomize errors too; only the
+        # pb shim's own failures stay silent via the outer guard.
+        try:
+            _shadowed = _runpy.run_path(_cand, run_name="sitecustomize_shadowed")
+        except Exception:
+            import traceback as _tb
+
+            print(
+                f"Error in shadowed sitecustomize ({_cand}); continuing",
+                file=_sys.stderr,
+            )
+            _tb.print_exc()
+            break
         # expose it like site would have (best effort)
         _sys.modules.setdefault(
             "sitecustomize_shadowed", type(_sys)("sitecustomize_shadowed")

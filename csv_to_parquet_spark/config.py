@@ -33,6 +33,7 @@ defaults → YAML config file → CLI flag overrides, input required
 from __future__ import annotations
 
 import argparse
+import os as _os
 from dataclasses import dataclass, fields
 
 try:
@@ -63,7 +64,12 @@ class Settings:
 def load_settings(argv: list[str] | None = None) -> Settings:
     parser = argparse.ArgumentParser(
         prog="csv-to-parquet-spark",
-        description="Convert CSV files to Parquet (Spark engine).",
+        description=(
+            "Convert CSV files to Parquet (Spark engine). "
+            "WARNING: by default the ORIGINAL CSV FILES ARE DELETED after "
+            "verified conversion (reference parity, config/config.go:26); "
+            "pass --keep to retain them."
+        ),
     )
     parser.add_argument(
         "--config",
@@ -83,7 +89,10 @@ def load_settings(argv: list[str] | None = None) -> Settings:
         "--keep",
         action="store_true",
         default=None,
-        help="keep original files (overrides delete_original)",
+        help=(
+            "keep original files (overrides delete_original, which "
+            "DEFAULTS TO TRUE like the reference CLI)"
+        ),
     )
     parser.add_argument("--log-level", dest="log_level")
     parser.add_argument(
@@ -109,15 +118,16 @@ def load_settings(argv: list[str] | None = None) -> Settings:
     # tolerance is VALUE-based like the reference — any path equal to
     # the default string (even explicitly typed) tolerates absence;
     # any other unreadable path raises.
-    try:
-        f = open(args.config, encoding="utf-8")
-    except OSError:
+    if not _os.path.exists(args.config):
         if args.config != "config.yaml":
-            raise
+            raise OSError(f"config file not found: {args.config}")
         f = None  # default config file missing is fine
-    if f is not None:
+    else:
         if yaml is None:
+            # checked before open() so no file handle is leaked on raise
             raise RuntimeError("PyYAML not available but a config file exists")
+        f = open(args.config, encoding="utf-8")
+    if f is not None:
         with f:
             doc = yaml.safe_load(f) or {}
         valid = {fld.name for fld in fields(Settings)}

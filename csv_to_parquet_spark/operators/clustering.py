@@ -1173,9 +1173,12 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bounded collect, the FAISS train-on-sample convention; finer
     than knn_ivf_ann's 16 cells because at the
     same probes/cells scan fraction finer cells localize neighbors
-    better), Lloyd-refine the PQ codebook over the corpus
-    ({_IVFPQ_REFINE_ITERS} sufficient-stats passes,
-    ``_pq_refine_codebook`` — knn_pq_adc deliberately keeps the
+    better), Lloyd-refine the PQ codebook on a bounded
+    {_PQ_TRAIN_SAMPLE}-row driver-side sample
+    ({_IVFPQ_REFINE_ITERS} Lloyd iterations, ``_pq_refine_codebook``
+    — the FAISS train-on-sample convention; the distributed
+    sufficient-stats variant was removed as pure stage overhead on
+    model-sized work. knn_pq_adc deliberately keeps the
     init-only codebook its DuckDB oracle can reproduce, so this
     entry's codes intentionally differ from the audit/full-scan
     entries'), then ONE fused Arrow pass over the corpus emits
@@ -1212,7 +1215,7 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d_sub = 64 // _PQ_M
     # init codebook from the RAW table (same construction as the
-    # audit/full-scan entries), then Lloyd-refined over the corpus —
+    # audit/full-scan entries), then Lloyd-refined on a bounded sample —
     # the refined codes intentionally diverge from knn_pq_adc's,
     # whose oracle needs the closed-form init codebook
     codebook = _pq_refine_codebook(
