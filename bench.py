@@ -178,6 +178,20 @@ HEADLINE = [
     "stream_tws_initial_state",
 ]
 
+# Entries with a history of driver-artifact drift on UNCHANGED code
+# (r8: dedup_embedding_cosine 4.88 s in the artifact vs 2.26 s
+# isolated min-of-5; stats_spearman_rank 2.41 vs 1.67;
+# stats_winsorized_mean 1.09 vs 0.66 — all host-variance, see
+# SCALE.md "Host-variance pinning"). The default min-of-k loop's
+# 20%-agreement early stop is defeated by SUSTAINED co-tenant
+# contention (two agreeing slow runs stop the loop), so these run a
+# fixed FOUR timed passes with no early stop. Costs ~10 s total.
+VARIANCE_FLAGGED = {
+    "dedup_embedding_cosine",
+    "stats_spearman_rank",
+    "stats_winsorized_mean",
+}
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -217,7 +231,13 @@ def main() -> int:
         t0 = time.perf_counter()
         run_once(fn)
         t = time.perf_counter() - t0
-        if t >= 0.25:
+        if name in VARIANCE_FLAGGED:
+            # fixed min-of-4, no early stop (see VARIANCE_FLAGGED)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_once(fn)
+                t = min(t, time.perf_counter() - t0)
+        elif t >= 0.25:
             # Iterative multi-job queries (connected components, the
             # LSH pipelines) still pay residual JIT/GC on their second
             # execution: measured 3.5 s -> 2.3 s steady state for CC
@@ -353,13 +373,15 @@ def main() -> int:
         release_caches()
 
     total = round(sum(timings.values()), 3)
-    # Field order matters: the driver's stdout capture CLIPS long
-    # lines (r5: 64-entry line parsed null; r7: only the first 65 of
-    # 120 query entries survived the clip). Head bytes survive, so
-    # every scalar headline field goes BEFORE the large queries map,
-    # and the full map is ALSO emitted first as short chunk lines
-    # (each well under any plausible clip) so every per-query number
-    # is reconstructable from the driver artifact alone.
+    # Output ordering matters: the driver's artifact stores only the
+    # LAST ~2000 chars of stdout (verified r8: the full 122-entry
+    # final line overflowed the tail and dropped every headline
+    # scalar; r5/r7 saw head-side clips too). So the full per-query
+    # map goes FIRST as short chunk lines, and the FINAL line is a
+    # compact JSON — scalars + recall + only the slowest queries —
+    # guaranteed to fit in the tail capture whole. The complete
+    # payload is duplicated to BENCH_LOCAL.json so no capture mode
+    # ever loses a number.
     payload = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -383,16 +405,22 @@ def main() -> int:
                 separators=(",", ":"),
             )
         )
-    # Belt-and-braces: the same JSON is also written to
-    # BENCH_LOCAL.json at the repo root so a truncated capture never
-    # loses the per-query numbers.
-    line = json.dumps(payload, separators=(",", ":"))
+    # Belt-and-braces: the FULL payload goes to BENCH_LOCAL.json at
+    # the repo root so a truncated capture never loses the
+    # per-query numbers.
     try:
         with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(payload, separators=(",", ":")) + "\n")
     except OSError:
         pass
-    print(line)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
+    compact = dict(payload)
+    compact["queries"] = slowest
+    compact["n_queries"] = len(timings)
+    compact["queries_note"] = "20 slowest; full map in chunk lines + BENCH_LOCAL.json"
+    print(json.dumps(compact, separators=(",", ":")))
     return 0
 
 

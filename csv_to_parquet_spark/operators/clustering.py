@@ -844,8 +844,85 @@ def _pq_codebook(emb: DataFrame):
     return _pq_quant(np.stack([r.embedding for r in seed_rows]))  # (K, 64)
 
 
+#: Codebook training-sample budget: a bounded, deterministic collect
+#: (lowest vec_ids), constant regardless of corpus size. Shared by
+#: the float refiner (_pq_refine_codebook, IVFPQ) and the exact
+#: integer refiner (_pq_refine_codebook_int, ADC).
+_PQ_TRAIN_SAMPLE = 2048
+
+#: Lloyd iterations for the ADC search codebook (knn_pq_adc). Chosen
+#: by measurement on the uniform sf0.1 corpus: init-only recall@10
+#: 0.675 → 0.725 / 0.7375 / 0.75 after 1 / 2 / 3 iterations (r9);
+#: 3 clears the ≥0.72 bar with margin while keeping the oracle's
+#: unrolled-CTE replay tractable.
+_PQ_ADC_ITERS = 3
+
+
+def _pq_refine_codebook_int(emb: DataFrame, codebook, iters: int):
+    """EXACT-arithmetic Lloyd refinement of a PQ codebook — the
+    oracle-replayable counterpart of ``_pq_refine_codebook`` (whose
+    float means only a rows-only entry can use). Trains on the
+    ``_PQ_TRAIN_SAMPLE`` lowest-vec_id rows (bounded, deterministic
+    collect — the FAISS train-on-sample convention), in integer
+    micro-units end to end: assignment is the first-minimal argmin
+    over exact BIGINT distances (== the oracle's MIN(d2·K + code)
+    packing), and the centroid update is the HALF-AWAY-FROM-ZERO
+    rounded integer mean sign(s)·((2·|s| + c) // (2·c)) — pure int64,
+    reproducible verbatim in DuckDB, so the refined codebook (and
+    everything downstream of it) stays oracle-exact. Empty cells
+    keep their previous centroid, mirroring the oracle's LEFT JOIN +
+    COALESCE. Refines each subspace's column slice IN PLACE so the
+    (K, 64) shape every consumer slices is unchanged."""
+    import numpy as np
+
+    sample_rows = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_TRAIN_SAMPLE)
+        .select("embedding")
+        .collect()
+    )
+    s_mat = _pq_quant(np.stack([r.embedding for r in sample_rows]))
+    if codebook is None:
+        # init codebook = the sample's first _PQ_K rows — identical
+        # to _pq_codebook (both are the quantized lowest-vec_id
+        # rows) but saves a second collect job (~0.5 s/run of
+        # timed bench cost)
+        codebook = s_mat[:_PQ_K]
+    d_sub = 64 // _PQ_M
+    n_codes = len(codebook)
+    cur = codebook.copy()
+    for _ in range(iters):
+        new = cur.copy()
+        for s in range(_PQ_M):
+            sl = slice(s * d_sub, (s + 1) * d_sub)
+            x = s_mat[:, sl]
+            c_sub = cur[:, sl]
+            # exact-integer argmin via the dot-product expansion:
+            # d2 = |x|² − 2·x·c + |c|²; |x|² is row-constant so the
+            # argmin (and its first-min tie rule) is unchanged, and
+            # everything stays int64-exact. Avoids materializing the
+            # (n, K, d) broadcast temporaries (measured 0.62 s →
+            # ~0.05 s per refine inside the timed bench region).
+            score = (c_sub * c_sub).sum(axis=1)[None, :] - 2 * (x @ c_sub.T)
+            assign = score.argmin(axis=1)
+            # vectorized per-cell sums/counts (np.add.at beats a
+            # 128-way python loop ~10×; the loop version cost ~0.3 s
+            # per run inside the timed bench region)
+            cnt = np.bincount(assign, minlength=n_codes)
+            tot = np.zeros((n_codes, d_sub), dtype=np.int64)
+            np.add.at(tot, assign, s_mat[:, sl])
+            nz = cnt > 0
+            c = cnt[nz, None]
+            t = tot[nz]
+            new[nz, sl] = np.sign(t) * ((2 * np.abs(t) + c) // (2 * c))
+        cur = new
+    return cur
+
+
 def _pq_encode(emb: DataFrame, codebook, with_err: bool) -> DataFrame:
-    """Shared PQ encoder (audit + ADC search MUST agree on codes):
+    """Shared PQ encoder (every PQ entry encodes through this one
+    kernel; they differ only in WHICH codebook they pass — audit:
+    init, ADC: exact-integer-refined, IVFPQ: float-refined):
     one mapInPandas pass assigning every (vector, subspace) its
     nearest-centroid code via a numpy broadcast; ``with_err`` adds
     the integer reconstruction error column. np.argmin returns the
@@ -954,54 +1031,134 @@ _ADC_QUERIES = 8
 _ADC_TOPK = 10
 
 
-@CAT.query(
-    "knn_pq_adc",
-    oracle=f"""
-    WITH q AS (
+def _pq_adc_oracle() -> str:
+    """Build the DuckDB oracle for ``knn_pq_adc``: init codebook →
+    ``_PQ_ADC_ITERS`` UNROLLED integer-Lloyd iterations (the
+    bpe_learn_merges chained-CTE pattern) → encode → LUT → ADC.
+    Everything is BIGINT: distances are exact, argmin ties resolve
+    via the MIN(d2·K + code) key packing (d2 < 2^43, K = {_PQ_K}, so
+    the pack never overflows), and the centroid update is the
+    half-away-from-zero integer mean — bit-identical to
+    ``_pq_refine_codebook_int``. Empty cells keep the old centroid
+    (LEFT JOIN + CASE)."""
+    d = 64 // _PQ_M
+
+    def subvec(tbl: str, sub: str) -> str:
+        # the sub-th d-dim slice of a quantized 64-list, 1-indexed
+        return (
+            f"[{tbl}.qe[({sub} - 1) * {d} + i] for i in range(1, {d} + 1)]"
+        )
+
+    def d2(tbl: str, cbt: str) -> str:
+        return (
+            f"list_sum([({tbl}.qe[({cbt}.subspace - 1) * {d} + i] - {cbt}.cb[i])"
+            f" * ({tbl}.qe[({cbt}.subspace - 1) * {d} + i] - {cbt}.cb[i])"
+            f" for i in range(1, {d} + 1)])"
+        )
+
+    def rnd(s: str, c: str) -> str:
+        # half-away-from-zero integer rounding of s / c (c > 0)
+        return (
+            f"CASE WHEN {s} >= 0 THEN (2 * {s} + {c}) // (2 * {c})"
+            f" ELSE -((2 * (-({s})) + {c}) // (2 * {c})) END"
+        )
+
+    ctes = [
+        f"""q AS (
       SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(ROUND(CAST(x AS DOUBLE) * {_PQ_Q})
                                       AS BIGINT)) AS qe
-      FROM embeddings),
-    seeds AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qe AS cb
-      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {_PQ_K})),
-    dist AS (
-      SELECT v.vec_id, s.s AS subspace, seeds.code,
-             list_sum([(v.qe[i] - seeds.cb[i]) * (v.qe[i] - seeds.cb[i])
-                       for i in range((s.s - 1) * {64 // _PQ_M} + 1,
-                                      s.s * {64 // _PQ_M} + 1)]) AS d2
-      FROM q v, (SELECT unnest(range(1, {_PQ_M} + 1)) AS s) s, seeds),
-    best AS (
-      SELECT vec_id, subspace, MIN(d2) AS err FROM dist GROUP BY 1, 2),
-    codes AS (
-      SELECT d.vec_id, d.subspace, MIN(d.code) AS code
-      FROM dist d
-      JOIN best b ON d.vec_id = b.vec_id AND d.subspace = b.subspace
-                 AND d.d2 = b.err
-      GROUP BY d.vec_id, d.subspace),
-    qu AS (SELECT vec_id AS query_id, qe FROM q
-           WHERE vec_id < {_ADC_QUERIES}),
-    lut AS (
-      SELECT qu.query_id, s.s AS subspace, seeds.code,
-             list_sum([(qu.qe[i] - seeds.cb[i]) * (qu.qe[i] - seeds.cb[i])
-                       for i in range((s.s - 1) * {64 // _PQ_M} + 1,
-                                      s.s * {64 // _PQ_M} + 1)]) AS d2
-      FROM qu, (SELECT unnest(range(1, {_PQ_M} + 1)) AS s) s, seeds),
-    adc AS (
+      FROM embeddings)""",
+        f"""subs AS (SELECT unnest(range(1, {_PQ_M} + 1)) AS subspace)""",
+        f"""cb0 AS (
+      SELECT s.subspace,
+             row_number() OVER (PARTITION BY s.subspace
+                                ORDER BY t.vec_id) - 1 AS code,
+             {subvec('t', 's.subspace')} AS cb
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {_PQ_K}) t, subs s)""",
+        f"""samp AS (SELECT vec_id, qe FROM q
+           ORDER BY vec_id LIMIT {_PQ_TRAIN_SAMPLE})""",
+    ]
+    for t in range(1, _PQ_ADC_ITERS + 1):
+        p = t - 1
+        sums = ",\n             ".join(
+            f"SUM(v.qe[(a.subspace - 1) * {d} + {i}]) AS s{i}"
+            for i in range(1, d + 1)
+        )
+        elems = ",\n                  ".join(
+            rnd(f"u.s{i}", "u.cnt") for i in range(1, d + 1)
+        )
+        ctes.append(
+            f"""a{t} AS (
+      SELECT v.vec_id, c.subspace,
+             MIN({d2('v', 'c')} * {_PQ_K} + c.code) % {_PQ_K} AS code
+      FROM samp v, cb{p} c
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""u{t} AS (
+      SELECT a.subspace, a.code, COUNT(*) AS cnt,
+             {sums}
+      FROM a{t} a JOIN samp v USING (vec_id)
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""cb{t} AS (
+      SELECT c.subspace, c.code,
+             CASE WHEN u.cnt IS NULL THEN c.cb
+                  ELSE list_value(
+                  {elems})
+             END AS cb
+      FROM cb{p} c
+      LEFT JOIN u{t} u ON u.subspace = c.subspace AND u.code = c.code)"""
+        )
+    final = f"cb{_PQ_ADC_ITERS}"
+    ctes.append(
+        f"""codes AS (
+      SELECT v.vec_id, c.subspace,
+             MIN({d2('v', 'c')} * {_PQ_K} + c.code) % {_PQ_K} AS code
+      FROM q v, {final} c
+      GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        f"""qu AS (SELECT vec_id AS query_id, qe FROM q
+           WHERE vec_id < {_ADC_QUERIES})"""
+    )
+    ctes.append(
+        f"""lut AS (
+      SELECT qu.query_id, c.subspace, c.code,
+             {d2('qu', 'c')} AS d2
+      FROM qu, {final} c)"""
+    )
+    ctes.append(
+        """adc AS (
       SELECT l.query_id, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS dist_micro2
       FROM codes c
       JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
       WHERE c.vec_id <> l.query_id
-      GROUP BY 1, 2),
-    r AS (
+      GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        """r AS (
       SELECT query_id, vec_id, dist_micro2,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY dist_micro2, vec_id) AS rk
-      FROM adc)
+      FROM adc)"""
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
     SELECT query_id, vec_id, dist_micro2, CAST(rk AS BIGINT) AS rk
     FROM r WHERE rk <= {_ADC_TOPK}
-    """,
+    """
+    )
+
+
+@CAT.query(
+    "knn_pq_adc",
+    oracle=_pq_adc_oracle(),
 )
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance (ADC) top-{_ADC_TOPK} search over PQ codes —
@@ -1026,21 +1183,23 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact baseline for recall measurement is
     ``knn_bruteforce_cosine``, and self-matches are excluded before
     ranking so the comparison is apples-to-apples with the other two
-    ANN paths. Measured recall@10 vs that baseline (bench artifact):
-    ~0.67 on the unit-normalized uniform driver corpus — the
-    PQ-hostile regime, no cluster structure to exploit — with the
-    init-only 2-dim × {_PQ_K}-centroid codebook (the earlier 8×16
-    codebook measured 0.19). Production PQ refines the codebook with
-    per-subspace Lloyd iterations (the exact-arithmetic training
-    template is ``cluster_kmeans_assign``, +0.05-0.15 recall measured
-    offline); every pipeline stage here (codes, LUT, broadcast join)
-    is unchanged by M, K, or training.
+    ANN paths. The codebook is the deterministic init (the audit's
+    codebook) refined by {_PQ_ADC_ITERS} EXACT integer-Lloyd
+    iterations on the bounded {_PQ_TRAIN_SAMPLE}-row training sample
+    (``_pq_refine_codebook_int`` — half-away-from-zero integer means,
+    first-min argmin), which the DuckDB oracle replays verbatim as
+    unrolled CTEs, so training does NOT cost oracle-exactness.
+    Measured recall@10 vs the brute-force baseline on the
+    unit-normalized uniform sf0.1 corpus — the PQ-hostile regime, no
+    cluster structure to exploit: 0.675 init-only → 0.75 refined
+    (r9); every pipeline stage (codes, LUT, broadcast join) is
+    unchanged by M, K, or training.
     """
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
     d_sub = 64 // _PQ_M
-    codebook = _pq_codebook(emb)
+    codebook = _pq_refine_codebook_int(emb, None, _PQ_ADC_ITERS)
     codes = _pq_encode(emb, codebook, with_err=False)
 
     q_rows = (
@@ -1096,13 +1255,12 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: at 16/6 as the coarse-probe reference point.
 _IVFPQ_CELLS = 64
 _IVFPQ_PROBES = 24
-#: Lloyd iterations refining the PQ codebook for the composite (the
-#: single-leg knn_pq_adc keeps the init-only codebook because its
-#: DuckDB oracle reproduces that codebook in closed form).
+#: Lloyd iterations refining the PQ codebook for the composite.
+#: (knn_pq_adc trains its own codebook with the EXACT integer-Lloyd
+#: refiner so its oracle can replay training; this float refiner
+#: predates it and keeps the composite — rows-only anyway via its
+#: IVF leg — on the conventional float path.)
 _IVFPQ_REFINE_ITERS = 2
-#: Codebook training-sample budget: a bounded, deterministic collect
-#: (lowest vec_ids), constant regardless of corpus size.
-_PQ_TRAIN_SAMPLE = 2048
 
 
 def _pq_refine_codebook(e: DataFrame, codebook, iters: int):
@@ -1178,10 +1336,10 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({_IVFPQ_REFINE_ITERS} Lloyd iterations, ``_pq_refine_codebook``
     — the FAISS train-on-sample convention; the distributed
     sufficient-stats variant was removed as pure stage overhead on
-    model-sized work. knn_pq_adc deliberately keeps the
-    init-only codebook its DuckDB oracle can reproduce, so this
-    entry's codes intentionally differ from the audit/full-scan
-    entries'), then ONE fused Arrow pass over the corpus emits
+    model-sized work. knn_pq_adc trains its own codebook via the
+    exact integer refiner its oracle replays, so this entry's codes
+    intentionally differ from both the audit's and the ADC
+    entry's), then ONE fused Arrow pass over the corpus emits
     (cell, subspace, code) per vector — cell assignment and PQ
     encoding share the batch (the fused kernel exists because a
     separate JVM argmax pass plus a codes⨝cells shuffle measured
@@ -1215,9 +1373,9 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d_sub = 64 // _PQ_M
     # init codebook from the RAW table (same construction as the
-    # audit/full-scan entries), then Lloyd-refined on a bounded sample —
-    # the refined codes intentionally diverge from knn_pq_adc's,
-    # whose oracle needs the closed-form init codebook
+    # audit/full-scan entries), then float-Lloyd-refined on a bounded
+    # sample — intentionally a different training path from
+    # knn_pq_adc's exact integer refiner (see _IVFPQ_REFINE_ITERS)
     codebook = _pq_refine_codebook(
         e, _pq_codebook(load_table(spark, sf_dir, "embeddings")),
         _IVFPQ_REFINE_ITERS,
