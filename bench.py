@@ -176,6 +176,9 @@ HEADLINE = [
     "stream_cdc_jdbc_upsert",
     "sql_pipe_syntax_revenue",
     "stream_tws_initial_state",
+    # round-9 operators
+    "dedup_semdedup_keep",
+    "text_mojibake_repair",
 ]
 
 # Entries with a history of driver-artifact drift on UNCHANGED code

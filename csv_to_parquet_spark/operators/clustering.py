@@ -624,6 +624,144 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# SemDeDup keep policy: one representative per semantic cluster
+
+#: Micro-unit quantization for the keep-policy distances (the Gram
+#: convention) — exact BIGINT arithmetic end to end.
+_SEMDEDUP_Q = 1_000_000
+
+
+@CAT.query(
+    "dedup_semdedup_keep",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_ORACLE_CTES},
+    pairs AS (SELECT vec_a, vec_b FROM s WHERE cs >= {_COS_THRESHOLD}),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) s2
+      UNION
+      SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v),
+    labels AS (SELECT u AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * {_SEMDEDUP_Q})
+                                      AS BIGINT)) AS qe
+      FROM embeddings),
+    memd AS (
+      SELECT l.cluster_id, l.vec_id, d.i AS dim, m.qe[d.i] AS qv
+      FROM labels l
+      JOIN q m ON m.vec_id = l.vec_id,
+           LATERAL (SELECT unnest(range(1, len(m.qe) + 1)) AS i) d),
+    cent AS (
+      SELECT cluster_id, dim,
+             CASE WHEN SUM(qv) >= 0
+                  THEN (2 * SUM(qv) + COUNT(*)) // (2 * COUNT(*))
+                  ELSE -((2 * (-SUM(qv)) + COUNT(*)) // (2 * COUNT(*))) END
+               AS cv
+      FROM memd GROUP BY 1, 2),
+    d2 AS (
+      SELECT m.cluster_id, m.vec_id,
+             CAST(SUM((m.qv - c.cv) * (m.qv - c.cv)) AS BIGINT)
+               AS dist_micro2
+      FROM memd m
+      JOIN cent c ON c.cluster_id = m.cluster_id AND c.dim = m.dim
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT cluster_id, vec_id, dist_micro2,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY dist_micro2 DESC, vec_id) AS r
+      FROM d2)
+    SELECT vec_id, cluster_id, dist_micro2, (r = 1) AS keep FROM rk
+    """,
+)
+def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep policy (Abbas et al. 2023, arXiv:2303.09540) over
+    the semantic-cluster output: within each near-duplicate cluster,
+    KEEP exactly the member FARTHEST from the cluster centroid and
+    mark the rest for removal — the paper's low-similarity-to-centroid
+    rule, which retains the most atypical exemplar and drops the
+    redundant core. Completes the ``dedup_semantic_clusters`` pipeline
+    into an actionable filter: (vec_id, cluster_id, dist_micro2, keep)
+    with exactly one keep=true per cluster; singletons (in no cluster)
+    are implicitly all kept and not emitted, same contract as the
+    clusters entry.
+
+    Oracle-exact despite the centroid: embeddings quantize to integer
+    micro-units (the Gram convention), the centroid is the
+    HALF-AWAY-FROM-ZERO rounded integer mean per dimension (the same
+    sign(s)·((2·|s| + c) // (2·c)) identity the ADC codebook trainer
+    uses), distances are exact BIGINT sums, and the keep rank breaks
+    ties on (dist DESC, vec_id).
+
+    Scale shape: cluster membership is bounded by the duplicate-pair
+    population (tiny vs the corpus); members posexplode to
+    (cluster, dim) rows — 64 rows per member, never per corpus vector
+    — one shuffle keyed (cluster_id, dim) computes every centroid
+    component with map-side partial aggregation, the join back is
+    co-partitioned on the same key, and the keep rank windows over
+    cluster-sized groups. The LSH + connected-components stages
+    upstream are the documented scale paths.
+    """
+    from csv_to_parquet_spark.operators.cache import scope_token
+    from csv_to_parquet_spark.operators.dedup import connected_components
+
+    token = scope_token()
+    pairs = dedup_embedding_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, release_token=token).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # quantize JVM-side with the explicit half-away-from-zero floor
+    # form (== the oracle's ROUND and numpy's sign·floor(|x|+0.5))
+    mem = labels.join(emb, "vec_id").select(
+        "cluster_id",
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> CAST(CASE WHEN x >= 0 "
+                f"THEN FLOOR(CAST(x AS DOUBLE) * {_SEMDEDUP_Q} + 0.5D) "
+                f"ELSE -FLOOR(-CAST(x AS DOUBLE) * {_SEMDEDUP_Q} + 0.5D) "
+                f"END AS BIGINT))"
+            )
+        ).alias("dim", "qv"),
+    )
+    cent = mem.groupBy("cluster_id", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    cent = cent.select(
+        "cluster_id",
+        "dim",
+        F.expr(
+            "CASE WHEN s >= 0 THEN (2 * s + c) DIV (2 * c) "
+            "ELSE -((2 * (-s) + c) DIV (2 * c)) END"
+        ).alias("cv"),
+    )
+    d2 = (
+        mem.join(cent, ["cluster_id", "dim"])
+        .groupBy("cluster_id", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
+            ).alias("dist_micro2")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("dist_micro2").desc(), "vec_id"
+    )
+    return d2.select(
+        "vec_id",
+        "cluster_id",
+        F.col("dist_micro2").cast("bigint").alias("dist_micro2"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact distributed Gram matrix — the covariance/PCA building block
 

@@ -3273,3 +3273,130 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_words") * F.col("r_mwl") * F.col("r_alpha") * F.col("r_stops")
         ).cast("bigint").alias("pass_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair audit — the ftfy class of encoding cleanup
+
+#: The core UTF-8-read-as-Latin-1 digraph table: each Latin-1
+#: Supplement character's 2-byte UTF-8 encoding, re-decoded as
+#: Latin-1, becomes the 'Ã'-led digraph on the right — the signature
+#: corruption ("cafÃ©") every web-scale corpus cleanup (ftfy's
+#: fix_encoding, the C4/CCNet pipelines) reverses. A bounded mapping
+#: TABLE (not a codec call) keeps the repair a pure JVM expression
+#: chain, identical in Spark and the oracle. U+00ED í is excluded
+#: because its second byte (0xAD, soft hyphen) is zero-width — a
+#: mapping-table repair of invisible characters is exactly the case
+#: real pipelines route to a full decoder instead.
+_MOJIBAKE_MAP = [
+    ("á", "Ã¡"),  # á <- Ã¡
+    ("é", "Ã©"),  # é <- Ã©
+    ("ó", "Ã³"),  # ó <- Ã³
+    ("ú", "Ãº"),  # ú <- Ãº
+    ("ñ", "Ã±"),  # ñ <- Ã±
+    ("ü", "Ã¼"),  # ü <- Ã¼
+    ("ç", "Ã§"),  # ç <- Ã§
+]
+
+#: Deterministic corpus shaping: the ASCII fixture has no encoding
+#: damage, so the entry plants it — every third document gets two
+#: accented words ("dáta", "quéry") and is then double-encoded via
+#: the digraph table. Both engines build the SAME planted column, so
+#: the repair is verified against a known-good intended text.
+_MOJI_PLANT = [("data", "dáta"), ("query", "quéry")]
+
+
+def _moji_sql(expr: str, table: list[tuple[str, str]], forward: bool) -> str:
+    """Chain replace() calls over a mapping table (identical
+    left-to-right non-overlapping semantics in Spark and DuckDB)."""
+    for clean, moji in table:
+        src, dst = (clean, moji) if forward else (moji, clean)
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    return expr
+
+
+_MOJI_INTENDED = _moji_sql("text", _MOJI_PLANT, forward=True)
+_MOJI_CORRUPT = _moji_sql(_MOJI_INTENDED, _MOJIBAKE_MAP, forward=True)
+_MOJI_COUNTS = " + ".join(
+    f"(length(corrupted) - length(replace(corrupted, '{moji}', ''))) / 2"
+    for _, moji in _MOJIBAKE_MAP
+)
+
+
+@CAT.query(
+    "text_mojibake_repair",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN {_MOJI_INTENDED}
+                  ELSE text END AS intended,
+             CASE WHEN doc_id % 3 = 0 THEN {_MOJI_CORRUPT}
+                  ELSE text END AS corrupted
+      FROM documents),
+    audited AS (
+      SELECT doc_id, intended, corrupted,
+             {_moji_sql("corrupted", _MOJIBAKE_MAP, forward=False)} AS repaired,
+             CAST({_MOJI_COUNTS} AS BIGINT) AS n_mojibake
+      FROM planted)
+    SELECT doc_id,
+           n_mojibake,
+           (n_mojibake > 0) AS is_mojibake,
+           (repaired = intended) AS repaired_ok,
+           CAST(length(corrupted) - length(repaired) AS BIGINT) AS chars_saved
+    FROM audited
+    """,
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (double-encoded UTF-8) detection + repair audit — the
+    ftfy ``fix_encoding`` class of cleanup every web corpus runs
+    before training. UTF-8 text mis-decoded as Latin-1 turns each
+    accented character into an 'Ã'-led digraph ("café" → "cafÃ©");
+    the repair inverts the bounded digraph table ``_MOJIBAKE_MAP``
+    and the audit reports, per document: the number of mojibake
+    sequences found, a corruption flag, whether the repair
+    reconstructed the intended text exactly, and the characters
+    reclaimed.
+
+    The ASCII fixture has no real encoding damage, so the entry
+    PLANTS it deterministically (every third doc_id gets two accented
+    words, then the forward corruption) — both engines build the same
+    planted column, making ``repaired_ok`` a real end-to-end check
+    that the inverse mapping recovers the original, not a vacuous
+    always-true. A unit test drives the same mapping over adversarial
+    strings (idempotence, clean-text no-ops, multi-hit counting).
+
+    Scale shape: one narrow codegen'd projection — chained
+    ``replace`` + ``length`` arithmetic, no UDF, no shuffle, no
+    explode; at 100 TB this is a pure map over parquet splits with
+    full predicate/column pushdown intact, which is why production
+    pipelines run exactly this digraph-table form in the hot path and
+    reserve codec-based repair (the stubbed multimodal pattern) for
+    flagged rows."""
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.expr(_MOJI_INTENDED)
+        ).otherwise(F.col("text")).alias("intended"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.expr(_MOJI_CORRUPT)
+        ).otherwise(F.col("text")).alias("corrupted"),
+    )
+    audited = planted.select(
+        "doc_id",
+        "intended",
+        "corrupted",
+        F.expr(_moji_sql("corrupted", _MOJIBAKE_MAP, forward=False)).alias(
+            "repaired"
+        ),
+        F.expr(_MOJI_COUNTS).cast("bigint").alias("n_mojibake"),
+    )
+    return audited.select(
+        "doc_id",
+        "n_mojibake",
+        (F.col("n_mojibake") > 0).alias("is_mojibake"),
+        (F.col("repaired") == F.col("intended")).alias("repaired_ok"),
+        (F.length("corrupted") - F.length("repaired"))
+        .cast("bigint")
+        .alias("chars_saved"),
+    )
