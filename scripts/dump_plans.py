@@ -192,6 +192,20 @@ SHOWCASE = {
          r"\(\d+\) BroadcastHashJoin[^\n]*",
          r"Arguments: hashpartitioning\(query_id[^\n]{0,40}"],
     ),
+    "dedup_semdedup_keep": (
+        "keep-policy centroids: the (cluster_id, dim) exchange carries "
+        "exploded cluster MEMBERS only (bounded by the duplicate-pair "
+        "population, never the corpus); the member-centroid join reuses "
+        "the same key so d2 accumulates co-partitioned",
+        [r"Arguments: hashpartitioning\(cluster_id[^\n]{0,50}",
+         r"\(\d+\) Window[^\n]*"],
+    ),
+    "text_mojibake_repair": (
+        "detection + repair is ONE zero-shuffle codegen projection "
+        "(chained replace/length arithmetic; the one Exchange is "
+        "spread()'s fixture-only widen — no UDF, no explode, no join)",
+        [r"\(\d+\) Project[^\n]{0,40}", r"\(\d+\) Exchange[^\n]*"],
+    ),
 }
 
 

@@ -424,6 +424,33 @@ def test_pq_adc_distances_recompute(spark, sf_smoke):
     cb = clustering._pq_quant(
         np.stack([emb[v] for v in sorted(emb)[: min(K, len(emb))]])
     )
+    # replay the r9 integer-Lloyd refinement INDEPENDENTLY (naive
+    # per-centroid loop — deliberately not the vectorized
+    # np.add.at/dot-expansion path the operator uses) so the test
+    # re-derives the trained codebook rather than trusting it
+    s_mat = clustering._pq_quant(
+        np.stack(
+            [emb[v] for v in sorted(emb)[: clustering._PQ_TRAIN_SAMPLE]]
+        )
+    )
+    for _ in range(clustering._PQ_ADC_ITERS):
+        new = cb.copy()
+        for s in range(M):
+            sl = slice(s * d_sub, (s + 1) * d_sub)
+            assign = np.array(
+                [
+                    int(((x[sl][None, :] - cb[:, sl]) ** 2).sum(axis=1).argmin())
+                    for x in s_mat
+                ]
+            )
+            for k in range(len(cb)):
+                pts = s_mat[assign == k][:, sl]
+                if len(pts):
+                    tot = pts.sum(axis=0)
+                    new[k, sl] = np.sign(tot) * (
+                        (2 * np.abs(tot) + len(pts)) // (2 * len(pts))
+                    )
+        cb = new
     r0 = min(out, key=lambda r: (r.query_id, r.rk))
     qq = clustering._pq_quant(emb[r0.query_id])
     xx = clustering._pq_quant(emb[r0.vec_id])
