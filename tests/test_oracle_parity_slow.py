@@ -114,6 +114,9 @@ HEAVY = [
     "split_leakage_safe_groups",  # real multi-member dup groups exist only at sf0.1
     "bpe_learn_merges",  # argmax ties + two-pass replace chains on the bigger vocab
     "text_js_divergence",  # r8 exclusive-mass identity: floored terms at volume
+    # round-9 additions with scale-sensitive semantics
+    "dedup_semdedup_keep",  # centroid-distance keep ties at real cluster sizes
+    "text_mojibake_repair",  # replace-chain hit counting over the full corpus
 ]
 
 QUERIES = entry_mod.queries()
