@@ -179,6 +179,9 @@ HEADLINE = [
     # round-9 operators
     "dedup_semdedup_keep",
     "text_mojibake_repair",
+    "text_ccnet_buckets",
+    "sample_dsir_importance",
+    "knn_pq_rerank",
 ]
 
 # Entries with a history of driver-artifact drift on UNCHANGED code
@@ -362,8 +365,17 @@ def main() -> int:
     # knn_ivf_pq_ann compounds the IVF probe loss with the PQ
     # quantization loss — its recall is expected to sit below both
     # single-leg paths; reporting all four makes the composite's
-    # price visible next to its parts.
-    for ann_name in ("knn_lsh_ann", "knn_ivf_ann", "knn_pq_adc", "knn_ivf_pq_ann"):
+    # price visible next to its parts. knn_pq_rerank (r9) is the
+    # two-stage shape — ADC screen + exact rerank — and is expected
+    # to top the board (it only loses where a true neighbor misses
+    # the 40-candidate screen).
+    for ann_name in (
+        "knn_lsh_ann",
+        "knn_ivf_ann",
+        "knn_pq_adc",
+        "knn_ivf_pq_ann",
+        "knn_pq_rerank",
+    ):
         if ann_name not in queries:
             continue
         got = _topk_sets(queries[ann_name](spark, sf_dir))

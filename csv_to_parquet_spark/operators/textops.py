@@ -3400,3 +3400,330 @@ def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_saved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: CCNet-style perplexity bucketing (held-out LM + head/middle/tail)
+# ---------------------------------------------------------------------------
+
+#: Reference-slice selector: documents with doc_id % MOD == 0 (~20% of
+#: the corpus) stand in for CCNet's clean target corpus (Wikipedia in
+#: the paper). Deterministic, partition-prunable, identical in SQL.
+_CCNET_TRAIN_MOD = 5
+
+
+@CAT.query(
+    "text_ccnet_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE len(trim(text)) > 0),
+    big AS (SELECT doc_id, lang, unnest({_BIGRAMS_SQL}) AS bg FROM d),
+    tb AS (SELECT lang, bg FROM big WHERE doc_id % {_CCNET_TRAIN_MOD} = 0),
+    cbg AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS c
+            FROM tb GROUP BY 1, 2),
+    cw AS (SELECT lang, split_part(bg, ' ', 1) AS w1,
+                  CAST(SUM(c) AS BIGINT) AS cw
+           FROM cbg GROUP BY 1, 2),
+    vt AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+           FROM (SELECT lang, unnest({_TOKS_SQL}) AS tok FROM d
+                 WHERE doc_id % {_CCNET_TRAIN_MOD} = 0)
+           GROUP BY 1),
+    sc AS (
+      SELECT big.doc_id, big.lang,
+             CAST(FLOOR(ln(CAST(COALESCE(cbg.c, 0) + 1 AS DOUBLE)
+                           / GREATEST(COALESCE(cw.cw, 0) + vt.v, 1))
+                        * {_LM_SCALE}) AS BIGINT) AS lp
+      FROM big
+      LEFT JOIN cbg ON big.lang = cbg.lang AND big.bg = cbg.bg
+      LEFT JOIN cw ON big.lang = cw.lang
+                  AND split_part(big.bg, ' ', 1) = cw.w1
+      JOIN vt ON big.lang = vt.lang),
+    pd AS (
+      SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST((-SUM(lp)) // COUNT(*) AS BIGINT) AS per_bigram_micro
+      FROM sc GROUP BY 1, 2),
+    hist AS (SELECT lang, per_bigram_micro, CAST(count(*) AS BIGINT) AS h
+             FROM pd GROUP BY 1, 2),
+    cumh AS (
+      SELECT lang, per_bigram_micro, h,
+             SUM(h) OVER (PARTITION BY lang ORDER BY per_bigram_micro
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(h) OVER (PARTITION BY lang) AS n
+      FROM hist),
+    bmap AS (SELECT lang, per_bigram_micro,
+                    ((cum - h) * 3) // n + 1 AS b
+             FROM cumh)
+    SELECT pd.doc_id, pd.lang, pd.n_bigrams, pd.per_bigram_micro,
+           CASE bmap.b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+    FROM pd
+    JOIN bmap ON pd.lang = bmap.lang
+             AND pd.per_bigram_micro = bmap.per_bigram_micro
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020, the pipeline
+    behind CCNet/CC-100 and most web-scale pretraining corpora): train
+    a per-language LM on a clean reference slice, score EVERY document
+    by per-token surprisal, and split each language into head / middle
+    / tail tertiles — head being the third closest to the reference
+    distribution, the slice that actually enters training.
+
+    Differences from :func:`text_bigram_surprisal` (the corpus-MLE
+    proxy) are exactly the published pipeline's three ingredients:
+    (1) the model is trained on a HELD-OUT reference slice
+    (doc_id % {_CCNET_TRAIN_MOD} == 0 stands in for Wikipedia), so
+    scoring is a genuine out-of-distribution measurement and needs
+    (2) add-one smoothing over the per-language training vocabulary V
+    — P(w2|w1) = (c+1)/(c(w1·)+V) — to price unseen transitions; and
+    (3) the scores feed per-LANGUAGE tertile buckets, CCNet's actual
+    output artifact.
+
+    Exactness: the same fixed-point contract as the other LM entries —
+    per-bigram log-probabilities floor to integer micro-nats, document
+    scores are order-independent BIGINT sums. Bucketing is exact yet
+    sort-free at scale: instead of ranking every document per language
+    (a giant per-lang window), the per-doc integer scores are
+    compressed to a (lang, score) HISTOGRAM, the tertile is assigned
+    per score-group from its cumulative start index
+    (((cum - h) * 3) // n + 1, ties share a bucket by construction —
+    same score ⇒ same bucket, which is also the leakage-safe choice),
+    and documents pick up their bucket through a histogram-sized join.
+    The only corpus-keyed exchanges are the scoring joins; the window
+    runs over the model-sized histogram. A language absent from the
+    reference slice has no LM and is dropped by the inner vocab join
+    in BOTH engines (at any tested SF every language has training
+    docs).
+
+    Plan: one persisted bigram explode feeds the training aggregation
+    and the scoring joins; the model frames are vocabulary-sized, so
+    AQE plans them as BROADCAST builds against the stream (plan-
+    verified at sf0.1) — with a vocabulary too big to broadcast they
+    degrade to lang+bigram-keyed shuffles that AQE skew-splits on hot
+    transitions. The vocab count is a training-slice-only token
+    explode (≈1/{_CCNET_TRAIN_MOD} of the corpus); V is a 5-row
+    broadcast; the per-doc scores persist once and feed both the
+    histogram branch and the final bucket join; the histogram/bucket
+    frames are model-sized. No Python, no doubles in any
+    aggregation."""
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    big = docs.select(
+        "doc_id", "lang", F.explode(shingles(tokenize("text"), 2)).alias("bg")
+    )
+    big = _persist(big)
+    train = big.filter(F.col("doc_id") % _CCNET_TRAIN_MOD == 0)
+    cbg = train.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c"))
+    w1 = F.split(F.col("bg"), " ", 2)[0]
+    cw = cbg.groupBy("lang", w1.alias("w1")).agg(F.sum("c").alias("cw"))
+    vt = (
+        docs.filter(F.col("doc_id") % _CCNET_TRAIN_MOD == 0)
+        .select("lang", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = F.floor(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / F.greatest(
+                F.coalesce(F.col("cw"), F.lit(0)) + F.col("v"), F.lit(1)
+            )
+        )
+        * _LM_SCALE
+    ).cast("bigint")
+    cw = cw.withColumnRenamed("lang", "cw_lang")
+    sc = (
+        big.join(cbg, ["lang", "bg"], "left")
+        .join(
+            cw,
+            (F.col("lang") == F.col("cw_lang")) & (w1 == F.col("w1")),
+            "left",
+        )
+        .join(F.broadcast(vt), "lang")
+        .select("doc_id", F.col("lang"), lp.alias("lp"))
+    )
+    pd_ = sc.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("(-sum(lp)) div count(*)").cast("bigint").alias(
+            "per_bigram_micro"
+        ),
+    )
+    # feeds BOTH the histogram branch and the final bucket join — the
+    # whole scoring subtree would otherwise execute twice
+    pd_ = _persist(pd_)
+    hist = pd_.groupBy("lang", "per_bigram_micro").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    bmap = hist.select(
+        "lang",
+        "per_bigram_micro",
+        F.expr(
+            "((sum(h) over (partition by lang order by per_bigram_micro "
+            "rows between unbounded preceding and current row) - h) * 3) "
+            "div (sum(h) over (partition by lang)) + 1"
+        ).alias("b"),
+    )
+    bucket = (
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        pd_.join(F.broadcast(bmap), ["lang", "per_bigram_micro"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "per_bigram_micro",
+            bucket.alias("bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: DSIR — data selection with importance resampling
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature dimensionality for the DSIR importance model (the
+#: paper uses 10k hashed n-gram buckets; 256 keeps the model readable
+#: while exercising the identical machinery).
+_DSIR_B = 256
+#: Target-domain selector: documents from this source stand in for the
+#: paper's target corpus (e.g. Wikipedia/books when curating from CC).
+_DSIR_TARGET = "src0"
+
+
+@CAT.query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS t
+      FROM documents WHERE len(trim(text)) > 0),
+    f AS (SELECT doc_id, source, ({md5_60_sql('t')}) % {_DSIR_B} AS b
+          FROM tok),
+    cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY b),
+    ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM f
+           WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f
+           WHERE source = '{_DSIR_TARGET}'),
+    nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+    model AS (
+      SELECT cr.b,
+             CAST(FLOOR(ln(
+               (CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) / (nt.n + {_DSIR_B}))
+               / (CAST(cr.c + 1 AS DOUBLE) / (nr.n + {_DSIR_B}))
+             ) * {_LM_SCALE}) AS BIGINT) AS lw
+      FROM cr LEFT JOIN ct ON cr.b = ct.b, nt, nr),
+    dw AS (
+      SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(m.lw) AS BIGINT) AS weight_micro
+      FROM f JOIN model m ON f.b = m.b GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dw),
+    r AS (
+      SELECT doc_id, n_tokens, weight_micro,
+             CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+                  AS BIGINT) AS sel_rank
+      FROM dw)
+    SELECT doc_id, n_tokens, weight_micro, sel_rank,
+           sel_rank <= (tot.n + 3) // 4 AS selected
+    FROM r, tot
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023), the importance-weighted data-selection stage of a
+    pretraining pipeline: score every raw document by how much more
+    likely its hashed-feature profile is under a TARGET domain than
+    under the raw corpus, then keep the top quarter.
+
+    Model: tokens hash into {_DSIR_B} buckets (md5_60 %, identical in
+    both engines); the target distribution comes from the
+    '{_DSIR_TARGET}' slice, the raw distribution from the full corpus,
+    both add-one smoothed. A bucket's log importance ratio
+    ln(p_target/p_raw) is floored to integer micro-nats on the
+    {_DSIR_B}-row MODEL (the only place a double exists), so each
+    document's weight is an order-independent BIGINT sum over its
+    tokens — the paper's Gumbel resampling is replaced by the
+    deterministic top-K variant (rank by weight, doc_id tiebreak) so
+    the entry is oracle-exact.
+
+    Scale shape: the token stream is persisted once and feeds the two
+    model aggregations (both {_DSIR_B}-row outputs) and the scoring
+    join, which is a BROADCAST of the model against the stream — no
+    corpus-keyed exchange at all for scoring; the per-doc weight agg is
+    the one corpus shuffle. Ranking uses the two-phase global
+    row-number scaffold (:func:`rank_global_two_phase`): range-
+    repartition on the unique (weight DESC, doc_id) key, per-partition
+    window, broadcast exclusive offsets — globally consecutive ranks
+    with no single-task sort. K = ceil(n/4) comes from the offsets
+    frame (scalar), so `selected` is a projection, not a second pass.
+    """
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    f = docs.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("t")
+    ).select("doc_id", "source", (md5_60(F.col("t")) % _DSIR_B).alias("b"))
+    f = _persist(f)
+    cr = f.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    ct = (
+        f.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    nt = f.filter(F.col("source") == _DSIR_TARGET).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    nr = f.agg(F.count(F.lit(1)).alias("nr"))
+    lw = F.floor(
+        F.log(
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                / (F.col("nt") + _DSIR_B)
+            )
+            / ((F.col("c") + 1).cast("double") / (F.col("nr") + _DSIR_B))
+        )
+        * _LM_SCALE
+    ).cast("bigint")
+    model = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select("b", lw.alias("lw"))
+    )
+    dw = (
+        f.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lw").cast("bigint").alias("weight_micro"),
+        )
+    )
+    # two-phase global rank on (weight DESC, doc_id) — unique key, so
+    # the sampled range boundaries cannot change any row's rank
+    r = dw.repartitionByRange(
+        32, F.desc("weight_micro"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    r = _persist(r)
+    w_in = Window.partitionBy("pid").orderBy(
+        F.desc("weight_micro"), F.asc("doc_id")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        r.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+        .select("pid", "off", "n")
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight_micro",
+            (F.col("rn") + F.col("off")).cast("bigint").alias("sel_rank"),
+            (
+                (F.col("rn") + F.col("off")) <= F.expr("(n + 3) div 4")
+            ).alias("selected"),
+        )
+    )

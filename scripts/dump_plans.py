@@ -206,6 +206,29 @@ SHOWCASE = {
         "spread()'s fixture-only widen — no UDF, no explode, no join)",
         [r"\(\d+\) Project[^\n]{0,40}", r"\(\d+\) Exchange[^\n]*"],
     ),
+    "text_ccnet_buckets": (
+        "held-out LM scoring: vocabulary-sized model frames BROADCAST "
+        "into the token stream; tertiles come from a histogram window, "
+        "not a per-document sort — no corpus-wide orderBy anywhere",
+        [r"\(\d+\) BroadcastHashJoin[^\n]*",
+         r"keys \[\d+\]: \[lang[^\n]{0,60}",
+         r"\(\d+\) Window[^\n]*"],
+    ),
+    "sample_dsir_importance": (
+        "importance model (256 rows) broadcasts into the hashed-token "
+        "stream; global selection rank is the two-phase range-"
+        "partition scaffold (no single-task sort over documents)",
+        [r"keys \[1\]: \[b#[^\n]{0,30}",
+         r"rangepartitioning\(weight_micro[^\n]{0,60}"],
+    ),
+    "knn_pq_rerank": (
+        "two-stage ANN: ADC screen (broadcast LUT join over codes) "
+        "then exact rerank via broadcast candidate list — the "
+        "full-precision vectors are scanned once, never shuffled",
+        [r"\(\d+\) BroadcastHashJoin[^\n]{0,40}",
+         r"\(\d+\) MapInPandas[^\n]{0,40}",
+         r"WindowGroupLimit[^\n]{0,60}"],
+    ),
 }
 
 

@@ -117,6 +117,9 @@ HEAVY = [
     # round-9 additions with scale-sensitive semantics
     "dedup_semdedup_keep",  # centroid-distance keep ties at real cluster sizes
     "text_mojibake_repair",  # replace-chain hit counting over the full corpus
+    "text_ccnet_buckets",  # tertile tie-groups + OOV smoothing at real vocab
+    "sample_dsir_importance",  # selection boundary + rank scaffold at volume
+    "knn_pq_rerank",  # candidate-pool boundary effects at real corpus size
 ]
 
 QUERIES = entry_mod.queries()

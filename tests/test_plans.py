@@ -244,6 +244,7 @@ _BNLJ_ALLOW = {
     "orders_ewma_monthly",  # |months|² dyadic-weight grid (bounded domain)
     "events_markov_stationary",  # 1-row state-count broadcast for uniform start
     "orders_kaplan_meier",  # 1-row horizon + 1-row subject-total attaches
+    "sample_dsir_importance",  # 1-row target/raw token-total broadcasts
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are

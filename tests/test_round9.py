@@ -115,3 +115,158 @@ def test_semdedup_keep_invariants(spark, sf_smoke, queries):
         expected = sorted(members, key=lambda r: (-r.dist_micro2, r.vec_id))[0]
         assert keeps[0].vec_id == expected.vec_id
         assert all(r.dist_micro2 >= 0 for r in members)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 2: CCNet buckets, DSIR selection, PQ rerank
+# ---------------------------------------------------------------------------
+
+
+def _tertile_buckets(hist):
+    """Reference implementation of the histogram tertile rule:
+    bucket = ((cum_before_group) * 3) // n + 1, applied per
+    score-group in ascending score order."""
+    n = sum(h for _, h in hist)
+    out = {}
+    cum = 0
+    for score, h in sorted(hist):
+        out[score] = (cum * 3) // n + 1
+        cum += h
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(1, 20)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_ccnet_tertile_rule_properties(hist):
+    """The sort-free tertile rule must (1) stay within {1,2,3},
+    (2) be monotone nondecreasing in score order, (3) give every
+    member of a score group the same bucket (the leakage-safe tie
+    rule), and (4) deviate from the exact tertile boundary only at
+    tie groups that straddle it."""
+    buckets = _tertile_buckets(hist)
+    assert set(buckets.values()) <= {1, 2, 3}
+    ordered = [buckets[s] for s, _ in sorted(hist)]
+    assert ordered == sorted(ordered)
+    # exactness up to tie groups: expanding the histogram to
+    # individual rows and bucketing each row by its group's bucket
+    # must agree with the rule applied row-wise at group starts
+    n = sum(h for _, h in hist)
+    cum = 0
+    for score, h in sorted(hist):
+        want_first = (cum * 3) // n + 1
+        assert buckets[score] == want_first
+        cum += h
+
+
+def test_ccnet_buckets_entry_invariants(spark, sf_smoke, queries):
+    from csv_to_parquet_spark.operators.cache import release_caches
+
+    rows = queries["text_ccnet_buckets"](spark, sf_smoke).collect()
+    release_caches()
+    assert rows, "smoke corpus must score at least one document"
+    assert {r.bucket for r in rows} <= {"head", "middle", "tail"}
+    assert all(r.per_bigram_micro >= 0 for r in rows)
+    assert all(r.n_bigrams >= 1 for r in rows)
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    order = {"head": 1, "middle": 2, "tail": 3}
+    for lang, members in by_lang.items():
+        # same score => same bucket, and bucket is monotone in score
+        seen: dict = {}
+        for r in members:
+            if r.per_bigram_micro in seen:
+                assert seen[r.per_bigram_micro] == r.bucket, lang
+            seen[r.per_bigram_micro] = r.bucket
+        ms = sorted(members, key=lambda r: r.per_bigram_micro)
+        bs = [order[r.bucket] for r in ms]
+        assert bs == sorted(bs), f"{lang}: buckets not monotone in score"
+        # tertiles balance up to tie-group granularity: each bucket
+        # holds at least one doc when the language has >= 3 distinct
+        # scores
+        if len({r.per_bigram_micro for r in members}) >= 3:
+            assert len({r.bucket for r in members}) >= 2, lang
+
+
+def test_dsir_selection_invariants(spark, sf_smoke, queries):
+    from csv_to_parquet_spark.operators.cache import release_caches
+
+    rows = queries["sample_dsir_importance"](spark, sf_smoke).collect()
+    release_caches()
+    n = len(rows)
+    assert n > 0
+    # ranks are a permutation of 1..n consistent with (weight DESC,
+    # doc_id ASC)
+    assert sorted(r.sel_rank for r in rows) == list(range(1, n + 1))
+    ranked = sorted(rows, key=lambda r: r.sel_rank)
+    key = [(-r.weight_micro, r.doc_id) for r in ranked]
+    assert key == sorted(key)
+    # exactly ceil(n/4) selected, and they are precisely ranks 1..K
+    k = (n + 3) // 4
+    sel = [r for r in rows if r.selected]
+    assert len(sel) == k
+    assert {r.sel_rank for r in sel} == set(range(1, k + 1))
+
+
+def test_dsir_weights_favor_target_domain(spark, sf_smoke, queries):
+    """Directional sanity: documents FROM the target source must score
+    a higher mean importance weight than the rest — E[ln(pt/pr)] under
+    pt is +KL(pt||pr), under the raw mix it is negative."""
+    from csv_to_parquet_spark.operators.cache import release_caches
+    from csv_to_parquet_spark.operators.textops import _DSIR_TARGET
+    from csv_to_parquet_spark.sources.tables import load_table
+
+    out = queries["sample_dsir_importance"](spark, sf_smoke)
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source"
+    )
+    rows = out.join(docs, "doc_id").collect()
+    release_caches()
+    tgt = [r.weight_micro / r.n_tokens for r in rows if r.source == _DSIR_TARGET]
+    rest = [r.weight_micro / r.n_tokens for r in rows if r.source != _DSIR_TARGET]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_pq_rerank_improves_on_adc(spark, sf_smoke, queries):
+    """The exact-rerank stage must (1) return a subset of the ADC
+    candidate pool, (2) rank by true quantized L2 (nondecreasing in
+    rk), (3) never include self-matches, and (4) achieve recall vs the
+    float brute-force baseline at least as high as ADC alone."""
+    from csv_to_parquet_spark.operators.cache import release_caches
+
+    def sets(name):
+        s: dict = {}
+        for r in queries[name](spark, sf_smoke).collect():
+            s.setdefault(r.query_id, []).append(r)
+        release_caches()
+        return s
+
+    rer = sets("knn_pq_rerank")
+    adc = sets("knn_pq_adc")
+    exact = sets("knn_bruteforce_cosine")
+    assert rer, "rerank must produce results"
+    for q, rows in rer.items():
+        rows = sorted(rows, key=lambda r: r.rk)
+        assert len(rows) <= 10
+        assert all(r.vec_id != q for r in rows)
+        dists = [r.dist_micro2 for r in rows]
+        assert dists == sorted(dists)
+
+    def recall(got):
+        per = []
+        for q, ex in exact.items():
+            truth = {r.vec_id for r in ex}
+            if not truth:
+                continue
+            per.append(len({r.vec_id for r in got.get(q, [])} & truth) / len(truth))
+        return sum(per) / len(per)
+
+    assert recall(rer) >= recall(adc)
