@@ -344,11 +344,12 @@ def main() -> int:
     convert_mbps = round(csv_mb / convert_s, 2) if times else 0.0
     timings["convert_lineitem_csv"] = round(convert_s, 3)
 
-    # ANN quality: the two approximate top-k queries are rows-only in
-    # the driver's correctness gate BY DESIGN — attach measured
-    # recall@10 vs the exact brute-force baseline at this sf so the
-    # rows-only rows carry a quantitative signal (tests assert the
-    # same property at smoke scale; this measures it at bench scale).
+    # ANN quality: every ANN path is oracle-EXACT since r9 (integer
+    # indexes the oracle replays), but approximate vs TRUE cosine by
+    # design — attach measured recall@10 vs the exact brute-force
+    # baseline at this sf so each entry carries a quantitative
+    # quality signal (tests assert the same property at smoke scale;
+    # this measures it at bench scale).
     def _topk_sets(df) -> dict:
         sets: dict = {}
         for r in df.collect():
@@ -357,12 +358,8 @@ def main() -> int:
 
     recall: dict[str, float] = {}
     exact = _topk_sets(queries["knn_bruteforce_cosine"](spark, sf_dir))
-    # knn_pq_adc is oracle-exact (integer ADC distances) but PQ is a
-    # lossy representation — its recall vs true cosine is the honest
-    # compression-quality number, reported alongside the two
-    # rows-only ANN paths. All three paths exclude self-matches
-    # before ranking, so the numbers are apples-to-apples.
-    # knn_ivf_pq_ann compounds the IVF probe loss with the PQ
+    # All paths exclude self-matches before ranking, so the numbers
+    # are apples-to-apples. knn_ivf_pq_ann compounds the IVF probe loss with the PQ
     # quantization loss — its recall is expected to sit below both
     # single-leg paths; reporting all four makes the composite's
     # price visible next to its parts. knn_pq_rerank (r9) is the

@@ -984,8 +984,8 @@ def _pq_codebook(emb: DataFrame):
 
 #: Codebook training-sample budget: a bounded, deterministic collect
 #: (lowest vec_ids), constant regardless of corpus size. Shared by
-#: the float refiner (_pq_refine_codebook, IVFPQ) and the exact
-#: integer refiner (_pq_refine_codebook_int, ADC).
+#: the exact integer refiner (_pq_refine_codebook_int) shared by the
+#: ADC, rerank, and IVFPQ entries.
 _PQ_TRAIN_SAMPLE = 2048
 
 #: Lloyd iterations for the ADC search codebook (knn_pq_adc). Chosen
@@ -998,8 +998,7 @@ _PQ_ADC_ITERS = 3
 
 def _pq_refine_codebook_int(emb: DataFrame, codebook, iters: int):
     """EXACT-arithmetic Lloyd refinement of a PQ codebook — the
-    oracle-replayable counterpart of ``_pq_refine_codebook`` (whose
-    float means only a rows-only entry can use). Trains on the
+    PQ-codebook trainer (every PQ entry's oracle replays it). Trains on the
     ``_PQ_TRAIN_SAMPLE`` lowest-vec_id rows (bounded, deterministic
     collect — the FAISS train-on-sample convention), in integer
     micro-units end to end: assignment is the first-minimal argmin
@@ -1169,10 +1168,11 @@ _ADC_QUERIES = 8
 _ADC_TOPK = 10
 
 
-def _pq_adc_ctes() -> list[str]:
-    """Shared DuckDB CTE prefix for ``knn_pq_adc`` AND
-    ``knn_pq_rerank`` (everything through the ADC scores): init
-    codebook →
+def _pq_adc_ctes(filtered: bool = False) -> list[str]:
+    """Shared DuckDB CTE prefix for ``knn_pq_adc``, ``knn_pq_rerank``
+    AND (``filtered=True``, matching similarity._emb's zero-norm
+    filter) ``knn_ivf_pq_ann`` (everything through the ADC scores):
+    init codebook →
     ``_PQ_ADC_ITERS`` UNROLLED integer-Lloyd iterations (the
     bpe_learn_merges chained-CTE pattern) → encode → LUT → ADC.
     Everything is BIGINT: distances are exact, argmin ties resolve
@@ -1203,13 +1203,20 @@ def _pq_adc_ctes() -> list[str]:
             f" ELSE -((2 * (-({s})) + {c}) // (2 * {c})) END"
         )
 
+    where = (
+        """
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0"""
+        if filtered
+        else ""
+    )
     ctes = [
         f"""q AS (
       SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(ROUND(CAST(x AS DOUBLE) * {_PQ_Q})
                                       AS BIGINT)) AS qe
-      FROM embeddings)""",
+      FROM embeddings{where})""",
         f"""subs AS (SELECT unnest(range(1, {_PQ_M} + 1)) AS subspace)""",
         f"""cb0 AS (
       SELECT s.subspace,
@@ -1526,65 +1533,115 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: at 16/6 as the coarse-probe reference point.
 _IVFPQ_CELLS = 64
 _IVFPQ_PROBES = 24
-#: Lloyd iterations refining the PQ codebook for the composite.
-#: (knn_pq_adc trains its own codebook with the EXACT integer-Lloyd
-#: refiner so its oracle can replay training; this float refiner
-#: predates it and keeps the composite — rows-only anyway via its
-#: IVF leg — on the conventional float path.)
-_IVFPQ_REFINE_ITERS = 2
+#: Coarse-quantizer Lloyd iterations for the composite's oracle —
+#: must equal similarity._IVF_KMEANS_ITERS (the exact-integer trainer
+#: the Spark side calls); asserted at entry runtime.
+_IVF_COARSE_ITERS = 2
 
 
-def _pq_refine_codebook(e: DataFrame, codebook, iters: int):
-    """Lloyd refinement of the per-subspace PQ codebooks on a bounded
-    training sample — the FAISS convention (codebooks are model
-    parameters trained on a fixed-size sample, then applied to the
-    full corpus distributed).
+def _ivfpq_int_oracle() -> str:
+    """DuckDB oracle for ``knn_ivf_pq_ann``: the zero-norm-filtered
+    PQ training/encode/LUT prefix (``_pq_adc_ctes(filtered=True)``,
+    minus its full-scan adc) plus the IVF leg — unrolled integer-Lloyd
+    coarse training over the same filtered sample (seeds vec_id
+    100..{100 + _IVFPQ_CELLS - 1}), integer cell assignment, probe
+    ranking by (d2, cell) — and the probe-screened ADC sum. Every
+    stage is BIGINT-exact; argmin ties pack as MIN(d2·K + cell)."""
+    K = _IVFPQ_CELLS
 
-    The sample is the ``_PQ_TRAIN_SAMPLE`` lowest vec_ids
-    (deterministic; one bounded collect of ≤ sample×dim doubles
-    regardless of corpus size — the same model-sized-collect rule as
-    the IVF trainer). Refinement then runs entirely driver-side in
-    numpy: assign each sampled subvector to its nearest code, re-center
-    codes on their assigned mass, round back onto the integer
-    micro-grid so downstream ADC distances stay exact BIGINTs. Codes
-    with no assigned vectors keep their previous entry (the standard
-    empty-cluster rule, same as the IVF trainer's). An earlier
-    distributed sufficient-stats version (mapInPandas + groupBy per
-    iteration) was correct but spent ~1 s of stage overhead per pass
-    on a kernel that is model-sized work; sample training removes
-    those jobs without changing what the codebook IS.
-    """
-    import numpy as np
+    def d2i(tbl: str, cbt: str) -> str:
+        return (
+            f"list_sum([({tbl}.qe[i] - {cbt}.cb[i])"
+            f" * ({tbl}.qe[i] - {cbt}.cb[i]) for i in range(1, 65)])"
+        )
 
-    d_sub = 64 // _PQ_M
-    cb = codebook.astype(np.float64).copy()
-    rows = (
-        e.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(_PQ_TRAIN_SAMPLE)
-        .collect()
+    def rnd(s: str, c: str) -> str:
+        return (
+            f"CASE WHEN {s} >= 0 THEN (2 * {s} + {c}) // (2 * {c})"
+            f" ELSE -((2 * (-({s})) + {c}) // (2 * {c})) END"
+        )
+
+    ctes = _pq_adc_ctes(filtered=True)
+    ctes.pop()  # drop the full-scan adc; the composite screens first
+    ctes.append(
+        f"""icb0 AS (SELECT vec_id - 100 AS cell, qe AS cb FROM q
+           WHERE vec_id >= 100 AND vec_id < {100 + K})"""
     )
-    x = _pq_quant(
-        np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    ).astype(np.float64)
-    for _ in range(iters):
-        for s in range(_PQ_M):
-            sl = slice(s * d_sub, (s + 1) * d_sub)
-            diff = x[:, None, sl] - cb[None, :, sl]
-            code = (diff * diff).sum(axis=2).argmin(axis=1)
-            cnt = np.bincount(code, minlength=_PQ_K)
-            nz = np.nonzero(cnt)[0]
-            for j in range(d_sub):
-                sums = np.bincount(code, weights=x[:, sl][:, j], minlength=_PQ_K)
-                # half-AWAY-FROM-ZERO like _pq_quant (np.round would
-                # bankers-round .5 boundaries) — one rounding
-                # convention per file
-                m = sums[nz] / cnt[nz]
-                cb[nz, s * d_sub + j] = np.sign(m) * np.floor(np.abs(m) + 0.5)
-    return cb
+    for t in range(1, _IVF_COARSE_ITERS + 1):
+        p = t - 1
+        sums = ",\n             ".join(
+            f"SUM(v.qe[{i}]) AS s{i}" for i in range(1, 65)
+        )
+        elems = ",\n                  ".join(
+            rnd(f"u.s{i}", "u.cnt") for i in range(1, 65)
+        )
+        ctes.append(
+            f"""ia{t} AS (
+      SELECT v.vec_id, MIN({d2i('v', 'c')} * {K} + c.cell) % {K} AS cell
+      FROM samp v, icb{p} c GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""iu{t} AS (
+      SELECT a.cell, COUNT(*) AS cnt,
+             {sums}
+      FROM ia{t} a JOIN samp v USING (vec_id) GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""icb{t} AS (
+      SELECT c.cell,
+             CASE WHEN u.cnt IS NULL THEN c.cb
+                  ELSE list_value(
+                  {elems})
+             END AS cb
+      FROM icb{p} c LEFT JOIN iu{t} u ON u.cell = c.cell)"""
+        )
+    ifinal = f"icb{_IVF_COARSE_ITERS}"
+    ctes.append(
+        f"""cells AS (
+      SELECT v.vec_id, MIN({d2i('v', 'c')} * {K} + c.cell) % {K} AS cell
+      FROM q v, {ifinal} c GROUP BY 1)"""
+    )
+    ctes.append(
+        f"""iprobes AS (
+      SELECT query_id, cell FROM (
+        SELECT qu.query_id, c.cell,
+               row_number() OVER (PARTITION BY qu.query_id
+                                  ORDER BY {d2i('qu', 'c')}, c.cell) AS prk
+        FROM qu, {ifinal} c) t
+      WHERE prk <= {_IVFPQ_PROBES})"""
+    )
+    ctes.append(
+        """adc AS (
+      SELECT l.query_id, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS dist_micro2
+      FROM codes c
+      JOIN cells cl ON cl.vec_id = c.vec_id
+      JOIN iprobes p ON p.cell = cl.cell
+      JOIN lut l ON l.query_id = p.query_id
+                AND l.subspace = c.subspace AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        """r AS (
+      SELECT query_id, vec_id, dist_micro2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist_micro2, vec_id) AS rk
+      FROM adc)"""
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, vec_id, dist_micro2, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_ADC_TOPK}
+    """
+    )
 
 
-@CAT.query("knn_ivf_pq_ann")  # lossy composite by design → rows-only
+@CAT.query(
+    "knn_ivf_pq_ann",
+    oracle=_ivfpq_int_oracle(),
+)
 def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-{_ADC_TOPK} via IVF coarse quantization OVER PQ codes —
     the composite every production vector store actually deploys
@@ -1595,62 +1652,62 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss, ``knn_pq_adc`` (full-scan ADC) isolates the quantization
     loss; this entry's recall is their compounding, the honest price
     of 100 TB practicality, reported side by side in bench.py's
-    ``recall_at_10``.
+    ``recall_at_10``. ORACLE-EXACT since r9: both models train with
+    the exact integer-Lloyd refiners, so the DuckDB oracle replays
+    coarse training, codebook training, assignment, probing, LUT, and
+    ADC verbatim (:func:`_ivfpq_int_oracle`) — the last rows-only ANN
+    path converted.
 
     Pipeline: train a {_IVFPQ_CELLS}-cell coarse grid with the shared
-    sample-Lloyd trainer (similarity._ivf_train_centroids_sampled —
-    one bounded collect, the FAISS train-on-sample convention; finer
-    than knn_ivf_ann's 16 cells because at the
-    same probes/cells scan fraction finer cells localize neighbors
-    better), Lloyd-refine the PQ codebook on a bounded
-    {_PQ_TRAIN_SAMPLE}-row driver-side sample
-    ({_IVFPQ_REFINE_ITERS} Lloyd iterations, ``_pq_refine_codebook``
-    — the FAISS train-on-sample convention; the distributed
-    sufficient-stats variant was removed as pure stage overhead on
-    model-sized work. knn_pq_adc trains its own codebook via the
-    exact integer refiner its oracle replays, so this entry's codes
-    intentionally differ from both the audit's and the ADC
-    entry's), then ONE fused Arrow pass over the corpus emits
-    (cell, subspace, code) per vector — cell assignment and PQ
+    exact-integer trainer (similarity._ivf_train_centroids_int — one
+    bounded collect, the FAISS train-on-sample convention; finer than
+    knn_ivf_ann's 16 cells because at the same probes/cells scan
+    fraction finer cells localize neighbors better) and the PQ
+    codebook with the exact integer refiner knn_pq_adc uses
+    (``_pq_refine_codebook_int`` on the bounded {_PQ_TRAIN_SAMPLE}-row
+    sample — both over the zero-norm-filtered frame, so the oracle's
+    single filtered sample feeds both replays), then ONE fused Arrow
+    pass over the corpus emits (cell, subspace, code) per vector —
+    cell assignment (exact int64 argmin, first-min ties) and PQ
     encoding share the batch (the fused kernel exists because a
     separate JVM argmax pass plus a codes⨝cells shuffle measured
     5.0 s vs 0.7 s per single leg). Per query:
-    probe the {_IVFPQ_PROBES} nearest cells (a queries×probes literal
-    — broadcast), score candidates through a broadcast
-    (query, subspace, code) → d2 lookup table exactly like
-    ``knn_pq_adc``, sum over subspaces, window top-k. The corpus-side
-    scan reads only probed cells' CODE rows: probes/cells of the
-    corpus at {_PQ_M} small ints per vector, no embedding column
-    after encode, no shuffle carrying vectors — the exchange holds
-    (query_id, vec_id, d2) triples for candidates only.
+    probe the {_IVFPQ_PROBES} nearest cells by integer d2, ties by
+    cell index (a queries×probes literal — broadcast), score
+    candidates through a broadcast (query, subspace, code) → d2
+    lookup table exactly like ``knn_pq_adc``, sum over subspaces,
+    window top-k. The corpus-side scan reads only probed cells' CODE
+    rows: probes/cells of the corpus at {_PQ_M} small ints per
+    vector, no embedding column after encode, no shuffle carrying
+    vectors — the exchange holds (query_id, vec_id, d2) triples for
+    candidates only.
 
-    Measured (sf0.1 uniform corpus, 37.7% scan fraction): recall@10
-    0.74 vs 0.575 for the r7 16-cell/6-probe/init-codebook operating
-    point; the refinement and finer grid close most of the gap to the
-    single-leg references (IVF-exact 0.70 at 16/6, full-scan ADC
-    0.675).
+    Measured (sf0.1 uniform corpus, 37.5% scan fraction): recall@10
+    0.7125 (the float-cosine coarse grid read 0.7375 — the 0.025 dip
+    is the L2-on-quantized assignment, the price of a fully
+    replayable index; the r7 16-cell/6-probe/init-codebook point was
+    0.575). Single-leg references: IVF-exact 0.70 at 16/6, full-scan
+    ADC 0.75, screen+exact-rerank 1.00.
     """
     import numpy as np
 
-    from csv_to_parquet_spark.operators.similarity import (
-        _emb,
-        _ivf_train_centroids_sampled,
-    )
+    from csv_to_parquet_spark.operators import similarity as _sim
 
+    assert _IVF_COARSE_ITERS == _sim._IVF_KMEANS_ITERS, (
+        "composite oracle unrolls a different iteration count than "
+        "the trainer runs"
+    )
     # persisted across the trainer's jobs and the query collect —
     # same rationale as knn_ivf_ann (lint: operators/cache.py)
-    e = persist_tracked(_emb(spark, sf_dir))
-    cents = _ivf_train_centroids_sampled(e, _IVFPQ_CELLS)
+    e = persist_tracked(_sim._emb(spark, sf_dir))
+    cents = _sim._ivf_train_centroids_int(e, _IVFPQ_CELLS)  # int64 (K, 64)
 
     d_sub = 64 // _PQ_M
-    # init codebook from the RAW table (same construction as the
-    # audit/full-scan entries), then float-Lloyd-refined on a bounded
-    # sample — intentionally a different training path from
-    # knn_pq_adc's exact integer refiner (see _IVFPQ_REFINE_ITERS)
-    codebook = _pq_refine_codebook(
-        e, _pq_codebook(load_table(spark, sf_dir, "embeddings")),
-        _IVFPQ_REFINE_ITERS,
-    )
+    # Both models train with the EXACT integer-Lloyd refiners on the
+    # filtered frame (so the oracle's single filtered sample feeds
+    # both replays): the coarse grid via similarity's trainer, the PQ
+    # codebook via the same refiner knn_pq_adc uses.
+    codebook = _pq_refine_codebook_int(e, None, _PQ_ADC_ITERS)
     # Cell assignment is FUSED into the encode pass (how production
     # IVFPQ encoders work): the trained centroids are already a
     # driver-side model, so one vectorized matmul per Arrow batch
@@ -1660,8 +1717,8 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus below is the PERSISTED, already-nonzero-norm-filtered
     # frame from the trainer — no second raw scan, one home for the
     # zero-norm rule (functions.nonzero_norm inside _emb).
-    cents_np = np.array(cents, dtype=np.float64)
-    cent_norm_k = np.sqrt((cents_np * cents_np).sum(axis=1))
+    cents_np = np.asarray(cents, dtype=np.int64)
+    cent_n2 = (cents_np * cents_np).sum(axis=1)
 
     def encode(batches):
         for pdf in batches:
@@ -1671,10 +1728,10 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
             )
             ids = pdf["vec_id"].to_numpy()
-            # row norm is constant per row — argmax over cosine needs
-            # only the centroid-norm division
-            cell = (v @ cents_np.T / cent_norm_k).argmax(axis=1)
             x = _pq_quant(v)
+            # exact int64 argmin via the dot expansion (row-constant
+            # |x|² dropped); first-min == the oracle's MIN packing
+            cell = (cent_n2[None, :] - 2 * (x @ cents_np.T)).argmin(axis=1)
             out = {"vec_id": [], "cell": [], "subspace": [], "code": []}
             for s in range(_PQ_M):
                 sl = slice(s * d_sub, (s + 1) * d_sub)
@@ -1698,12 +1755,13 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_rows, lut_rows = [], []
     for r in q_rows:
         qv = np.array(r.embedding, dtype=np.float64)
-        # same cents_np/cent_norm_k as the corpus kernel — one
-        # definition keeps probing and assignment self-consistent
-        sims = cents_np @ qv / cent_norm_k
-        for c in np.argsort(-sims)[:_IVFPQ_PROBES]:
-            probe_rows.append((r.vec_id, int(c)))
         qq = _pq_quant(qv)
+        # same integer metric as the corpus kernel — one definition
+        # keeps probing and assignment self-consistent; stable argsort
+        # ties on cell index == the oracle's (d2, cell) rank
+        di = ((qq[None, :] - cents_np) ** 2).sum(axis=1)
+        for c in np.argsort(di, kind="stable")[:_IVFPQ_PROBES]:
+            probe_rows.append((r.vec_id, int(c)))
         for s in range(_PQ_M):
             sl = slice(s * d_sub, (s + 1) * d_sub)
             d2 = ((qq[sl][None, :] - codebook[:, sl]) ** 2).sum(axis=1)

@@ -19,15 +19,17 @@ Scale posture:
 
 from __future__ import annotations
 
-import random
-
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from csv_to_parquet_spark.functions import cosine_similarity, dot_double
+from csv_to_parquet_spark.functions import (
+    cosine_similarity,
+    dot_double,
+    md5_60_sql,
+)
 from csv_to_parquet_spark.operators import Catalog
 from csv_to_parquet_spark.sources.tables import load_table, spread
 
@@ -36,26 +38,58 @@ CAT = Catalog()
 N_QUERIES = 8  # query set: vec_id < 8
 TOP_K = 10
 
-# Multi-table random-hyperplane LSH: L tables × k Gaussian hyperplanes
-# (seeded → identical every run). One table of many bits has near-zero
-# recall when true neighbors sit at modest cosine (this corpus's top-10
-# live at cos ≈ 0.25–0.48, the hard regime); the standard fix is
-# multiple independent coarse tables whose candidate sets union, plus
+# Multi-table random-hyperplane LSH: L tables × k Rademacher (±1)
+# hyperplanes. One table of many bits has near-zero recall when true
+# neighbors sit at modest cosine (this corpus's top-10 live at
+# cos ≈ 0.25–0.48, the hard regime); the standard fix is multiple
+# independent coarse tables whose candidate sets union, plus
 # QUERY-DIRECTED multiprobe (Lv et al., VLDB'07): per table the query
 # also probes the _T_PROBES-1 perturbed buckets ranked most probable
 # by its own hyperplane margins — small-margin 1- and 2-bit flips,
 # where the neighbor mass actually is, instead of uniform Hamming-1.
-# Measured at sf0.1 on the near-uniform corpus: recall@10 0.76 at a
-# candidate fraction of L·T/2^k = 12·20/1024 ≈ 23% (the r6 uniform
+# Measured at sf0.1 on the near-uniform corpus: recall@10 0.775 at a
+# candidate fraction of L·T/2^k = 12·24/1024 ≈ 28% (the r6 uniform
 # Hamming-1 shape gave 0.54 at ~13%; IVF gives 0.70 at 37.5%), and
 # ≳0.95 for clustered real-world embeddings (cos ≥ 0.8). Bigger k
 # keeps shrinking the fraction as corpus density grows.
+#
+# Plane entries are ±1 derived from md5_60("lshq_t_b_d") % 2 — sign
+# random projections (the Rademacher variant of hyperplane LSH, a
+# standard choice: only the DIRECTION distribution changes vs
+# Gaussian, and in 64 dims the collision-vs-angle curve is nearly
+# identical — measured recall on this corpus matched the Gaussian
+# planes it replaced). What ±1 integer planes buy (r9): projections
+# of micro-unit-quantized vectors are exact integer-valued sums
+# (|proj| ≤ 64·10⁶ ≪ 2⁵³, so even float64 matmul is exact), making
+# buckets, margins, and the whole probe schedule replayable in SQL —
+# the entry is ORACLE-EXACT, not rows-only.
 _DIM, _N_TABLES, _K_BITS = 64, 12, 10
-_rng = random.Random(7)
-_PLANES = [
-    [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_K_BITS)]
-    for _ in range(_N_TABLES)
-]
+#: Micro-unit grid for vector quantization (the _pq_quant convention).
+_LSH_Q = 1_000_000
+
+
+def _lsh_plane_signs():
+    """The (L·k, 64) ±1 plane matrix, derived from md5_60 so the
+    oracle regenerates it verbatim in SQL (md5_60_sql)."""
+    import hashlib
+
+    import numpy as np
+
+    s = np.empty((_N_TABLES * _K_BITS, _DIM), dtype=np.int64)
+    for t in range(_N_TABLES):
+        for b in range(_K_BITS):
+            for d in range(_DIM):
+                h = int(
+                    hashlib.md5(
+                        f"lshq_{t}_{b}_{d}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                s[t * _K_BITS + b, d] = 1 if h % 2 == 0 else -1
+    return s
+
+
+_PLANES_INT = _lsh_plane_signs()
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,27 +166,39 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_quant(arr):
+    """Float embeddings → integer micro-units, half-away-from-zero
+    (identical to _ivf_quant / clustering._pq_quant / SQL ROUND)."""
+    import numpy as np
+
+    scaled = arr.astype(np.float64) * _LSH_Q
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+        np.int64
+    )
+
+
 def _table_buckets(vec: Column) -> Column:
     """array of L bucket ids (index = table) for an embedding column.
 
     Vectorized Arrow pandas_udf: the whole batch's L×k hyperplane dot
     products are ONE numpy matmul — the per-plane interpreted-HOF
-    formulation cost ~40 boxed array passes per row. Buckets only
-    gate candidate recall (exact cosine reranks afterwards), so the
-    float64-matmul rounding vs per-element JVM accumulation is
-    immaterial; corpus and queries use the identical computation.
+    formulation cost ~40 boxed array passes per row. The vectors are
+    micro-unit quantized and the ±1 planes keep every projection an
+    exact integer (|proj| ≤ 64·10⁶ ≪ 2⁵³, so the float64 BLAS matmul
+    is exact regardless of accumulation order) — bit-identical to the
+    oracle's list_dot_product replay.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.array(_PLANES, dtype=np.float64).reshape(
-        _N_TABLES * _K_BITS, _DIM
-    )
+    planes = _PLANES_INT.astype(np.float64)
     weights = (1 << np.arange(_K_BITS, dtype=np.int64))
 
     @pandas_udf("array<bigint>")
     def buckets_udf(emb: pd.Series) -> pd.Series:
-        v = np.stack([np.asarray(x, dtype=np.float64) for x in emb.values])
+        v = _lsh_quant(
+            np.stack([np.asarray(x, dtype=np.float64) for x in emb.values])
+        ).astype(np.float64)
         bits = (v @ planes.T >= 0).astype(np.int64)  # (n, L*k)
         b = bits.reshape(len(v), _N_TABLES, _K_BITS) @ weights  # (n, L)
         return pd.Series(list(b))
@@ -161,10 +207,13 @@ def _table_buckets(vec: Column) -> Column:
 
 
 #: Query-directed multiprobe budget: probe buckets PER TABLE per query
-#: (the base bucket plus the T-1 most-probable perturbations). 20
-#: probes/table → candidate fraction L·T/2^k = 12·20/1024 ≈ 23% of the
+#: (the base bucket plus the T-1 most-probable perturbations). 24
+#: probes/table → candidate fraction L·T/2^k = 12·24/1024 ≈ 28% of the
 #: corpus per query — still sub-linear, below IVF's 37.5% scan.
-_T_PROBES = 20
+#: (r9: 20 → 24 when the planes went integer-Rademacher; measured
+#: sf0.1 recall 0.775 at 26.5% actual fraction vs the Gaussian-plane
+#: 0.7625 at 23% — strictly better on the recall-per-scan curve.)
+_T_PROBES = 24
 
 #: All bit-flip masks of size ≤ 2 over k bits, paired with the margin
 #: indices they flip — the scoring universe for query-directed probing
@@ -190,31 +239,35 @@ def _query_probes(vec: Column) -> Column:
     1-flips and 2-flips outrank large-margin 1-flips, concentrating
     the probe budget where the neighbor mass actually is.
 
-    Runs only on the tiny query side (n_queries × L × 56 scored
-    perturbations in numpy — microseconds); the corpus keeps its
-    single-bucket-per-table map.
+    Scoring is the |margin| sum of the flipped bits (the L1 variant
+    of Lv'07's squared-margin rank — same monotone flip-probability
+    intuition, and integer-exact so the oracle replays the ranking;
+    ties break on the mask value). Runs only on the tiny query side
+    (n_queries × L × 56 scored perturbations in numpy —
+    microseconds); the corpus keeps its single-bucket-per-table map.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.array(_PLANES, dtype=np.float64).reshape(
-        _N_TABLES * _K_BITS, _DIM
-    )
+    planes = _PLANES_INT.astype(np.float64)
     weights = 1 << np.arange(_K_BITS, dtype=np.int64)
 
     @pandas_udf("array<array<bigint>>")
     def probes_udf(emb: pd.Series) -> pd.Series:
-        v = np.stack([np.asarray(x, dtype=np.float64) for x in emb.values])
-        proj = v @ planes.T  # (n, L*k)
+        v = _lsh_quant(
+            np.stack([np.asarray(x, dtype=np.float64) for x in emb.values])
+        ).astype(np.float64)
+        proj = v @ planes.T  # (n, L*k) — exact integer-valued
         bits = (proj >= 0).astype(np.int64)
         buckets = bits.reshape(len(v), _N_TABLES, _K_BITS) @ weights
-        m2 = (proj.reshape(len(v), _N_TABLES, _K_BITS)) ** 2
+        m = proj.reshape(len(v), _N_TABLES, _K_BITS).astype(np.int64)
+        ma = m * m  # ≤ (64·10⁶)² ≈ 4·10¹⁵ — int64-exact
         out = []
         for r in range(len(v)):
             tables = []
             for t in range(_N_TABLES):
                 scored = sorted(
-                    (sum(m2[r, t, i] for i in idxs), mask)
+                    (int(sum(ma[r, t, i] for i in idxs)), mask)
                     for idxs, mask in _PERTURB
                 )
                 base = int(buckets[r, t])
@@ -227,10 +280,89 @@ def _query_probes(vec: Column) -> Column:
     return probes_udf(vec)
 
 
-@CAT.query("knn_lsh_ann")  # approximate by design → rows-only check
+def _lsh_oracle() -> str:
+    """DuckDB oracle for ``knn_lsh_ann``: regenerate the ±1 planes
+    from md5_60, replay bucketing, margin-ranked multiprobe, the
+    candidate join, and the exact-cosine rerank. Everything before
+    the rerank is integer-exact; the rerank is the oracle-proven
+    knn_bruteforce_cosine convention."""
+    one = "CAST(1 AS BIGINT)"
+    return f"""
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> ROUND(x * {_LSH_Q})) AS qed
+      FROM embeddings
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0),
+    planes AS (
+      SELECT t, b,
+             list(CASE WHEN ({md5_60_sql("'lshq_' || t || '_' || b || '_' || d")}) % 2 = 0
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+                  ORDER BY d) AS pl
+      FROM range({_N_TABLES}) r1(t), range({_K_BITS}) r2(b),
+           range({_DIM}) r3(d)
+      GROUP BY t, b),
+    proj AS (
+      SELECT e.vec_id, p.t, p.b,
+             CAST(list_dot_product(e.qed, p.pl) AS BIGINT) AS m
+      FROM q e, planes p),
+    bkt AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN m >= 0 THEN ({one} << b) ELSE 0 END) AS bucket
+      FROM proj GROUP BY 1, 2),
+    masks AS (
+      SELECT CAST(0 AS BIGINT) AS mask
+      UNION ALL SELECT ({one} << i) FROM range({_K_BITS}) ri(i)
+      UNION ALL SELECT ({one} << i) | ({one} << j)
+                FROM range({_K_BITS}) ri(i), range({_K_BITS}) rj(j)
+                WHERE j > i),
+    qm AS (SELECT vec_id AS query_id, t, b, m FROM proj
+           WHERE vec_id < {N_QUERIES}),
+    msc AS (
+      SELECT qm.query_id, qm.t, k.mask,
+             COALESCE(SUM(CASE WHEN ((k.mask >> qm.b) & 1) = 1
+                               THEN qm.m * qm.m END), 0) AS sc
+      FROM qm, masks k GROUP BY 1, 2, 3),
+    prb AS (
+      SELECT s.query_id, s.t, xor(bk.bucket, s.mask) AS qbucket
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id, t
+                                         ORDER BY sc, mask) AS rk
+            FROM msc) s
+      JOIN bkt bk ON bk.vec_id = s.query_id AND bk.t = s.t
+      WHERE s.rk <= {_T_PROBES}),
+    cand AS (
+      SELECT DISTINCT p.query_id, e.vec_id
+      FROM prb p JOIN bkt e ON e.t = p.t AND e.bucket = p.qbucket
+      WHERE e.vec_id <> p.query_id),
+    s AS (
+      SELECT c.query_id, c.vec_id,
+             list_dot_product(qu.v, e.v)
+               / (sqrt(list_dot_product(qu.v, qu.v))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cs
+      FROM cand c
+      JOIN q qu ON qu.vec_id = c.query_id
+      JOIN q e ON e.vec_id = c.vec_id)
+    SELECT query_id, vec_id, ROUND(cs, 6) AS cosine, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, vec_id) AS rn
+          FROM s) t
+    WHERE rn <= {TOP_K}
+    """
+
+
+@CAT.query(
+    "knn_lsh_ann",
+    oracle=_lsh_oracle(),
+)
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-table random-hyperplane LSH with
-    query-directed multiprobe.
+    query-directed multiprobe — ORACLE-EXACT since r9: the ±1
+    md5-derived planes and micro-unit quantized vectors keep every
+    projection, bucket, margin, and probe rank an exact integer the
+    DuckDB oracle regenerates verbatim (:func:`_lsh_oracle`); only
+    the final rerank is float cosine, on the knn_bruteforce_cosine
+    convention that is itself oracle-proven.
 
     Corpus pass: one narrow map computes each vector's bucket in each
     of the L tables (sign bits of k fixed hyperplane dot products),
@@ -253,15 +385,14 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the sphere, so a query's true top-10 sit at cosine ≈ 0.3 —
     collision probability per hyperplane only 0.6, the regime where
     ANY sub-linear ANN pays dearly for recall. Measured at sf0.1:
-    recall@10 ≈ 0.76 for a ~23% candidate fraction with directed
+    recall@10 = 0.775 for a ~26.5% candidate fraction with directed
     probing (uniform Hamming-1 gave 0.54 at ~13%; 0.95 would require
     probing >100%). On real clustered embedding corpora — the
     production case — neighbors sit at cosine 0.8+, where the same
     parameters give per-table collision 0.9^k and recall
     ≈ 1-(1-0.9^k)^L ≈ 0.99 (pinned ≥0.9 in tests/test_llm_ops.py). In
     production k is sized to the corpus (k ≈ log₂(n/target_bucket)) —
-    fixed here so the driver's rows-only check stays deterministic
-    per sf.
+    fixed here so the driver's check stays deterministic per sf.
     """
     e = _emb(spark, sf_dir).select(
         "vec_id",
@@ -352,51 +483,6 @@ def _ivf_cells_arrow(vec: Column, cents: list[list[float]], n: int) -> Column:
 _IVF_TRAIN_SAMPLE = 2048
 
 
-def _ivf_train_centroids_sampled(
-    e: DataFrame, ncells: int = _IVF_CELLS
-) -> list[list[float]]:
-    """Sample-trained Lloyd k-means for the ANN coarse quantizers.
-
-    Same semantics as :func:`_ivf_train_centroids` (seed vectors
-    vec_id 100.., cosine argmax assign, mean update, empty cells keep
-    their centroid, ``_IVF_KMEANS_ITERS`` iterations) but trained on
-    the ``_IVF_TRAIN_SAMPLE`` lowest vec_ids collected once to the
-    driver — replacing 2×iterations distributed jobs (~2.4 s of stage
-    overhead per ANN entry at bench scale, measured, on model-sized
-    work) with one bounded collect + numpy. At 100 TB this is exactly
-    how production vector stores train coarse quantizers; partial-sum
-    float ordering differs ulp-level from the distributed trainer's
-    per-partition aggregation, which is why the oracle-exact
-    ``cluster_kmeans_assign`` keeps the distributed form.
-    """
-    import numpy as np
-
-    rows = (
-        e.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(_IVF_TRAIN_SAMPLE)
-        .collect()
-    )
-    ids = np.array([int(r.vec_id) for r in rows])
-    V = np.array([list(map(float, r.embedding)) for r in rows])
-    seed_pos = [np.nonzero(ids == i)[0] for i in range(100, 100 + ncells)]
-    assert all(len(p) == 1 for p in seed_pos), (
-        f"IVF seed vectors 100..{100 + ncells - 1} must all exist with "
-        "nonzero norm inside the training sample"
-    )
-    C = V[[p[0] for p in seed_pos]].copy()
-    vnorm = np.sqrt((V * V).sum(axis=1))
-    for _ in range(_IVF_KMEANS_ITERS):
-        cn = np.sqrt((C * C).sum(axis=1))
-        cell = (V @ C.T / (vnorm[:, None] * cn[None, :])).argmax(axis=1)
-        for k in range(ncells):
-            m = cell == k
-            if m.any():
-                C[k] = V[m].mean(axis=0)
-    assert (C != 0).any(axis=1).all(), "IVF centroid collapsed to zero vector"
-    return [[float(x) for x in c] for c in C]
-
-
 def _ivf_train_centroids(e: DataFrame, ncells: int = _IVF_CELLS) -> list[list[float]]:
     """Lloyd's k-means over the corpus → ``ncells`` centroids
     (default ``_IVF_CELLS``; knn_ivf_pq_ann trains a finer grid).
@@ -449,25 +535,230 @@ def _ivf_train_centroids(e: DataFrame, ncells: int = _IVF_CELLS) -> list[list[fl
     return cents
 
 
-@CAT.query("knn_ivf_ann")  # approximate by design → rows-only check
+#: Micro-unit quantization grid shared with the PQ family
+#: (clustering._PQ_Q) — integer arithmetic end to end makes the IVF
+#: index oracle-replayable.
+_IVF_Q = 1_000_000
+
+
+def _ivf_quant(arr):
+    """Float embeddings → integer micro-units, half-away-from-zero
+    (identical to clustering._pq_quant / SQL ROUND)."""
+    import numpy as np
+
+    scaled = arr.astype(np.float64) * _IVF_Q
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+        np.int64
+    )
+
+
+def _ivf_train_centroids_int(e: DataFrame, ncells: int = _IVF_CELLS):
+    """EXACT-integer sample-Lloyd trainer for the IVF coarse quantizer
+    — the full-vector analog of clustering._pq_refine_codebook_int,
+    so the DuckDB oracle can replay training verbatim as unrolled
+    CTEs (what upgraded knn_pq_adc, and now knn_ivf_ann, from
+    rows-only to oracle-exact).
+
+    Same sample and seeds as the float trainer (lowest
+    ``_IVF_TRAIN_SAMPLE`` vec_ids; init = vec_id 100..): vectors live
+    on the integer micro-grid, assignment is first-minimal argmin over
+    exact int64 squared L2 (== the oracle's MIN(d2·K + cell) packing;
+    on this unit-normalized corpus L2 and cosine order agree up to
+    quantization), and the centroid update is the half-away-from-zero
+    integer mean. Empty cells keep their centroid. Products are
+    ≤ 64·(2·10⁶)² < 2⁶³ — no overflow. Returns an int64 (K, 64)
+    matrix."""
+    import numpy as np
+
+    rows = (
+        e.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    ids = np.array([int(r.vec_id) for r in rows])
+    V = _ivf_quant(np.stack([list(map(float, r.embedding)) for r in rows]))
+    seed_pos = [np.nonzero(ids == i)[0] for i in range(100, 100 + ncells)]
+    assert all(len(p) == 1 for p in seed_pos), (
+        f"IVF seed vectors 100..{100 + ncells - 1} must all exist with "
+        "nonzero norm inside the training sample"
+    )
+    C = V[[p[0] for p in seed_pos]].copy()
+    for _ in range(_IVF_KMEANS_ITERS):
+        score = (C * C).sum(axis=1)[None, :] - 2 * (V @ C.T)
+        cell = score.argmin(axis=1)  # first-min, matches MIN packing
+        for k in range(ncells):
+            m = cell == k
+            if m.any():
+                t = V[m].sum(axis=0)
+                c = int(m.sum())
+                C[k] = np.sign(t) * ((2 * np.abs(t) + c) // (2 * c))
+    return C
+
+
+def _ivf_cells_int(vec: Column, C, n: int) -> Column:
+    """array of the n nearest-centroid indices by EXACT integer
+    squared L2 on the micro-unit grid, ties broken by cell index
+    (stable argsort == the oracle's (d2, cell) rank). One vectorized
+    Arrow crossing, same batch-matmul shape as _ivf_cells_arrow."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    Ci = np.asarray(C, dtype=np.int64)
+    cn2 = (Ci * Ci).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def cells_udf(emb: pd.Series) -> pd.Series:
+        v = _ivf_quant(
+            np.stack([np.asarray(x, dtype=np.float64) for x in emb.values])
+        )
+        score = cn2[None, :] - 2 * (v @ Ci.T)  # row-const |x|² dropped
+        order = np.argsort(score, axis=1, kind="stable")[:, :n].astype(
+            np.int32
+        )
+        return pd.Series(list(order))
+
+    return cells_udf(vec)
+
+
+def _ivf_int_oracle() -> str:
+    """DuckDB oracle for ``knn_ivf_ann``: quantize → seed centroids →
+    ``_IVF_KMEANS_ITERS`` unrolled integer-Lloyd iterations (the
+    knn_pq_adc chained-CTE pattern, over full 64-dim vectors) →
+    corpus assignment → per-query probe ranking → exact-cosine rerank
+    (the knn_bruteforce_cosine convention). Everything before the
+    rerank is BIGINT-exact; argmin ties pack as MIN(d2·K + cell)."""
+    K = _IVF_CELLS
+
+    def d2(tbl: str, cbt: str) -> str:
+        return (
+            f"list_sum([({tbl}.qe[i] - {cbt}.cb[i])"
+            f" * ({tbl}.qe[i] - {cbt}.cb[i]) for i in range(1, 65)])"
+        )
+
+    def rnd(s: str, c: str) -> str:
+        return (
+            f"CASE WHEN {s} >= 0 THEN (2 * {s} + {c}) // (2 * {c})"
+            f" ELSE -((2 * (-({s})) + {c}) // (2 * {c})) END"
+        )
+
+    ctes = [
+        f"""q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x * {_IVF_Q}) AS BIGINT)) AS qe
+      FROM embeddings
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0)""",
+        f"""samp AS (SELECT vec_id, qe FROM q
+           ORDER BY vec_id LIMIT {_IVF_TRAIN_SAMPLE})""",
+        f"""cb0 AS (SELECT vec_id - 100 AS cell, qe AS cb FROM q
+           WHERE vec_id >= 100 AND vec_id < {100 + K})""",
+    ]
+    for t in range(1, _IVF_KMEANS_ITERS + 1):
+        p = t - 1
+        sums = ",\n             ".join(
+            f"SUM(v.qe[{i}]) AS s{i}" for i in range(1, 65)
+        )
+        elems = ",\n                  ".join(
+            rnd(f"u.s{i}", "u.cnt") for i in range(1, 65)
+        )
+        ctes.append(
+            f"""a{t} AS (
+      SELECT v.vec_id, MIN({d2('v', 'c')} * {K} + c.cell) % {K} AS cell
+      FROM samp v, cb{p} c GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""u{t} AS (
+      SELECT a.cell, COUNT(*) AS cnt,
+             {sums}
+      FROM a{t} a JOIN samp v USING (vec_id) GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""cb{t} AS (
+      SELECT c.cell,
+             CASE WHEN u.cnt IS NULL THEN c.cb
+                  ELSE list_value(
+                  {elems})
+             END AS cb
+      FROM cb{p} c LEFT JOIN u{t} u ON u.cell = c.cell)"""
+        )
+    final = f"cb{_IVF_KMEANS_ITERS}"
+    ctes.append(
+        f"""codes AS (
+      SELECT v.vec_id, MIN({d2('v', 'c')} * {K} + c.cell) % {K} AS cell
+      FROM q v, {final} c GROUP BY 1)"""
+    )
+    ctes.append(
+        f"""qu AS (SELECT vec_id AS query_id, qe, v AS qv FROM q
+           WHERE vec_id < {N_QUERIES})"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT query_id, cell FROM (
+        SELECT qu.query_id, c.cell,
+               row_number() OVER (PARTITION BY qu.query_id
+                                  ORDER BY {d2('qu', 'c')}, c.cell) AS prk
+        FROM qu, {final} c) t
+      WHERE prk <= {_IVF_PROBES})"""
+    )
+    ctes.append(
+        """cand AS (
+      SELECT p.query_id, s.vec_id
+      FROM probes p JOIN codes s USING (cell)
+      WHERE s.vec_id <> p.query_id)"""
+    )
+    ctes.append(
+        """s AS (
+      SELECT c.query_id, c.vec_id,
+             list_dot_product(qu.qv, e.v)
+               / (sqrt(list_dot_product(qu.qv, qu.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cs
+      FROM cand c
+      JOIN qu ON qu.query_id = c.query_id
+      JOIN q e ON e.vec_id = c.vec_id)"""
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, vec_id, ROUND(cs, 6) AS cosine, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, vec_id) AS rn
+          FROM s) t
+    WHERE rn <= {TOP_K}
+    """
+    )
+
+
+@CAT.query(
+    "knn_ivf_ann",
+    oracle=_ivf_int_oracle(),
+)
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via IVF (inverted-file) coarse quantization.
+    """ANN top-k via IVF (inverted-file) coarse quantization —
+    ORACLE-EXACT since r9: the index lives entirely on the integer
+    micro-unit grid, so the DuckDB oracle replays training,
+    assignment, and probing verbatim and only the final rerank is the
+    (already oracle-proven) brute-force float-cosine convention.
 
     Training is a real (mini) k-means on a BOUNDED SAMPLE
-    (``_ivf_train_centroids_sampled`` — the FAISS convention: coarse
+    (``_ivf_train_centroids_int`` — the FAISS convention: coarse
     quantizers are model parameters trained on a fixed-size sample;
-    one deterministic collect + numpy Lloyd replaced ~2.4 s of
-    distributed stage overhead per entry on model-sized work, recall
-    unchanged at 0.70. The fully distributed corpus-Lloyd remains
-    showcased, oracle-exact, in ``cluster_kmeans_assign``.)
-    Assignment of the corpus is a narrow vectorized Arrow map
-    (``_ivf_cells_arrow``) — no shuffle, no join. Queries probe their
-    ``_IVF_PROBES`` nearest
-    cells and rerank candidates with exact cosine, touching
-    ~probes/cells of the corpus per query at scale. Recall vs brute
-    force asserted in tests (trained centroids beat raw seeds: cells
-    move toward actual density, balancing the inverted lists) and
-    emitted per-round by bench.py (``recall_at_10``).
+    one deterministic collect + numpy). Assignment is first-minimal
+    argmin over exact int64 squared L2 (on this unit-normalized
+    corpus L2 and cosine order agree up to quantization — measured
+    recall unchanged at 0.70 vs the float-cosine trainer it
+    replaced); the update is the half-away-from-zero integer mean —
+    the exact-integer Lloyd that made knn_pq_adc's codebook
+    replayable. Corpus assignment is a narrow vectorized Arrow map
+    (``_ivf_cells_int``) — no shuffle, no join. Queries probe their
+    ``_IVF_PROBES`` nearest cells (ties by cell index == the oracle's
+    (d2, cell) rank) and rerank candidates with exact cosine,
+    touching ~probes/cells of the corpus per query at scale. Recall
+    vs brute force asserted in tests (trained centroids beat raw
+    seeds: cells move toward actual density, balancing the inverted
+    lists) and emitted per-round by bench.py (``recall_at_10``).
 
     Recall honesty: same caveat as :func:`knn_lsh_ann` — the synthetic
     corpus is near-uniform, so cell membership barely correlates with
@@ -480,15 +771,14 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from csv_to_parquet_spark.operators.cache import persist_tracked
 
-    # persisted across the trainer's 3 jobs (seed collect + 2 Lloyd
-    # iterations) AND the final assignment — same pattern as
-    # cluster_kmeans_assign; re-scan + re-spread per job was ~40% of
-    # the entry's bench time at sf0.1
+    # persisted across the trainer's sample collect AND the final
+    # assignment — same pattern as cluster_kmeans_assign; re-scan +
+    # re-spread per job was ~40% of the entry's bench time at sf0.1
     e = persist_tracked(_emb(spark, sf_dir))
-    cents = _ivf_train_centroids_sampled(e)
+    cents = _ivf_train_centroids_int(e)
 
     corpus = e.withColumn(
-        "cell", _ivf_cells_arrow(F.col("embedding"), cents, 1)[0]
+        "cell", _ivf_cells_int(F.col("embedding"), cents, 1)[0]
     )
     q = F.broadcast(
         _queries(spark, sf_dir)
@@ -496,7 +786,7 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.explode(
-                _ivf_cells_arrow(F.col("embedding"), cents, _IVF_PROBES)
+                _ivf_cells_int(F.col("embedding"), cents, _IVF_PROBES)
             ).alias("probe"),
         )
     )

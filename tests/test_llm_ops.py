@@ -42,11 +42,9 @@ def test_ann_recall_vs_bruteforce(spark, sf_smoke, queries):
     recall = len(exact & ann) / len(exact)
     # This corpus is the hard regime for LSH — near-uniform random
     # vectors whose true top-10 sit at cos ≈ 0.25–0.48. At L=12/k=10
-    # with query-directed multiprobe (_T_PROBES=20, ~23% candidate
-    # fraction) measured recall is 0.59 at sf0.001 (this fixture) /
-    # 0.69 at sf0.01 / 0.76 at sf0.1 — recall RISES with corpus size
-    # because denser corpora put more of the true top-10 at higher
-    # cosine where hyperplane agreement is likelier (≳0.95 clustered).
+    # with query-directed multiprobe (_T_PROBES=24, ~28% candidate
+    # fraction, r9 integer-Rademacher planes) measured recall is
+    # 0.79 at sf0.01 / 0.775 at sf0.1 (≳0.95 clustered).
     # Gate at 0.5 — deterministic modulo testdata regeneration.
     assert recall >= 0.5, f"ANN recall {recall:.2f} too low vs brute force"
 

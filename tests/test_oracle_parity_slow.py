@@ -120,6 +120,9 @@ HEAVY = [
     "text_ccnet_buckets",  # tertile tie-groups + OOV smoothing at real vocab
     "sample_dsir_importance",  # selection boundary + rank scaffold at volume
     "knn_pq_rerank",  # candidate-pool boundary effects at real corpus size
+    "knn_lsh_ann",  # integer probe schedule + bucket ties at real corpus size
+    "knn_ivf_ann",  # integer-Lloyd cells + probe ranking at volume
+    "knn_ivf_pq_ann",  # composite: both integer trainers + probe screen
 ]
 
 QUERIES = entry_mod.queries()
