@@ -357,9 +357,16 @@ def _phash_kernel(batches):
     threshold each coefficient at the block median → 64 bits. Integer
     end to end ⇒ the same payload hashes identically on every run,
     partition order, and platform (float DCT would round differently
-    under different BLAS kernels).
+    under different BLAS kernels) — and since r9 every stage is also
+    SQL-expressible (token buckets via md5_60, replacing crc32 which
+    DuckDB lacks; the fixed-point DCT rows ship as literals), so the
+    entry carries a full DuckDB oracle instead of a rows-only check.
+    Tokens split on the RE2 ``\\s`` class ([\\t\\n\\f\\r ]) to match
+    the oracle's regexp_split exactly (bytes.split() also breaks on
+    \\x0b, which RE2 \\s does not).
     """
-    import zlib
+    import hashlib
+    import re
 
     import numpy as np
 
@@ -369,17 +376,21 @@ def _phash_kernel(batches):
     c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
     c[0, :] = np.sqrt(1.0 / n)
     t = np.round(c * 10_000).astype(np.int64)
+    ws = re.compile(rb"[\t\n\f\r ]+")
 
     for pdf in batches:
         hashes = np.empty(len(pdf), dtype=np.uint64)
         for i, payload in enumerate(pdf["payload"]):
             tile = np.zeros(n * n, dtype=np.int64)
-            toks = bytes(payload).split()
+            toks = [w for w in ws.split(bytes(payload)) if w]
             if toks:
-                # crc32 is C-speed and platform-stable; bincount
-                # aggregates the whole doc in one vectorized pass
+                # md5_60 buckets (the repo-wide cross-engine hash);
+                # bincount aggregates the whole doc in one pass
                 idx = np.fromiter(
-                    (zlib.crc32(w) % (n * n) for w in toks),
+                    (
+                        int(hashlib.md5(w).hexdigest()[:15], 16) % (n * n)
+                        for w in toks
+                    ),
                     dtype=np.int64,
                     count=len(toks),
                 )
@@ -406,9 +417,87 @@ def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@CAT.query("mm_phash_near_dup")  # DCT is not SQL-expressible: rows-only;
-# exactness is pinned against an in-test brute force over ALL pairs
-# (tests/test_round6c.py), which is stronger than a rows-only check.
+def _phash_oracle() -> str:
+    """DuckDB oracle for ``mm_phash_near_dup`` — the whole pipeline is
+    fixed-point integers, so it replays verbatim: md5_60 token buckets
+    → 1024-cell histogram tile → integer DCT via the SAME rounded
+    coefficient rows the kernel computes (shipped as 8×{_PHASH_TILE}
+    literals: only u < 8 rows of the basis ever touch the kept 8×8
+    block; d[u,v] = Σ_cell t[u, cell//{_PHASH_TILE}] · cnt ·
+    t[v, cell%{_PHASH_TILE}]) → median threshold (DuckDB median
+    interpolates even counts exactly like np.median) → two's-
+    complement bit packing (bit k=0 is the int64 sign bit, matching
+    the kernel's uint64→int64 reinterpretation) → 16-bit band
+    candidate join → popcount verify. Tokenless documents hash to 0
+    via the spine LEFT JOIN, mirroring the kernel's all-zeros tile."""
+    import numpy as np
+
+    n = _PHASH_TILE
+    k = np.arange(n)
+    c = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+    )
+    c[0, :] = np.sqrt(1.0 / n)
+    t = np.round(c * 10_000).astype(np.int64)
+    tvals = ",\n      ".join(
+        ", ".join(f"({u}, {i}, {int(t[u, i])})" for i in range(n))
+        for u in range(8)
+    )
+    from csv_to_parquet_spark.functions import md5_60_sql
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+      FROM documents),
+    tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+    hist AS (
+      SELECT doc_id, ({md5_60_sql('w')}) % {n * n} AS cell,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tk GROUP BY 1, 2),
+    tmat(u, i, val) AS (VALUES
+      {tvals}),
+    coef AS (
+      SELECT h.doc_id, tu.u AS u, tv.u AS v,
+             CAST(SUM(tu.val * h.cnt * tv.val) AS BIGINT) AS d
+      FROM hist h
+      JOIN tmat tu ON tu.i = h.cell // {n}
+      JOIN tmat tv ON tv.i = h.cell % {n}
+      GROUP BY 1, 2, 3),
+    med AS (SELECT doc_id, median(d) AS m FROM coef GROUP BY 1),
+    ph AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN c.d > med.m THEN
+                    CASE WHEN c.u = 0 AND c.v = 0
+                         THEN -9223372036854775807 - 1
+                         ELSE (CAST(1 AS BIGINT) << (63 - (c.u * 8 + c.v)))
+                    END ELSE 0 END) AS BIGINT) AS phash
+      FROM coef c JOIN med ON med.doc_id = c.doc_id
+      GROUP BY 1),
+    phall AS (
+      SELECT d0.doc_id, COALESCE(ph.phash, 0) AS phash
+      FROM (SELECT doc_id FROM documents) d0
+      LEFT JOIN ph ON ph.doc_id = d0.doc_id),
+    bands AS (
+      SELECT doc_id, b.band, (phash >> (16 * b.band)) & 65535 AS key
+      FROM phall, (SELECT unnest(range({_PHASH_BANDS})) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+      FROM bands a
+      JOIN bands bb ON a.band = bb.band AND a.key = bb.key
+                   AND a.doc_id < bb.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN phall pa ON pa.doc_id = c.doc_a
+    JOIN phall pb ON pb.doc_id = c.doc_b
+    WHERE bit_count(xor(pa.phash, pb.phash)) <= {_PHASH_MAX_HAMMING}
+    """
+
+
+@CAT.query(
+    "mm_phash_near_dup",
+    oracle=_phash_oracle(),
+)
 def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate payload pairs: Hamming distance
     ≤ {_PHASH_MAX_HAMMING} between 64-bit pHashes — the multimodal

@@ -123,6 +123,7 @@ HEAVY = [
     "knn_lsh_ann",  # integer probe schedule + bucket ties at real corpus size
     "knn_ivf_ann",  # integer-Lloyd cells + probe ranking at volume
     "knn_ivf_pq_ann",  # composite: both integer trainers + probe screen
+    "mm_phash_near_dup",  # band collisions + hamming ties at real volume
 ]
 
 QUERIES = entry_mod.queries()
