@@ -270,3 +270,108 @@ def test_pq_rerank_improves_on_adc(spark, sf_smoke, queries):
         return sum(per) / len(per)
 
     assert recall(rer) >= recall(adc)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 3: cross-engine bridges under the integer ANN indexes
+# ---------------------------------------------------------------------------
+
+
+def test_md5_60_three_way_consistency(spark):
+    """md5_60 is the bridge every integer index crosses (LSH planes,
+    pHash tile buckets, DSIR features): Python's hashlib derivation,
+    Spark's conv(substring(md5)), and DuckDB's md5_60_sql must agree
+    bit-for-bit on the same strings."""
+    import hashlib
+
+    import duckdb
+
+    from csv_to_parquet_spark.functions import md5_60, md5_60_sql
+    from pyspark.sql import functions as F
+
+    samples = [
+        "lshq_0_0_0",
+        "lshq_11_9_63",
+        "hello",
+        "the",
+        "Ã©-mojibake",
+        "",
+        "123",
+    ]
+    py = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in samples
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s STRING")
+    sp = [r.h for r in sdf.select(md5_60(F.col("s")).alias("h")).collect()]
+    con = duckdb.connect()
+    dk = [
+        con.execute(f"SELECT {md5_60_sql('?')}", [s]).fetchone()[0]
+        for s in samples
+    ]
+    assert py == sp == dk
+
+
+def test_micro_quant_matches_sql_round():
+    """The numpy half-away-from-zero quantizer (shared by the PQ, IVF,
+    and LSH indexes) must match DuckDB's ROUND(x * 1e6) on sign
+    boundaries, ties, and ordinary values — both engines see the SAME
+    float64 product, so agreement here means agreement everywhere."""
+    import duckdb
+    import numpy as np
+
+    from csv_to_parquet_spark.operators.similarity import _lsh_quant
+
+    xs = [
+        0.0,
+        1e-7,
+        -1e-7,
+        5e-7,
+        -5e-7,
+        2.5e-6,
+        -2.5e-6,
+        0.1234565,
+        -0.1234565,
+        0.9999995,
+        -0.9999995,
+        1.0,
+        -1.0,
+    ]
+    got = _lsh_quant(np.array(xs)).tolist()
+    con = duckdb.connect()
+    want = [
+        int(con.execute(
+            "SELECT CAST(ROUND(CAST(? AS DOUBLE) * 1000000) AS BIGINT)",
+            [x],
+        ).fetchone()[0])
+        for x in xs
+    ]
+    assert got == want
+
+
+def test_lsh_planes_match_oracle_derivation():
+    """The ±1 plane matrix the Spark kernels bake in must equal the
+    oracle's SQL regeneration for every (table, bit, dim) cell — the
+    whole LSH oracle-exactness claim rests on this identity."""
+    import duckdb
+
+    from csv_to_parquet_spark.functions import md5_60_sql
+    from csv_to_parquet_spark.operators.similarity import (
+        _DIM,
+        _K_BITS,
+        _N_TABLES,
+        _PLANES_INT,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT t, b, d,
+               CASE WHEN ({md5_60_sql("'lshq_' || t || '_' || b || '_' || d")}) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM range({_N_TABLES}) r1(t), range({_K_BITS}) r2(b),
+             range({_DIM}) r3(d)
+        """
+    ).fetchall()
+    assert len(rows) == _N_TABLES * _K_BITS * _DIM
+    for t, b, d, sgn in rows:
+        assert _PLANES_INT[t * _K_BITS + b, d] == sgn, (t, b, d)
