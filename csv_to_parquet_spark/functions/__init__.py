@@ -118,3 +118,23 @@ def shingles_sql(tokens_expr: str, n: int = 3) -> str:
 
 
 TOKENIZE_SQL = "regexp_split_to_array(trim({col}), '\\s+')"
+
+
+#: Shared micro-unit quantization grid for every integer-exact
+#: embedding index (PQ/ADC, IVF, LSH, SemDeDup centroids, Gram).
+MICRO_Q = 1_000_000
+
+
+def quant_micro(arr):
+    """Float array → integer micro-units, half-away-from-zero — the
+    single numpy mirror of SQL ``ROUND(x * 1e6)`` (np.round would
+    bankers-round .5 boundaries). Every oracle-exact embedding index
+    quantizes through THIS function so a grid or rounding change can
+    never split one entry from another's oracle. Pinned against
+    DuckDB ROUND by tests/test_round9.py::test_micro_quant_matches_sql_round."""
+    import numpy as np
+
+    scaled = np.asarray(arr, dtype=np.float64) * MICRO_Q
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+        np.int64
+    )

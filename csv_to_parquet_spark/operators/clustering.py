@@ -961,16 +961,15 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M = 32  # subspaces (64-dim embeddings → 2 dims each)
 _PQ_K = 128  # centroids per subspace codebook
-_PQ_Q = 1_000_000  # micro-unit quantization, same convention as the Gram op
+from csv_to_parquet_spark.functions import MICRO_Q as _PQ_Q  # noqa: E402
 
 
 def _pq_quant(arr):
-    """Embedding floats → integer micro-units, half-away-from-zero
-    (matches SQL ROUND; np.rint would bankers-round on .5)."""
-    import numpy as np
+    """Embedding floats → integer micro-units (functions.quant_micro —
+    ONE quantizer for every integer-exact index)."""
+    from csv_to_parquet_spark.functions import quant_micro
 
-    scaled = arr.astype(np.float64) * _PQ_Q
-    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+    return quant_micro(arr)
 
 
 def _pq_codebook(emb: DataFrame):
@@ -1439,7 +1438,9 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r9); every pipeline stage (codes, LUT, broadcast join) is
     unchanged by M, K, or training.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: the trainer's sample collect, the query collect, and
+    # the encode scan would otherwise each re-read the raw table
+    emb = persist_tracked(load_table(spark, sf_dir, "embeddings"))
     adc = _adc_scores(spark, emb)
     from pyspark.sql import Window
 
@@ -1480,7 +1481,11 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-precision vectors are read once and never shuffled. The
     exact distance is a JVM zip_with/aggregate fold — no Python in
     the rerank path."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: five consumers (codebook collect, LUT collect, the
+    # encode scan, corpus_q, queries_q) would otherwise each re-read
+    # and re-decode the raw table — the same ~40%-of-entry cost the
+    # IVF entries measured before persisting
+    emb = persist_tracked(load_table(spark, sf_dir, "embeddings"))
     adc = _adc_scores(spark, emb)
     from pyspark.sql import Window
 
@@ -1696,6 +1701,17 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert _IVF_COARSE_ITERS == _sim._IVF_KMEANS_ITERS, (
         "composite oracle unrolls a different iteration count than "
         "the trainer runs"
+    )
+    # the oracle replays BOTH trainers from _pq_adc_ctes's single
+    # filtered sample on the _PQ_Q grid — the IVF-side constants must
+    # stay coupled or the composite silently diverges from its oracle
+    assert _sim._IVF_TRAIN_SAMPLE == _PQ_TRAIN_SAMPLE, (
+        "composite coarse trainer samples a different row budget than "
+        "the oracle's samp CTE"
+    )
+    assert _sim._IVF_Q == _PQ_Q, (
+        "composite coarse trainer quantizes on a different grid than "
+        "the oracle's q CTE"
     )
     # persisted across the trainer's jobs and the query collect —
     # same rationale as knn_ivf_ann (lint: operators/cache.py)

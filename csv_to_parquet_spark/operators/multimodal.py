@@ -386,9 +386,18 @@ def _phash_kernel(batches):
             if toks:
                 # md5_60 buckets (the repo-wide cross-engine hash);
                 # bincount aggregates the whole doc in one pass
+                # first 60 bits of md5 == hexdigest()[:15] parsed
+                # base-16, but without the hex round trip in the
+                # per-token hot loop
                 idx = np.fromiter(
                     (
-                        int(hashlib.md5(w).hexdigest()[:15], 16) % (n * n)
+                        (
+                            int.from_bytes(
+                                hashlib.md5(w).digest()[:8], "big"
+                            )
+                            >> 4
+                        )
+                        % (n * n)
                         for w in toks
                     ),
                     dtype=np.int64,

@@ -64,8 +64,7 @@ TOP_K = 10
 # buckets, margins, and the whole probe schedule replayable in SQL —
 # the entry is ORACLE-EXACT, not rows-only.
 _DIM, _N_TABLES, _K_BITS = 64, 12, 10
-#: Micro-unit grid for vector quantization (the _pq_quant convention).
-_LSH_Q = 1_000_000
+from csv_to_parquet_spark.functions import MICRO_Q as _LSH_Q  # noqa: E402
 
 
 def _lsh_plane_signs():
@@ -167,14 +166,11 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_quant(arr):
-    """Float embeddings → integer micro-units, half-away-from-zero
-    (identical to _ivf_quant / clustering._pq_quant / SQL ROUND)."""
-    import numpy as np
+    """Float embeddings → integer micro-units (functions.quant_micro —
+    ONE quantizer for every integer-exact index)."""
+    from csv_to_parquet_spark.functions import quant_micro
 
-    scaled = arr.astype(np.float64) * _LSH_Q
-    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
-        np.int64
-    )
+    return quant_micro(arr)
 
 
 def _table_buckets(vec: Column) -> Column:
@@ -239,10 +235,10 @@ def _query_probes(vec: Column) -> Column:
     1-flips and 2-flips outrank large-margin 1-flips, concentrating
     the probe budget where the neighbor mass actually is.
 
-    Scoring is the |margin| sum of the flipped bits (the L1 variant
-    of Lv'07's squared-margin rank — same monotone flip-probability
-    intuition, and integer-exact so the oracle replays the ranking;
-    ties break on the mask value). Runs only on the tiny query side
+    Scoring is the SQUARED-margin sum of the flipped bits (Lv'07's
+    actual rank; with ±1 planes margins are ≤ 64·10⁶ so squares fit
+    int64 and the oracle replays the ranking exactly; ties break on
+    the mask value). Runs only on the tiny query side
     (n_queries × L × 56 scored perturbations in numpy —
     microseconds); the corpus keeps its single-bucket-per-table map.
     """
@@ -442,38 +438,6 @@ _IVF_PROBES = 6
 _IVF_KMEANS_ITERS = 2
 
 
-def _ivf_cells_arrow(vec: Column, cents: list[list[float]], n: int) -> Column:
-    """array of the n nearest-centroid indices for an embedding column,
-    via ONE vectorized Arrow crossing (batch matmul + argsort).
-
-    Replaces the interpreted ``_cell_ranks`` HOF in every
-    corpus-sized pass (r7): the HOF form pays ~1 µs per element op —
-    cells × dims × rows ≈ 2M interpreted ops ≈ 2 s per pass at sf0.1 —
-    while the Arrow batch matmul is ~50 ms and scales per-batch on
-    executors (same measured trade the module-level
-    ``_seq_dots_udf`` in clustering.py documents; the oracle-exact
-    k-means entry keeps its own sequential-parity arithmetic there).
-    Cell structure here is approximate by design (rows-only entries),
-    so the float64-matmul rounding is immaterial — and the trainer,
-    the corpus assignment, and the query probes all use this same
-    arithmetic, so the index is self-consistent.
-    """
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    C = np.array(cents, dtype=np.float64)
-    Cn = np.sqrt((C * C).sum(axis=1))
-
-    @pandas_udf("array<int>")
-    def cells_udf(emb: pd.Series) -> pd.Series:
-        v = np.stack([np.asarray(x, dtype=np.float64) for x in emb.values])
-        sims = v @ C.T / Cn  # row norm constant per row — argsort-safe
-        order = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
-        return pd.Series(list(order))
-
-    return cells_udf(vec)
-
-
 #: Coarse-quantizer training-sample budget for the rows-only ANN
 #: entries — one bounded, deterministic collect (lowest vec_ids),
 #: constant regardless of corpus size (the FAISS convention: coarse
@@ -483,73 +447,18 @@ def _ivf_cells_arrow(vec: Column, cents: list[list[float]], n: int) -> Column:
 _IVF_TRAIN_SAMPLE = 2048
 
 
-def _ivf_train_centroids(e: DataFrame, ncells: int = _IVF_CELLS) -> list[list[float]]:
-    """Lloyd's k-means over the corpus → ``ncells`` centroids
-    (default ``_IVF_CELLS``; knn_ivf_pq_ann trains a finer grid).
-
-    Init: deterministic seed vectors (vec_id 100..100+ncells). Each iteration
-    is the canonical distributed k-means step — assign every vector to
-    its nearest centroid with a vectorized Arrow argmax
-    (:func:`_ivf_cells_arrow` — narrow map, no shuffle of vectors),
-    then ``groupBy(cell).agg(avg(dim_i) …)``: 64 avg columns partial-
-    aggregate map-side, so the exchange carries ≤ cells × dims doubles
-    per map task regardless of corpus size. The only driver collect is
-    the ``_IVF_CELLS``-row model table — bytes-sized parameters, the
-    artifact any IVF trainer produces. Empty cells keep their previous
-    centroid.
-    """
-    dim = _DIM
-    seed_rows = (
-        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + ncells))
-        .orderBy("vec_id")
-        .collect()
-    )
-    # _emb's zero-norm filter could silently drop a seed and shift the
-    # cell indexing (IndexError at the update step) — assert instead
-    assert [int(r.vec_id) for r in seed_rows] == list(
-        range(100, 100 + ncells)
-    ), f"IVF seed vectors 100..{100 + ncells - 1} must all exist with nonzero norm"
-    cents = [[float(v) for v in r.embedding] for r in seed_rows]
-    for _ in range(_IVF_KMEANS_ITERS):
-        assigned = e.withColumn(
-            "cell", _ivf_cells_arrow(F.col("embedding"), cents, 1)[0]
-        )
-        rows = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.col("embedding")[i].cast("double")).alias(f"d{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
-        updated = {int(r["cell"]): [float(r[f"d{i}"]) for i in range(dim)] for r in rows}
-        cents = [updated.get(c, cents[c]) for c in range(ncells)]
-    # centroids average nonzero-norm vectors (_emb filters), so a zero
-    # centroid is impossible-by-invariant; assert so it can never reach
-    # _ivf_cells_arrow's centroid-norm division as an opaque NaN
-    assert all(
-        any(x != 0.0 for x in c) for c in cents
-    ), "IVF centroid collapsed to zero vector"
-    return cents
-
-
-#: Micro-unit quantization grid shared with the PQ family
-#: (clustering._PQ_Q) — integer arithmetic end to end makes the IVF
-#: index oracle-replayable.
-_IVF_Q = 1_000_000
+#: Micro-unit quantization grid — the shared functions.MICRO_Q, so
+#: the oracle's ROUND(x * grid) literal can never drift from the
+#: quantizer.
+from csv_to_parquet_spark.functions import MICRO_Q as _IVF_Q  # noqa: E402
 
 
 def _ivf_quant(arr):
-    """Float embeddings → integer micro-units, half-away-from-zero
-    (identical to clustering._pq_quant / SQL ROUND)."""
-    import numpy as np
+    """Float embeddings → integer micro-units (functions.quant_micro —
+    ONE quantizer for every integer-exact index)."""
+    from csv_to_parquet_spark.functions import quant_micro
 
-    scaled = arr.astype(np.float64) * _IVF_Q
-    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
-        np.int64
-    )
+    return quant_micro(arr)
 
 
 def _ivf_train_centroids_int(e: DataFrame, ncells: int = _IVF_CELLS):
@@ -559,7 +468,7 @@ def _ivf_train_centroids_int(e: DataFrame, ncells: int = _IVF_CELLS):
     CTEs (what upgraded knn_pq_adc, and now knn_ivf_ann, from
     rows-only to oracle-exact).
 
-    Same sample and seeds as the float trainer (lowest
+    Sample and seeds follow the FAISS convention (lowest
     ``_IVF_TRAIN_SAMPLE`` vec_ids; init = vec_id 100..): vectors live
     on the integer micro-grid, assignment is first-minimal argmin over
     exact int64 squared L2 (== the oracle's MIN(d2·K + cell) packing;
@@ -600,7 +509,8 @@ def _ivf_cells_int(vec: Column, C, n: int) -> Column:
     """array of the n nearest-centroid indices by EXACT integer
     squared L2 on the micro-unit grid, ties broken by cell index
     (stable argsort == the oracle's (d2, cell) rank). One vectorized
-    Arrow crossing, same batch-matmul shape as _ivf_cells_arrow."""
+    Arrow crossing — the whole batch's cell distances are one
+    matmul."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 

@@ -3485,16 +3485,18 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are order-independent BIGINT sums. Bucketing is exact yet
     sort-free at scale: instead of ranking every document per language
     (a giant per-lang window), the per-doc integer scores are
-    compressed to a (lang, score) HISTOGRAM, the tertile is assigned
-    per score-group from its cumulative start index
+    compressed to a (lang, score) HISTOGRAM and the tertile is
+    assigned per score-group from its cumulative start index
     (((cum - h) * 3) // n + 1, ties share a bucket by construction —
-    same score ⇒ same bucket, which is also the leakage-safe choice),
-    and documents pick up their bucket through a histogram-sized join.
-    The only corpus-keyed exchanges are the scoring joins; the window
-    runs over the model-sized histogram. A language absent from the
-    reference slice has no LM and is dropped by the inner vocab join
-    in BOTH engines (at any tested SF every language has training
-    docs).
+    same score ⇒ same bucket, which is also the leakage-safe choice).
+    The histogram itself is NOT model-sized (integer per-doc scores
+    are near-unique), so its cumulative uses the two-phase prefix-sum
+    scaffold: within-(lang, score-div-2²⁰) window sums run parallel
+    and only the per-(lang, bucket) offsets frame — corpus-size-
+    independent — is broadcast. Documents pick up their bucket through
+    a (lang, score)-keyed join. A language absent from the reference
+    slice has no LM and is dropped by the inner vocab join in BOTH
+    engines (at any tested SF every language has training docs).
 
     Plan: one persisted bigram explode feeds the training aggregation
     and the scoring joins; the model frames are vocabulary-sized, so
@@ -3554,14 +3556,40 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = pd_.groupBy("lang", "per_bigram_micro").agg(
         F.count(F.lit(1)).alias("h")
     )
-    bmap = hist.select(
+    # Exact per-lang cumulative WITHOUT a per-lang global sort: the
+    # (lang, score) histogram is NOT model-sized (integer per-doc
+    # scores are near-unique, so it grows with the corpus — r9 review
+    # finding), so the cumulative uses the two-phase prefix-sum
+    # scaffold (stats._bucketed_cumsum / pack_token_budget): scores
+    # bucket by div 2^20 (≈1 nat), within-(lang,bucket) window sums
+    # run parallel, and ONLY the per-(lang,bucket) offsets frame —
+    # score_range/2^20 rows per language, corpus-independent — is
+    # broadcast back with the per-lang totals riding along.
+    v = hist.withColumn(
+        "bkt", F.expr("per_bigram_micro div 1048576")
+    )
+    w_in = (
+        Window.partitionBy("lang", "bkt")
+        .orderBy("per_bigram_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = v.withColumn("cum_in", F.sum("h").over(w_in))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        v.groupBy("lang", "bkt")
+        .agg(F.sum("h").alias("bh"))
+        .withColumn("off", F.coalesce(F.sum("bh").over(w_off), F.lit(0)))
+        .withColumn("n", F.sum("bh").over(Window.partitionBy("lang")))
+        .select("lang", "bkt", "off", "n")
+    )
+    bmap = within.join(F.broadcast(offsets), ["lang", "bkt"]).select(
         "lang",
         "per_bigram_micro",
-        F.expr(
-            "((sum(h) over (partition by lang order by per_bigram_micro "
-            "rows between unbounded preceding and current row) - h) * 3) "
-            "div (sum(h) over (partition by lang)) + 1"
-        ).alias("b"),
+        F.expr("((cum_in + off - h) * 3) div n + 1").alias("b"),
     )
     bucket = (
         F.when(F.col("b") == 1, "head")
@@ -3569,7 +3597,7 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
     )
     return (
-        pd_.join(F.broadcast(bmap), ["lang", "per_bigram_micro"])
+        pd_.join(bmap, ["lang", "per_bigram_micro"])
         .select(
             "doc_id",
             "lang",

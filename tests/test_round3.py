@@ -111,21 +111,30 @@ def test_ivf_trained_centroids_shape(spark, sf_smoke):
         _DIM,
         _IVF_CELLS,
         _emb,
-        _ivf_train_centroids,
+        _ivf_quant,
+        _ivf_train_centroids_int,
     )
 
-    cents = _ivf_train_centroids(_emb(spark, sf_smoke))
-    assert len(cents) == _IVF_CELLS
-    assert all(len(c) == _DIM for c in cents)
-    # training moved at least one centroid off its seed vector
-    seeds = [
-        [float(v) for v in r.embedding]
-        for r in _emb(spark, sf_smoke)
-        .filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_CELLS))
-        .orderBy("vec_id")
-        .collect()
-    ]
-    assert cents != seeds
+    cents = _ivf_train_centroids_int(_emb(spark, sf_smoke))
+    assert cents.shape == (_IVF_CELLS, _DIM)
+    # training moved at least one centroid off its (quantized) seed
+    import numpy as np
+
+    seeds = _ivf_quant(
+        np.stack(
+            [
+                [float(v) for v in r.embedding]
+                for r in _emb(spark, sf_smoke)
+                .filter(
+                    (F.col("vec_id") >= 100)
+                    & (F.col("vec_id") < 100 + _IVF_CELLS)
+                )
+                .orderBy("vec_id")
+                .collect()
+            ]
+        )
+    )
+    assert (cents != seeds).any()
 
 
 def test_embedding_lsh_pairs_recall_vs_exact(spark, sf_smoke, sf_oracle):
