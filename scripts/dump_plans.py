@@ -208,8 +208,9 @@ SHOWCASE = {
     ),
     "text_ccnet_buckets": (
         "held-out LM scoring: vocabulary-sized model frames BROADCAST "
-        "into the token stream; tertiles come from a histogram window, "
-        "not a per-document sort — no corpus-wide orderBy anywhere",
+        "into the token stream; tertiles come from a bucketed two-phase "
+        "prefix sum over the score histogram — no corpus-wide orderBy, "
+        "no per-lang single-task window",
         [r"\(\d+\) BroadcastHashJoin[^\n]*",
          r"keys \[\d+\]: \[lang[^\n]{0,60}",
          r"\(\d+\) Window[^\n]*"],
