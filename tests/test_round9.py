@@ -375,3 +375,17 @@ def test_lsh_planes_match_oracle_derivation():
     assert len(rows) == _N_TABLES * _K_BITS * _DIM
     for t, b, d, sgn in rows:
         assert _PLANES_INT[t * _K_BITS + b, d] == sgn, (t, b, d)
+
+
+def test_micro_grid_constants_are_one_source():
+    """Every integer-exact index quantizes on functions.MICRO_Q — the
+    module-local grid aliases must stay bound to it (a retuned copy
+    would silently split a Spark entry from its oracle's literal)."""
+    from csv_to_parquet_spark.functions import MICRO_Q
+    from csv_to_parquet_spark.operators import clustering, similarity
+
+    assert similarity._LSH_Q == MICRO_Q
+    assert similarity._IVF_Q == MICRO_Q
+    assert clustering._PQ_Q == MICRO_Q
+    # the composite's oracle replays both trainers from ONE sample
+    assert similarity._IVF_TRAIN_SAMPLE == clustering._PQ_TRAIN_SAMPLE
