@@ -990,9 +990,14 @@ _PQ_TRAIN_SAMPLE = 2048
 #: Lloyd iterations for the ADC search codebook (knn_pq_adc). Chosen
 #: by measurement on the uniform sf0.1 corpus: init-only recall@10
 #: 0.675 → 0.725 / 0.7375 / 0.75 after 1 / 2 / 3 iterations (r9);
-#: 3 clears the ≥0.72 bar with margin while keeping the oracle's
-#: unrolled-CTE replay tractable.
-_PQ_ADC_ITERS = 3
+#: r10 raised 3 → 7 after a full offline sweep (ADC 0.75 → 0.7625,
+#: IVFPQ 0.7125 → 0.775 at the unchanged 38.4% scan fraction, rerank
+#: holds 1.00 — every leg improves or holds, and the trainer is a
+#: bounded 2048-row numpy loop so the Spark-side cost is
+#: milliseconds). The oracle's unrolled-CTE replay stays linear in
+#: the iteration count because the intermediate codebook CTEs are
+#: MATERIALIZED (see _pq_adc_ctes).
+_PQ_ADC_ITERS = 7
 
 
 def _pq_refine_codebook_int(emb: DataFrame, codebook, iters: int):
@@ -1058,7 +1063,9 @@ def _pq_refine_codebook_int(emb: DataFrame, codebook, iters: int):
 def _pq_encode(emb: DataFrame, codebook, with_err: bool) -> DataFrame:
     """Shared PQ encoder (every PQ entry encodes through this one
     kernel; they differ only in WHICH codebook they pass — audit:
-    init, ADC: exact-integer-refined, IVFPQ: float-refined):
+    init, ADC/rerank/IVFPQ: exact-integer-refined via
+    _pq_refine_codebook_int; IVFPQ fuses cell assignment into its own
+    encode pass and does not call this helper):
     one mapInPandas pass assigning every (vector, subspace) its
     nearest-centroid code via a numpy broadcast; ``with_err`` adds
     the integer reconstruction error column. np.argmin returns the
@@ -1179,7 +1186,15 @@ def _pq_adc_ctes(filtered: bool = False) -> list[str]:
     the pack never overflows), and the centroid update is the
     half-away-from-zero integer mean — bit-identical to
     ``_pq_refine_codebook_int``. Empty cells keep the old centroid
-    (LEFT JOIN + CASE)."""
+    (LEFT JOIN + CASE).
+
+    INTERMEDIATE codebook CTEs are ``AS MATERIALIZED``: each cb{{t}}
+    references cb{{t-1}} twice (argmin assignment + empty-cell
+    fallback), so letting DuckDB inline the chain re-evaluates every
+    prior iteration per reference — 2^iters blowup, measured 46 s at
+    7 iterations vs 4.6 s materialized (sf0.01). The FINAL codebook
+    stays inline so the corpus-encode join still fuses (materializing
+    it measured ~3× slower at sf0.1)."""
     d = 64 // _PQ_M
 
     def subvec(tbl: str, sub: str) -> str:
@@ -1249,8 +1264,9 @@ def _pq_adc_ctes(filtered: bool = False) -> list[str]:
       FROM a{t} a JOIN samp v USING (vec_id)
       GROUP BY 1, 2)"""
         )
+        mat = " MATERIALIZED" if t < _PQ_ADC_ITERS else ""
         ctes.append(
-            f"""cb{t} AS (
+            f"""cb{t} AS{mat} (
       SELECT c.subspace, c.code,
              CASE WHEN u.cnt IS NULL THEN c.cb
                   ELSE list_value(
@@ -1434,9 +1450,10 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled CTEs, so training does NOT cost oracle-exactness.
     Measured recall@10 vs the brute-force baseline on the
     unit-normalized uniform sf0.1 corpus — the PQ-hostile regime, no
-    cluster structure to exploit: 0.675 init-only → 0.75 refined
-    (r9); every pipeline stage (codes, LUT, broadcast join) is
-    unchanged by M, K, or training.
+    cluster structure to exploit: 0.675 init-only → 0.75 at 3
+    iterations (r9) → 0.7625 at the r10 7-iteration budget; every
+    pipeline stage (codes, LUT, broadcast join) is unchanged by M,
+    K, or training.
     """
     # persisted: the trainer's sample collect, the query collect, and
     # the encode scan would otherwise each re-read the raw table
@@ -1466,7 +1483,7 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only and takes the final top-{_ADC_TOPK}. Quantization
     error then only costs recall where a true neighbor falls outside
     the ADC top-{_RERANK_C} — measured recall@10 on the uniform sf0.1
-    corpus: 1.00 (ADC alone: 0.75) while the exact pass touches
+    corpus: 1.00 (ADC alone: 0.7625) while the exact pass touches
     <1% of the corpus.
 
     Oracle-exactness is inherited end to end: the ADC prefix is the
@@ -1591,8 +1608,11 @@ def _ivfpq_int_oracle() -> str:
              {sums}
       FROM ia{t} a JOIN samp v USING (vec_id) GROUP BY 1)"""
         )
+        # same inline-blowup guard as _pq_adc_ctes: intermediates
+        # materialized, final inline so cells/iprobes fuse
+        imat = " MATERIALIZED" if t < _IVF_COARSE_ITERS else ""
         ctes.append(
-            f"""icb{t} AS (
+            f"""icb{t} AS{imat} (
       SELECT c.cell,
              CASE WHEN u.cnt IS NULL THEN c.cb
                   ELSE list_value(
@@ -1687,12 +1707,16 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors — the exchange holds (query_id, vec_id, d2) triples for
     candidates only.
 
-    Measured (sf0.1 uniform corpus, 37.5% scan fraction): recall@10
-    0.7125 (the float-cosine coarse grid read 0.7375 — the 0.025 dip
-    is the L2-on-quantized assignment, the price of a fully
-    replayable index; the r7 16-cell/6-probe/init-codebook point was
-    0.575). Single-leg references: IVF-exact 0.70 at 16/6, full-scan
-    ADC 0.75, screen+exact-rerank 1.00.
+    Measured (sf0.1 uniform corpus, 38.4% scan fraction): recall@10
+    0.775 — r10 closed the integer-conversion dip (0.7125 at 3 PQ
+    Lloyd iterations, vs 0.7375 for the removed float trainer) by
+    raising the shared codebook budget to {_PQ_ADC_ITERS} iterations;
+    the offline sweep also ruled out the other levers at this scan
+    budget (finer coarse grids 96/128 cells and a 3rd coarse
+    iteration all LOWERED recall on this corpus; the r7
+    16-cell/6-probe/init-codebook point was 0.575). Single-leg
+    references: IVF-exact 0.70 at 16/6, full-scan ADC 0.7625,
+    screen+exact-rerank 1.00.
     """
     import numpy as np
 
