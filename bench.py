@@ -182,6 +182,8 @@ HEADLINE = [
     "text_ccnet_buckets",
     "sample_dsir_importance",
     "knn_pq_rerank",
+    # round-10 operators
+    "dedup_ccnet_lines",
 ]
 
 # Entries with a history of driver-artifact drift on UNCHANGED code
@@ -196,6 +198,12 @@ VARIANCE_FLAGGED = {
     "dedup_embedding_cosine",
     "stats_spearman_rank",
     "stats_winsorized_mean",
+    # r8->r9 drifters on unchanged plans (r9 verdict #4):
+    # stream_transform_with_state 3.02->3.65 s, join_collation_ci_segments
+    # 0.35->0.49 s — both consistent with the pinned uniform
+    # host-inflation class; fixed min-of-4 pins their true floor.
+    "stream_transform_with_state",
+    "join_collation_ci_segments",
 }
 
 

@@ -89,6 +89,17 @@ FRONTLOAD = [
     "stream_transform_with_state",
 ]
 
+# VERDICT r9 #1: the rotation's top priority this round is DRAINING the
+# 52-entry stale tier (last driver-green r3 or earlier), and the window
+# holds exactly 45 rotation slots — so entries that are brand-new THIS
+# round wait one round behind the stale tier instead of displacing it
+# (they carry full local evidence in CORRECTNESS_LOCAL.json meanwhile).
+# Self-expiring: once a name has any driver-green row it sorts by
+# recency like everything else, and the set can then be emptied.
+DEFER_BEHIND_STALE = {
+    "dedup_ccnet_lines",
+}
+
 
 def _row_is_green(row: dict) -> bool:
     """A driver row counts as verified if all three gates passed, or it
@@ -195,14 +206,18 @@ def build_catalog() -> Catalog:
     frontload_pos = {name: i for i, name in enumerate(FRONTLOAD)}
 
     def sort_key(name: str) -> tuple[int, int, int]:
-        # three tiers: (0) previously-checked but never green — a fix
+        # four tiers: (0) previously-checked but never green — a fix
         # awaiting re-verification, the most urgent rows; (1) never
         # checked at all (FRONTLOAD names first); (2) green,
-        # least-recently-verified first. Module order breaks remaining
-        # ties so the order is deterministic.
+        # least-recently-verified first; (3) DEFER_BEHIND_STALE names
+        # with no driver row yet — deliberately behind the stale
+        # drain. Module order breaks remaining ties so the order is
+        # deterministic.
         if name not in verified:
             if name in attempted:
                 return (0, 0, module_pos[name])
+            if name in DEFER_BEHIND_STALE:
+                return (3, 0, module_pos[name])
             return (1, 0 if name in frontload_pos else 1, module_pos[name])
         return (2, verified[name], module_pos[name])
 

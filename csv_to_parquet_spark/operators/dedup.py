@@ -1998,3 +1998,165 @@ def dedup_ngram_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + K - F.min("pos")).cast("bigint").alias("span_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_dup_shingles"),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Round 10: CCNet paragraph-level dedup (the pipeline stage BEFORE the LM)
+
+
+#: "Paragraph" length for the CCNet line-dedup stage: the corpus has
+#: no newlines, so consecutive non-overlapping 10-token windows stand
+#: in for CCNet's newline-split paragraphs (same proxy family as
+#: _PASSAGE_N). Deterministic, identical in SQL.
+_CCNET_LINE_TOKENS = 10
+
+#: (doc_id, line_no) packed into one BIGINT so "first occurrence" is
+#: a single MIN — line_no < 2^20 (a 10M-token document) by corpus
+#: construction; doc_id up to 2^43 before overflow.
+_CCNET_LINE_PACK = 1 << 20
+
+#: DuckDB mirror of the CCNet hash normalization in
+#: :func:`dedup_ccnet_lines` (lowercase, digits -> 0, strip
+#: punctuation, collapse whitespace — Wenzek et al. 2020 §3.1) —
+#: keep in sync with the Spark side.
+_CCNET_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(line), "
+    "'[0-9]', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@CAT.query(
+    "dedup_ccnet_lines",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE len(trim(text)) > 0),
+    t AS (SELECT doc_id, lang,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM d),
+    ln0 AS (
+      SELECT doc_id, lang, toks,
+             unnest(range(0, (len(toks) + {_CCNET_LINE_TOKENS} - 1)
+                             // {_CCNET_LINE_TOKENS})) AS line_no
+      FROM t),
+    ln AS (
+      SELECT doc_id, lang, CAST(line_no AS BIGINT) AS line_no,
+             array_to_string(
+               toks[(line_no * {_CCNET_LINE_TOKENS} + 1):
+                    (line_no * {_CCNET_LINE_TOKENS} + {_CCNET_LINE_TOKENS})],
+               ' ') AS line
+      FROM ln0),
+    nf AS (
+      SELECT doc_id, lang, line_no, line,
+             {md5_60_sql(_CCNET_NORM_SQL)} AS fp,
+             doc_id * {_CCNET_LINE_PACK} + line_no AS pack
+      FROM ln),
+    keep AS (SELECT fp, MIN(pack) AS kpack FROM nf GROUP BY 1),
+    kept AS (
+      SELECT nf.doc_id, nf.lang, nf.line_no, nf.line
+      FROM nf JOIN keep ON nf.fp = keep.fp AND nf.pack = keep.kpack),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM ln GROUP BY 1)
+    SELECT kept.doc_id, kept.lang, tot.n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(kept.line, ' ' ORDER BY kept.line_no) AS new_text
+    FROM kept JOIN tot USING (doc_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def dedup_ccnet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level dedup (Wenzek et al. 2020 §3.1) — the
+    stage the published pipeline runs across the WHOLE Common-Crawl
+    snapshot *before* LM scoring: split every document into
+    paragraphs, hash a normalized form of each (lowercase, digits→0,
+    punctuation stripped), and keep only the FIRST occurrence of each
+    hash corpus-wide — first by (doc_id, line_no), removing
+    boilerplate (cookie banners, navigation chrome) that repeats
+    across pages as well as within-document repetition. Documents are
+    then rewritten from their surviving paragraphs; a document whose
+    every paragraph appeared earlier vanishes, exactly as in CCNet.
+    Composes with :func:`textops.text_ccnet_buckets` (the LM tertile
+    stage) to complete the published pipeline end to end — the
+    composite is pinned by tests/test_round10.py.
+
+    "Paragraphs" are consecutive non-overlapping {_CCNET_LINE_TOKENS}-
+    token windows (the corpus has no newlines; same proxy family as
+    the repeated-passage audit). Normalization is applied to the HASH
+    only — surviving text keeps its original form, as in the paper.
+
+    Exactness: the keep rule is pure integer arithmetic — first
+    occurrence is MIN(doc_id·2²⁰ + line_no) per 60-bit md5 fingerprint
+    (functions.md5_60, identical in DuckDB), and the rewrite is an
+    order-preserving join of surviving lines (string_agg ORDER BY ==
+    array_sort on (line_no, line) structs).
+
+    Plan — ONE line-hash exchange: explode to ~tokens/{_CCNET_LINE_TOKENS}
+    line rows, fingerprint map-side (the shuffle carries (fp, pack)
+    longs, never line text), groupBy fp with a map-side-combined MIN,
+    then an fp-keyed join back (AQE skew-splits hot boilerplate
+    fingerprints) and one (doc_id)-keyed aggregation for the rewrite.
+    At 100 TB this is the same shape CCNet runs sharded: no sort, no
+    window over the corpus, exchanges bounded by the line population.
+    Reference: no counterpart (converter.go is a per-file converter);
+    SURVEY §2 LLM-dedup extension."""
+    K = _CCNET_LINE_TOKENS
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    t = docs.select("doc_id", "lang", tokenize("text").alias("toks"))
+    segs = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size("toks") - 1) / K).cast("int")
+        ),
+        lambda i: F.array_join(F.slice("toks", i * K + 1, K), " "),
+    )
+    lines = _persist(
+        t.select(
+            "doc_id",
+            "lang",
+            F.posexplode(segs).alias("line_no", "line"),
+        ).withColumn("line_no", F.col("line_no").cast("bigint"))
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("line")), "[0-9]", "0"),
+                "[^a-z0-9 ]",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    nf = lines.select(
+        "doc_id",
+        "lang",
+        "line_no",
+        "line",
+        md5_60(norm).alias("fp"),
+        (F.col("doc_id") * _CCNET_LINE_PACK + F.col("line_no")).alias(
+            "pack"
+        ),
+    )
+    keep = nf.groupBy("fp").agg(F.min("pack").alias("kpack"))
+    kept = nf.join(
+        keep,
+        (nf["fp"] == keep["fp"]) & (nf["pack"] == keep["kpack"]),
+    ).select("doc_id", "lang", "line_no", "line")
+    tot = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return (
+        kept.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda x: x["line"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+        .join(tot, "doc_id")
+        .select("doc_id", "lang", "n_lines", "n_kept", "new_text")
+    )

@@ -124,6 +124,8 @@ HEAVY = [
     "knn_ivf_ann",  # integer-Lloyd cells + probe ranking at volume
     "knn_ivf_pq_ann",  # composite: both integer trainers + probe screen
     "mm_phash_near_dup",  # band collisions + hamming ties at real volume
+    # round-10 additions with scale-sensitive semantics
+    "dedup_ccnet_lines",  # cross-doc first-occurrence races at real volume
 ]
 
 QUERIES = entry_mod.queries()

@@ -1,0 +1,146 @@
+"""Round-10 unit tests: CCNet paragraph-level dedup invariants
+(first-occurrence keep rule, vanishing fully-duplicated documents,
+normalization-only hashing) and the line-dedup → LM-bucketing
+composite that completes the published CCNet pipeline."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.queries()
+
+
+def _write_docs(spark, path: str, rows: list[tuple]) -> str:
+    """rows: (doc_id, text, lang). Writes a load_table-compatible
+    documents.parquet under ``path``."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": ["unit" for _ in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/documents.parquet"
+    )
+    return path
+
+
+def _line(words: str) -> str:
+    """Pad a phrase to exactly 10 tokens (one CCNet 'paragraph')."""
+    toks = words.split()
+    assert len(toks) <= 10
+    return " ".join(toks + ["pad"] * (10 - len(toks)))
+
+
+def test_ccnet_lines_first_occurrence(spark, tmp_path, queries):
+    """The keep rule is FIRST occurrence by (doc_id, line_no):
+    a line shared by doc 0 and doc 5 survives only in doc 0; a
+    document made entirely of earlier-seen lines vanishes; and
+    within-document repetition collapses to the first copy."""
+    boiler = _line("accept cookies to continue browsing this site")
+    unique0 = _line("alpha beta gamma delta")
+    unique5 = _line("epsilon zeta eta theta")
+    rows = [
+        (0, f"{boiler} {unique0}", "en"),
+        # within-doc repetition: the same line twice
+        (3, f"{unique5} {unique5}", "en"),
+        # every line already seen -> the document must vanish
+        (5, f"{boiler} {unique5}", "en"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in queries["dedup_ccnet_lines"](
+            spark, _write_docs(spark, str(tmp_path), rows)
+        ).collect()
+    }
+    assert set(out) == {0, 3}
+    assert out[0].n_lines == 2 and out[0].n_kept == 2
+    assert out[0].new_text == f"{boiler} {unique0}"
+    # doc 3 keeps ONE copy of its repeated line
+    assert out[3].n_lines == 2 and out[3].n_kept == 1
+    assert out[3].new_text == unique5
+
+
+def test_ccnet_lines_normalization_hash_only(spark, tmp_path, queries):
+    """Hashing normalizes (case, digits, punctuation) so near-identical
+    boilerplate collapses — but surviving text keeps its ORIGINAL
+    form, as in Wenzek et al. §3.1."""
+    a = _line("Copyright 2019 Example Corp all rights reserved")
+    b = _line("copyright 2024 example corp all rights reserved")
+    keep = _line("kappa lambda mu nu")
+    rows = [(0, a, "en"), (7, f"{b} {keep}", "en")]
+    out = {
+        r.doc_id: r
+        for r in queries["dedup_ccnet_lines"](
+            spark, _write_docs(spark, str(tmp_path), rows)
+        ).collect()
+    }
+    # b collapses onto a's hash (digits->0, lowercase) and is dropped
+    assert out[0].new_text == a  # original casing preserved
+    assert out[7].n_lines == 2 and out[7].n_kept == 1
+    assert out[7].new_text == keep
+
+
+def test_ccnet_composite_line_dedup_then_lm(spark, tmp_path, queries):
+    """The published CCNet pipeline end to end: paragraph dedup FIRST,
+    LM perplexity tertiles on the deduplicated corpus SECOND. The
+    rewritten documents from dedup_ccnet_lines feed
+    text_ccnet_buckets directly, every surviving document gets a
+    bucket, and each language's buckets cover head/middle/tail."""
+    sf_dir = "/root/testdata/sf0.001"
+    dedup = queries["dedup_ccnet_lines"](spark, sf_dir).collect()
+    assert len(dedup) > 0
+    stage2_dir = _write_docs(
+        spark,
+        str(tmp_path),
+        [(r.doc_id, r.new_text, r.lang) for r in dedup],
+    )
+    buckets = queries["text_ccnet_buckets"](spark, stage2_dir).collect()
+    surviving = {r.doc_id for r in dedup if r.new_text.strip()}
+    assert {r.doc_id for r in buckets} == surviving
+    assert {r.bucket for r in buckets} <= {"head", "middle", "tail"}
+    by_lang: dict = {}
+    for r in buckets:
+        by_lang.setdefault(r.lang, set()).add(r.bucket)
+    # any language with >= 3 docs must span all three tertiles
+    from collections import Counter
+
+    lang_counts = Counter(r.lang for r in buckets)
+    for lang, n in lang_counts.items():
+        if n >= 3:
+            assert by_lang[lang] == {"head", "middle", "tail"}, (
+                lang,
+                by_lang[lang],
+            )
+
+
+def test_ccnet_lines_oracle_parity_smoke(spark, sf_oracle):
+    """Cross-engine gate at the driver's sf0.01 scale (the slow
+    battery re-checks at sf0.1)."""
+    import __spark_entry__ as entry_mod
+    from csv_to_parquet_spark.oracle import (
+        compare_frames,
+        duckdb_connection,
+    )
+
+    spark_pdf = (
+        entry_mod.queries()["dedup_ccnet_lines"](spark, sf_oracle).toPandas()
+    )
+    con = duckdb_connection(sf_oracle)
+    try:
+        duck_pdf = con.execute(
+            entry_mod.oracle_sql()["dedup_ccnet_lines"]
+        ).df()
+    finally:
+        con.close()
+    assert len(spark_pdf) == len(duck_pdf) > 0
+    assert compare_frames(spark_pdf, duck_pdf) == []
