@@ -184,6 +184,7 @@ HEADLINE = [
     "knn_pq_rerank",
     # round-10 operators
     "dedup_ccnet_lines",
+    "tokenizer_fertility_report",
 ]
 
 # Entries with a history of driver-artifact drift on UNCHANGED code

@@ -98,6 +98,7 @@ FRONTLOAD = [
 # recency like everything else, and the set can then be emptied.
 DEFER_BEHIND_STALE = {
     "dedup_ccnet_lines",
+    "tokenizer_fertility_report",
 }
 
 

@@ -3755,3 +3755,127 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: tokenizer fertility / compression-ratio report per language
+
+
+@CAT.query(
+    "tokenizer_fertility_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, {_TOKS_SQL} AS toks,
+             CAST(strlen(trim(text)) AS BIGINT) AS nb
+      FROM documents WHERE len(trim(text)) > 0),
+    s AS (
+      SELECT lang, nb, CAST(len(toks) AS BIGINT) AS nw,
+             CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+               AS nc,
+             CAST(list_sum(list_transform(
+                   list_transform(toks, w -> {_sw_segment_sql("w", "duck")}),
+                   g -> len(g) - len(replace(g, '{_SW_SEP}', '')) - 1))
+               AS BIGINT) AS ns
+      FROM t),
+    a AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nw) AS BIGINT) AS n_words,
+             CAST(SUM(nc) AS BIGINT) AS n_chars,
+             CAST(SUM(nb) AS BIGINT) AS n_bytes,
+             CAST(SUM(ns) AS BIGINT) AS n_subwords
+      FROM s GROUP BY 1)
+    SELECT lang, n_docs, n_words, n_chars, n_bytes, n_subwords,
+           n_subwords * 1000000 // n_words AS fertility_micro,
+           n_chars * 1000000 // n_subwords AS chars_per_token_micro,
+           n_subwords * 1000000 // n_bytes AS tokens_per_byte_micro
+    FROM a
+    """,
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression-ratio report per language —
+    the standard readiness check before committing a tokenizer to a
+    pretraining run (a language whose fertility is 2× the others pays
+    2× the compute per byte of signal and starves in a shared token
+    budget). Applies the catalog's fixed merge cascade (the
+    ``text_subword_merge_stats`` apply side / ``_sw_segment_sql``,
+    trained by ``bpe_learn_merges``) to every document and aggregates
+    per language: document/word/char/byte/subword totals plus the
+    three ratios tokenizer reports quote — fertility (subword tokens
+    per whitespace word), chars per token (compression), and tokens
+    per byte (cost per byte of corpus).
+
+    Exactness: the ratios are integer micro-units via cross-
+    multiplication (a·10⁶ // b on the BIGINT totals) — no doubles
+    anywhere, so cross-engine parity is bit-exact and the sums are
+    order-independent under any partitioning. Invariants pinned by
+    tests/test_round10.py: fertility ≥ 10⁶ (every word is ≥ 1
+    subword), chars-per-token ≥ 10⁶ (every subword is ≥ 1 char), and
+    the per-language subword totals reconcile exactly with the
+    per-document ``text_subword_merge_stats`` output.
+
+    Plan: the whole cascade is the sibling entry's zero-shuffle
+    codegen projection (merges ship inside the expression); the ONLY
+    exchange is the per-language aggregation, whose map-side partials
+    reduce each partition to |langs| rows — at 100 TB the shuffle
+    carries ~5 rows per task, and the ratio division runs on the
+    final |langs|-row frame. Reference: no counterpart (converter.go
+    is a per-file converter); SURVEY §2 LLM-tokenizer extension."""
+    seg_sql = _sw_segment_sql("w", "spark")
+    toks = tokenize("text")
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "lang",
+            toks.alias("toks"),
+            F.octet_length(F.trim("text")).cast("bigint").alias("nb"),
+        )
+        .withColumn("seg", F.expr(f"transform(toks, w -> {seg_sql})"))
+    )
+    n_sub = F.aggregate(
+        F.transform(
+            F.col("seg"),
+            lambda g: F.length(g)
+            - F.length(F.replace(g, F.lit(_SW_SEP)))
+            - 1,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.aggregate(
+        F.transform(F.col("toks"), F.length),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    a = (
+        d.select(
+            "lang",
+            "nb",
+            F.size("toks").cast("bigint").alias("nw"),
+            n_chars.alias("nc"),
+            n_sub.alias("ns"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("n_words"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.sum("nb").cast("bigint").alias("n_bytes"),
+            F.sum("ns").cast("bigint").alias("n_subwords"),
+        )
+    )
+    return a.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_bytes",
+        "n_subwords",
+        F.expr("n_subwords * 1000000 div n_words").alias("fertility_micro"),
+        F.expr("n_chars * 1000000 div n_subwords").alias(
+            "chars_per_token_micro"
+        ),
+        F.expr("n_subwords * 1000000 div n_bytes").alias(
+            "tokens_per_byte_micro"
+        ),
+    )

@@ -144,3 +144,30 @@ def test_ccnet_lines_oracle_parity_smoke(spark, sf_oracle):
         con.close()
     assert len(spark_pdf) == len(duck_pdf) > 0
     assert compare_frames(spark_pdf, duck_pdf) == []
+
+
+def test_fertility_report_invariants_and_reconciliation(
+    spark, sf_oracle, queries
+):
+    """Fertility ≥ 10⁶ micro (every word is ≥ 1 subword), chars per
+    token ≥ 10⁶ (every subword is ≥ 1 char), and the per-language
+    totals reconcile EXACTLY with the per-document
+    text_subword_merge_stats output — the two entries must describe
+    the same segmentation."""
+    rep = {r.lang: r for r in
+           queries["tokenizer_fertility_report"](spark, sf_oracle).collect()}
+    assert rep
+    for lang, r in rep.items():
+        assert r.fertility_micro >= 1_000_000, (lang, r.fertility_micro)
+        assert r.chars_per_token_micro >= 1_000_000, lang
+        assert 0 < r.tokens_per_byte_micro < 1_000_000, lang
+        assert r.fertility_micro == r.n_subwords * 1_000_000 // r.n_words
+        # chars exclude whitespace, bytes include it (ASCII corpus)
+        assert r.n_bytes > r.n_chars
+    per_doc = queries["text_subword_merge_stats"](spark, sf_oracle).collect()
+    assert sum(r.n_subwords for r in per_doc) == sum(
+        r.n_subwords for r in rep.values()
+    )
+    assert sum(r.n_words for r in per_doc) == sum(
+        r.n_words for r in rep.values()
+    )
