@@ -1555,9 +1555,12 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: at 16/6 as the coarse-probe reference point.
 _IVFPQ_CELLS = 64
 _IVFPQ_PROBES = 24
-#: Coarse-quantizer Lloyd iterations for the composite's oracle —
-#: must equal similarity._IVF_KMEANS_ITERS (the exact-integer trainer
-#: the Spark side calls); asserted at entry runtime.
+#: Coarse-quantizer Lloyd iterations for the composite — passed
+#: explicitly to similarity's trainer (``iters=``), so the oracle's
+#: unroll count and the Spark trainer agree BY CONSTRUCTION and the
+#: two IVF entries tune independently (knn_ivf_ann's 16-cell grid
+#: measured best at 3 iterations, this 64-cell grid at 2 — a 3rd
+#: iteration here drops the composite 0.775 → 0.75).
 _IVF_COARSE_ITERS = 2
 
 
@@ -1715,17 +1718,13 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget (finer coarse grids 96/128 cells and a 3rd coarse
     iteration all LOWERED recall on this corpus; the r7
     16-cell/6-probe/init-codebook point was 0.575). Single-leg
-    references: IVF-exact 0.70 at 16/6, full-scan ADC 0.7625,
-    screen+exact-rerank 1.00.
+    references: IVF-exact 0.725 at 16/6 (r10, 3 coarse iterations),
+    full-scan ADC 0.7625, screen+exact-rerank 1.00.
     """
     import numpy as np
 
     from csv_to_parquet_spark.operators import similarity as _sim
 
-    assert _IVF_COARSE_ITERS == _sim._IVF_KMEANS_ITERS, (
-        "composite oracle unrolls a different iteration count than "
-        "the trainer runs"
-    )
     # the oracle replays BOTH trainers from _pq_adc_ctes's single
     # filtered sample on the _PQ_Q grid — the IVF-side constants must
     # stay coupled or the composite silently diverges from its oracle
@@ -1740,7 +1739,12 @@ def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted across the trainer's jobs and the query collect —
     # same rationale as knn_ivf_ann (lint: operators/cache.py)
     e = persist_tracked(_sim._emb(spark, sf_dir))
-    cents = _sim._ivf_train_centroids_int(e, _IVFPQ_CELLS)  # int64 (K, 64)
+    # iters passed explicitly == the oracle's unroll count — the two
+    # IVF grids (this 64-cell one and knn_ivf_ann's 16-cell one) tune
+    # their iteration budgets independently since r10
+    cents = _sim._ivf_train_centroids_int(
+        e, _IVFPQ_CELLS, iters=_IVF_COARSE_ITERS
+    )  # int64 (K, 64)
 
     d_sub = 64 // _PQ_M
     # Both models train with the EXACT integer-Lloyd refiners on the

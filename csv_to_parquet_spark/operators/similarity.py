@@ -49,7 +49,7 @@ TOP_K = 10
 # where the neighbor mass actually is, instead of uniform Hamming-1.
 # Measured at sf0.1 on the near-uniform corpus: recall@10 0.775 at a
 # candidate fraction of L·T/2^k = 12·24/1024 ≈ 28% (the r6 uniform
-# Hamming-1 shape gave 0.54 at ~13%; IVF gives 0.70 at 37.5%), and
+# Hamming-1 shape gave 0.54 at ~13%; IVF gives 0.725 at 37.2%), and
 # ≳0.95 for clustered real-world embeddings (cos ≥ 0.8). Bigger k
 # keeps shrinking the fraction as corpus density grows.
 #
@@ -429,13 +429,21 @@ _IVF_CELLS = 16
 #: corpus cell membership barely correlates with the top-10
 #: neighborhood, so recall tracks the scan fraction plus a rank boost:
 #: measured at sf0.1 — 4/16 → 0.49, 5/16 → 0.58, 6/16 → 0.70
-#: recall@10. 6 keeps the scan strictly sub-linear (37.5% of the
+#: recall@10 at 2 Lloyd iterations (0.725 at the r10 3-iteration
+#: budget). 6 keeps the scan strictly sub-linear (37.2% of the
 #: corpus per query) while clearing a usable headline recall; on
 #: clustered real-world embeddings the same setting is ≥0.9 (pinned in
 #: tests/test_llm_ops.py) because the neighbor cluster fits in far
 #: fewer probes.
 _IVF_PROBES = 6
-_IVF_KMEANS_ITERS = 2
+#: Lloyd iterations for knn_ivf_ann's 16-cell coarse quantizer. r10
+#: raised 2 → 3 after an offline sweep (recall@10 0.70 → 0.725 at the
+#: unchanged 37.2% scan; 4-5 iterations over-fit the 2048-row sample
+#: and DROP recall to 0.7125/0.675, so 3 is the measured optimum).
+#: The IVFPQ composite trains its own 64-cell grid and keeps 2
+#: (clustering._IVF_COARSE_ITERS — measured better there; it passes
+#: ``iters=`` explicitly), so the two entries tune independently.
+_IVF_KMEANS_ITERS = 3
 
 
 #: Coarse-quantizer training-sample budget for the rows-only ANN
@@ -461,7 +469,9 @@ def _ivf_quant(arr):
     return quant_micro(arr)
 
 
-def _ivf_train_centroids_int(e: DataFrame, ncells: int = _IVF_CELLS):
+def _ivf_train_centroids_int(
+    e: DataFrame, ncells: int = _IVF_CELLS, iters: int = _IVF_KMEANS_ITERS
+):
     """EXACT-integer sample-Lloyd trainer for the IVF coarse quantizer
     — the full-vector analog of clustering._pq_refine_codebook_int,
     so the DuckDB oracle can replay training verbatim as unrolled
@@ -493,7 +503,7 @@ def _ivf_train_centroids_int(e: DataFrame, ncells: int = _IVF_CELLS):
         "nonzero norm inside the training sample"
     )
     C = V[[p[0] for p in seed_pos]].copy()
-    for _ in range(_IVF_KMEANS_ITERS):
+    for _ in range(iters):
         score = (C * C).sum(axis=1)[None, :] - 2 * (V @ C.T)
         cell = score.argmin(axis=1)  # first-min, matches MIN packing
         for k in range(ncells):
@@ -584,8 +594,13 @@ def _ivf_int_oracle() -> str:
              {sums}
       FROM a{t} a JOIN samp v USING (vec_id) GROUP BY 1)"""
         )
+        # intermediate codebooks MATERIALIZED, final inline — the same
+        # inline-blowup guard as clustering._pq_adc_ctes (each cb{t}
+        # references cb{t-1} twice; inlined, DuckDB re-evaluates the
+        # chain per reference — 2^iters)
+        mat = " MATERIALIZED" if t < _IVF_KMEANS_ITERS else ""
         ctes.append(
-            f"""cb{t} AS (
+            f"""cb{t} AS{mat} (
       SELECT c.cell,
              CASE WHEN u.cnt IS NULL THEN c.cb
                   ELSE list_value(
@@ -657,9 +672,11 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizers are model parameters trained on a fixed-size sample;
     one deterministic collect + numpy). Assignment is first-minimal
     argmin over exact int64 squared L2 (on this unit-normalized
-    corpus L2 and cosine order agree up to quantization — measured
-    recall unchanged at 0.70 vs the float-cosine trainer it
-    replaced); the update is the half-away-from-zero integer mean —
+    corpus L2 and cosine order agree up to quantization — the
+    integer trainer held the float trainer's 0.70 recall at 2
+    iterations, and the r10 3-iteration budget lifts it to 0.725 at
+    the same scan fraction); the update is the half-away-from-zero
+    integer mean —
     the exact-integer Lloyd that made knn_pq_adc's codebook
     replayable. Corpus assignment is a narrow vectorized Arrow map
     (``_ivf_cells_int``) — no shuffle, no join. Queries probe their

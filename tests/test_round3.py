@@ -18,19 +18,35 @@ from pyspark.sql import functions as F
 
 
 def test_rotation_window_covers_never_verified(spark):
-    from csv_to_parquet_spark.catalog import CANARIES, build_catalog, load_verified_rounds
+    from csv_to_parquet_spark.catalog import (
+        CANARIES,
+        DEFER_BEHIND_STALE,
+        build_catalog,
+        load_verified_rounds,
+    )
 
     cat = build_catalog()
     names = list(cat.queries)
     assert names[: len(CANARIES)] == CANARIES
     verified = load_verified_rounds()
-    never = [n for n in cat.queries if n not in verified and n not in CANARIES]
+    never = [
+        n
+        for n in cat.queries
+        if n not in verified
+        and n not in CANARIES
+        and n not in DEFER_BEHIND_STALE  # r10: wait behind the stale drain
+    ]
     window = set(names[:50])
     missing = [n for n in never if n not in window]
     # every never-verified query must sit inside the driver's window
     # (when there are more than 45 of them, the earliest 45 win — only
     # possible in round 1, which predates this test)
     assert len(never) > 45 or not missing, f"outside window: {missing}"
+    # deferred names must still be IN the catalog (just behind the
+    # stale tier) so the driver picks them up next round
+    for n in DEFER_BEHIND_STALE:
+        if n in cat.queries:
+            assert n in names, n
 
 
 def test_verified_rounds_snapshot_loads():
