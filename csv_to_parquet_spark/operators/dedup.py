@@ -2035,31 +2035,31 @@ _CCNET_NORM_SQL = (
           FROM d),
     ln0 AS (
       SELECT doc_id, lang, toks,
+             CAST((len(toks) + {_CCNET_LINE_TOKENS} - 1)
+                  // {_CCNET_LINE_TOKENS} AS BIGINT) AS n_lines,
              unnest(range(0, (len(toks) + {_CCNET_LINE_TOKENS} - 1)
                              // {_CCNET_LINE_TOKENS})) AS line_no
       FROM t),
     ln AS (
-      SELECT doc_id, lang, CAST(line_no AS BIGINT) AS line_no,
+      SELECT doc_id, lang, n_lines, CAST(line_no AS BIGINT) AS line_no,
              array_to_string(
                toks[(line_no * {_CCNET_LINE_TOKENS} + 1):
                     (line_no * {_CCNET_LINE_TOKENS} + {_CCNET_LINE_TOKENS})],
                ' ') AS line
       FROM ln0),
     nf AS (
-      SELECT doc_id, lang, line_no, line,
+      SELECT doc_id, lang, n_lines, line_no, line,
              {md5_60_sql(_CCNET_NORM_SQL)} AS fp,
              doc_id * {_CCNET_LINE_PACK} + line_no AS pack
       FROM ln),
     keep AS (SELECT fp, MIN(pack) AS kpack FROM nf GROUP BY 1),
     kept AS (
-      SELECT nf.doc_id, nf.lang, nf.line_no, nf.line
-      FROM nf JOIN keep ON nf.fp = keep.fp AND nf.pack = keep.kpack),
-    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
-            FROM ln GROUP BY 1)
-    SELECT kept.doc_id, kept.lang, tot.n_lines,
+      SELECT nf.doc_id, nf.lang, nf.n_lines, nf.line_no, nf.line
+      FROM nf JOIN keep ON nf.fp = keep.fp AND nf.pack = keep.kpack)
+    SELECT doc_id, lang, n_lines,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
-           string_agg(kept.line, ' ' ORDER BY kept.line_no) AS new_text
-    FROM kept JOIN tot USING (doc_id)
+           string_agg(line, ' ' ORDER BY line_no) AS new_text
+    FROM kept
     GROUP BY 1, 2, 3
     """,
 )
@@ -2107,13 +2107,15 @@ def dedup_ccnet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda i: F.array_join(F.slice("toks", i * K + 1, K), " "),
     )
-    lines = _persist(
-        t.select(
-            "doc_id",
-            "lang",
-            F.posexplode(segs).alias("line_no", "line"),
-        ).withColumn("line_no", F.col("line_no").cast("bigint"))
-    )
+    # n_lines is known at segmentation time (the segment-array size) —
+    # carrying it through the explode saves a second per-doc
+    # aggregation + join that the first cut paid (one exchange less)
+    lines = t.withColumn("seg", segs).select(
+        "doc_id",
+        "lang",
+        F.size("seg").cast("bigint").alias("n_lines"),
+        F.posexplode("seg").alias("line_no", "line"),
+    ).withColumn("line_no", F.col("line_no").cast("bigint"))
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(
@@ -2125,26 +2127,26 @@ def dedup_ccnet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    nf = lines.select(
-        "doc_id",
-        "lang",
-        "line_no",
-        "line",
-        md5_60(norm).alias("fp"),
-        (F.col("doc_id") * _CCNET_LINE_PACK + F.col("line_no")).alias(
-            "pack"
-        ),
+    nf = _persist(
+        lines.select(
+            "doc_id",
+            "lang",
+            "n_lines",
+            "line_no",
+            "line",
+            md5_60(norm).alias("fp"),
+            (F.col("doc_id") * _CCNET_LINE_PACK + F.col("line_no")).alias(
+                "pack"
+            ),
+        )
     )
     keep = nf.groupBy("fp").agg(F.min("pack").alias("kpack"))
     kept = nf.join(
         keep,
         (nf["fp"] == keep["fp"]) & (nf["pack"] == keep["kpack"]),
-    ).select("doc_id", "lang", "line_no", "line")
-    tot = lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines")
-    )
+    ).select("doc_id", "lang", "n_lines", "line_no", "line")
     return (
-        kept.groupBy("doc_id", "lang")
+        kept.groupBy("doc_id", "lang", "n_lines")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_kept"),
             F.array_join(
@@ -2157,6 +2159,5 @@ def dedup_ccnet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("new_text"),
         )
-        .join(tot, "doc_id")
         .select("doc_id", "lang", "n_lines", "n_kept", "new_text")
     )
