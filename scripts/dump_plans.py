@@ -230,6 +230,23 @@ SHOWCASE = {
          r"\(\d+\) MapInPandas[^\n]{0,40}",
          r"WindowGroupLimit[^\n]{0,60}"],
     ),
+    "dedup_ccnet_lines": (
+        "CCNet paragraph dedup: lines fingerprint map-side, ONE "
+        "fp-keyed exchange with a map-side-combined MIN picks first "
+        "occurrences, survivors join back fp-keyed and one doc-keyed "
+        "agg rewrites documents (n_lines carried from segmentation — "
+        "no second per-doc aggregation)",
+        [r"\(\d+\) HashAggregate[^\n]{0,60}",
+         r"hashpartitioning\(fp[^\n]{0,40}",
+         r"hashpartitioning\(doc_id[^\n]{0,60}"],
+    ),
+    "tokenizer_fertility_report": (
+        "fertility report: the merge cascade is a zero-shuffle codegen "
+        "projection; the ONLY exchange is the per-language agg whose "
+        "map-side partials reduce each partition to |langs| rows",
+        [r"\(\d+\) HashAggregate[^\n]{0,80}",
+         r"hashpartitioning\(lang[^\n]{0,40}"],
+    ),
 }
 
 
