@@ -101,6 +101,15 @@ DEFER_BEHIND_STALE = {
     "tokenizer_fertility_report",
 }
 
+#: Deferred names sort WITHIN the green tier as if last verified in
+#: this round — after the r2/r3 stale backlog being drained, but ahead
+#: of every recently-verified green. A separate always-last tier would
+#: STARVE them (all 327 other entries are green, so the green tier
+#: refills the window forever); this effective-round slot guarantees
+#: they enter the window the moment the older backlog fits beside
+#: them (r11: ~7 stale entries + these — both inside the 45 slots).
+DEFER_EFFECTIVE_ROUND = 4
+
 
 def _row_is_green(row: dict) -> bool:
     """A driver row counts as verified if all three gates passed, or it
@@ -207,18 +216,20 @@ def build_catalog() -> Catalog:
     frontload_pos = {name: i for i, name in enumerate(FRONTLOAD)}
 
     def sort_key(name: str) -> tuple[int, int, int]:
-        # four tiers: (0) previously-checked but never green — a fix
+        # three tiers: (0) previously-checked but never green — a fix
         # awaiting re-verification, the most urgent rows; (1) never
-        # checked at all (FRONTLOAD names first); (2) green,
-        # least-recently-verified first; (3) DEFER_BEHIND_STALE names
-        # with no driver row yet — deliberately behind the stale
-        # drain. Module order breaks remaining ties so the order is
-        # deterministic.
+        # checked at all (FRONTLOAD names first), except
+        # DEFER_BEHIND_STALE names, which slot into the green tier at
+        # DEFER_EFFECTIVE_ROUND — behind the stale backlog, ahead of
+        # recent greens (see the constant's comment for why a
+        # last-place tier would starve them); (2) green,
+        # least-recently-verified first. Module order breaks remaining
+        # ties so the order is deterministic.
         if name not in verified:
             if name in attempted:
                 return (0, 0, module_pos[name])
             if name in DEFER_BEHIND_STALE:
-                return (3, 0, module_pos[name])
+                return (2, DEFER_EFFECTIVE_ROUND, module_pos[name])
             return (1, 0 if name in frontload_pos else 1, module_pos[name])
         return (2, verified[name], module_pos[name])
 

@@ -3785,9 +3785,12 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(ns) AS BIGINT) AS n_subwords
       FROM s GROUP BY 1)
     SELECT lang, n_docs, n_words, n_chars, n_bytes, n_subwords,
-           n_subwords * 1000000 // n_words AS fertility_micro,
-           n_chars * 1000000 // n_subwords AS chars_per_token_micro,
-           n_subwords * 1000000 // n_bytes AS tokens_per_byte_micro
+           CAST(CAST(n_subwords AS HUGEINT) * 1000000 // n_words
+                AS BIGINT) AS fertility_micro,
+           CAST(CAST(n_chars AS HUGEINT) * 1000000 // n_subwords
+                AS BIGINT) AS chars_per_token_micro,
+           CAST(CAST(n_subwords AS HUGEINT) * 1000000 // n_bytes
+                AS BIGINT) AS tokens_per_byte_micro
     FROM a
     """,
 )
@@ -3805,8 +3808,10 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per byte (cost per byte of corpus).
 
     Exactness: the ratios are integer micro-units via cross-
-    multiplication (a·10⁶ // b on the BIGINT totals) — no doubles
-    anywhere, so cross-engine parity is bit-exact and the sums are
+    multiplication (a·10⁶ // b on the BIGINT totals, widened through
+    DECIMAL(38,0)/HUGEINT so the multiply cannot overflow even at
+    10¹³+ subwords per language) — no doubles anywhere, so
+    cross-engine parity is bit-exact and the sums are
     order-independent under any partitioning. Invariants pinned by
     tests/test_round10.py: fertility ≥ 10⁶ (every word is ≥ 1
     subword), chars-per-token ≥ 10⁶ (every subword is ≥ 1 char), and
@@ -3864,6 +3869,13 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ns").cast("bigint").alias("n_subwords"),
         )
     )
+    # the cross-multiplications widen through DECIMAL(38,0) (HUGEINT in
+    # the oracle): at the advertised 100 TB scale a language's subword
+    # total passes int64max/10⁶ ≈ 9.2e12 and a bare BIGINT multiply
+    # would throw ARITHMETIC_OVERFLOW under ANSI mode. Unlike the
+    # feat_target_encoding_loo case (r8: DECIMAL dropped for an int64
+    # decomposition because it widened a CORPUS-sized column), this
+    # division runs on the final |langs|-row frame — cost is nil.
     return a.select(
         "lang",
         "n_docs",
@@ -3871,11 +3883,16 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "n_bytes",
         "n_subwords",
-        F.expr("n_subwords * 1000000 div n_words").alias("fertility_micro"),
-        F.expr("n_chars * 1000000 div n_subwords").alias(
-            "chars_per_token_micro"
-        ),
-        F.expr("n_subwords * 1000000 div n_bytes").alias(
-            "tokens_per_byte_micro"
-        ),
+        F.expr(
+            "cast(cast(n_subwords as decimal(38,0)) * 1000000"
+            " div n_words as bigint)"
+        ).alias("fertility_micro"),
+        F.expr(
+            "cast(cast(n_chars as decimal(38,0)) * 1000000"
+            " div n_subwords as bigint)"
+        ).alias("chars_per_token_micro"),
+        F.expr(
+            "cast(cast(n_subwords as decimal(38,0)) * 1000000"
+            " div n_bytes as bigint)"
+        ).alias("tokens_per_byte_micro"),
     )

@@ -42,11 +42,29 @@ def test_rotation_window_covers_never_verified(spark):
     # (when there are more than 45 of them, the earliest 45 win — only
     # possible in round 1, which predates this test)
     assert len(never) > 45 or not missing, f"outside window: {missing}"
-    # deferred names must still be IN the catalog (just behind the
-    # stale tier) so the driver picks them up next round
+    # Deferred names must sort INSIDE the green tier at their
+    # effective round — after every entry from an older round, before
+    # every entry from a newer one — so the drain proceeds now AND
+    # they cannot be starved once the backlog clears (a last-place
+    # tier would never reach the 45-slot window while 300+ greens
+    # keep refilling it; caught by the r10 review).
+    from csv_to_parquet_spark.catalog import DEFER_EFFECTIVE_ROUND
+
+    pos = {n: i for i, n in enumerate(names)}
     for n in DEFER_BEHIND_STALE:
-        if n in cat.queries:
-            assert n in names, n
+        if n not in cat.queries or n in verified:
+            continue  # self-expired: a driver row now drives its rank
+        for other, rnd in verified.items():
+            if other in CANARIES or other not in pos:
+                continue
+            if rnd < DEFER_EFFECTIVE_ROUND:
+                assert pos[other] < pos[n], (
+                    f"{n} outranks stale {other} (r{rnd}) — drain broken"
+                )
+            elif rnd > DEFER_EFFECTIVE_ROUND:
+                assert pos[n] < pos[other], (
+                    f"{n} starved behind {other} (r{rnd})"
+                )
 
 
 def test_verified_rounds_snapshot_loads():
