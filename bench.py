@@ -185,6 +185,7 @@ HEADLINE = [
     # round-10 operators
     "dedup_ccnet_lines",
     "tokenizer_fertility_report",
+    "dedup_cross_source_overlap",
 ]
 
 # Entries with a history of driver-artifact drift on UNCHANGED code

@@ -99,6 +99,7 @@ FRONTLOAD = [
 DEFER_BEHIND_STALE = {
     "dedup_ccnet_lines",
     "tokenizer_fertility_report",
+    "dedup_cross_source_overlap",
 }
 
 #: Deferred names sort WITHIN the green tier as if last verified in

@@ -2161,3 +2161,97 @@ def dedup_ccnet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_lines", "n_kept", "new_text")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: cross-source duplication-overlap matrix (mixing audit)
+
+
+@CAT.query(
+    "dedup_cross_source_overlap",
+    oracle=f"""
+    WITH occ AS (
+      SELECT source, unnest({_PASSAGES_SQL}) AS sh FROM documents),
+    fp AS (
+      SELECT DISTINCT source, {md5_60_sql("sh")} AS fp FROM occ),
+    tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM fp
+            GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_passages
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b, p.shared_passages,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST(CAST(p.shared_passages AS HUGEINT) * 1000000
+                // LEAST(ta.n, tb.n) AS BIGINT) AS overlap_coef_micro
+    FROM pairs p
+    JOIN tot ta ON ta.source = p.src_a
+    JOIN tot tb ON tb.source = p.src_b
+    """,
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication-overlap matrix — the audit every
+    multi-source mixing decision rests on (the CCNet/FineWeb-style
+    cross-dump overlap ablation; RedPajama vs C4 vs CC overlap
+    studies): for every pair of sources, how many distinct
+    {_PASSAGE_N}-token passages they share, each side's distinct
+    passage count, and the overlap coefficient
+    shared / min(|A|, |B|) in integer micro-units. A pair with high
+    overlap means the mixing weights double-count the same text —
+    the usual verdict is dropping or down-weighting the dominated
+    source before training.
+
+    Exactness: passage fingerprints are the 60-bit md5 the whole dedup
+    family shares (identical in DuckDB), counts are distinct-set
+    cardinalities, and the coefficient is a cross-multiplied integer
+    ratio widened through DECIMAL(38,0)/HUGEINT (no overflow at
+    10¹³+ passages per source, no doubles anywhere).
+
+    Plan: one explode → map-side fingerprint → DISTINCT (fp, source)
+    — the single corpus-scale exchange, on the same (fp, source) key
+    the self-join then reuses (no second shuffle of the big frame).
+    Pair generation is the inverted-index self-join every *_pairs
+    entry uses: per-fp cost is k² over the sources sharing that
+    fingerprint, bounded by |sources|² — model-sized here; at
+    thousands of dumps the published audits prefilter universal
+    boilerplate by document frequency first (the `_WINNOW_DF_CAP`
+    pattern two entries up) before pairing. The pair aggregation and
+    the totals join are |sources|²- and |sources|-row frames —
+    broadcast. Reference: no counterpart (converter.go is a per-file
+    converter); SURVEY §2 LLM-dedup extension."""
+    occ = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(shingles(tokenize("text"), _PASSAGE_N)).alias("sh"),
+    )
+    fp = _persist(
+        occ.select("source", md5_60(F.col("sh")).alias("fp")).distinct()
+    )
+    a = fp.select(F.col("source").alias("src_a"), "fp")
+    b = fp.select(F.col("source").alias("src_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_passages"))
+    )
+    tot = fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_passages",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(cast(shared_passages as decimal(38,0)) * 1000000"
+                " div least(n_a, n_b) as bigint)"
+            ).alias("overlap_coef_micro"),
+        )
+    )

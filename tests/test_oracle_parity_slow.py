@@ -126,6 +126,7 @@ HEAVY = [
     "mm_phash_near_dup",  # band collisions + hamming ties at real volume
     # round-10 additions with scale-sensitive semantics
     "dedup_ccnet_lines",  # cross-doc first-occurrence races at real volume
+    "dedup_cross_source_overlap",  # per-fp pair populations grow with volume
 ]
 
 QUERIES = entry_mod.queries()

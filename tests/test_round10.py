@@ -171,3 +171,55 @@ def test_fertility_report_invariants_and_reconciliation(
     assert sum(r.n_words for r in per_doc) == sum(
         r.n_words for r in rep.values()
     )
+
+
+def _write_docs_src(spark, path: str, rows: list[tuple]) -> str:
+    """rows: (doc_id, text, lang, source)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/documents.parquet"
+    )
+    return path
+
+
+def test_cross_source_overlap_known_corpus(spark, tmp_path, queries):
+    """On a corpus with a KNOWN shared passage the matrix must report
+    exactly that pair, the correct distinct-passage denominators, and
+    the cross-multiplied coefficient."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, f"{shared} one two", "en", "srcA"),   # 3 distinct passages
+        (1, f"{shared} ten", "en", "srcB"),        # 2 distinct passages
+        (2, "totally different words here with no overlap at all", "en",
+         "srcC"),
+    ]
+    out = queries["dedup_cross_source_overlap"](
+        spark, _write_docs_src(spark, str(tmp_path), rows)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.src_a, r.src_b) == ("srcA", "srcB")
+    assert r.shared_passages == 1
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.overlap_coef_micro == 1_000_000 // 2  # 1 of min(3, 2)
+
+
+def test_cross_source_overlap_invariants(spark, sf_oracle, queries):
+    """Pairs are canonically ordered, shared <= min(n_a, n_b), and the
+    coefficient reproduces the integer cross-multiplication."""
+    out = queries["dedup_cross_source_overlap"](spark, sf_oracle).collect()
+    assert out
+    for r in out:
+        assert r.src_a < r.src_b
+        assert 0 < r.shared_passages <= min(r.n_a, r.n_b)
+        assert r.overlap_coef_micro == (
+            r.shared_passages * 1_000_000 // min(r.n_a, r.n_b)
+        )
