@@ -2209,8 +2209,12 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     10¹³+ passages per source, no doubles anywhere).
 
     Plan: one explode → map-side fingerprint → DISTINCT (fp, source)
-    — the single corpus-scale exchange, on the same (fp, source) key
-    the self-join then reuses (no second shuffle of the big frame).
+    — the single CORPUS-scale exchange; everything downstream
+    operates on the deduplicated fingerprint population, which the
+    distinct collapses by the per-source duplication factor (at
+    local scale AQE broadcasts one side of the self-join outright;
+    at cluster scale the fp-keyed join re-exchanges only that
+    already-collapsed frame, never the raw occurrence stream).
     Pair generation is the inverted-index self-join every *_pairs
     entry uses: per-fp cost is k² over the sources sharing that
     fingerprint, bounded by |sources|² — model-sized here; at
