@@ -89,27 +89,50 @@ FRONTLOAD = [
     "stream_transform_with_state",
 ]
 
-# VERDICT r9 #1: the rotation's top priority this round is DRAINING the
-# 52-entry stale tier (last driver-green r3 or earlier), and the window
-# holds exactly 45 rotation slots — so entries that are brand-new THIS
-# round wait one round behind the stale tier instead of displacing it
-# (they carry full local evidence in CORRECTNESS_LOCAL.json meanwhile).
-# Self-expiring: once a name has any driver-green row it sorts by
-# recency like everything else, and the set can then be emptied.
-DEFER_BEHIND_STALE = {
-    "dedup_ccnet_lines",
-    "tokenizer_fertility_report",
-    "dedup_cross_source_overlap",
-}
+# VERDICT r9 #1 introduced this set to keep brand-new entries from
+# displacing the stale-drain backlog when the backlog alone filled the
+# window. EMPTY since r11: the r10 deferred names
+# (dedup_ccnet_lines, tokenizer_fertility_report,
+# dedup_cross_source_overlap) fall back to the never-checked tier,
+# which the r11 window has room for beside the 7 remaining r3-stale
+# entries. Re-populate only when a round both adds entries AND has a
+# stale backlog bigger than the window can absorb.
+DEFER_BEHIND_STALE: set[str] = set()
 
-#: Deferred names sort WITHIN the green tier as if last verified in
-#: this round — after the r2/r3 stale backlog being drained, but ahead
-#: of every recently-verified green. A separate always-last tier would
-#: STARVE them (all 327 other entries are green, so the green tier
-#: refills the window forever); this effective-round slot guarantees
-#: they enter the window the moment the older backlog fits beside
-#: them (r11: ~7 stale entries + these — both inside the 45 slots).
+#: Deferred names sort WITHIN the green tier strictly BETWEEN rounds
+#: ``DEFER_EFFECTIVE_ROUND - 1`` and ``DEFER_EFFECTIVE_ROUND`` — after
+#: the stale backlog being drained, ahead of every green verified at
+#: the effective round or later (the key carries a 0-vs-1 element so a
+#: green AT the effective round can never tie-break past a deferred
+#: name; r10's key tied there and left entry to module_pos — the r10
+#: review's latent-starvation finding). A separate always-last tier
+#: would STARVE them outright: all other entries are green, so the
+#: green tier refills the window forever.
 DEFER_EFFECTIVE_ROUND = 4
+
+
+def rotation_sort_key(
+    name: str,
+    verified: dict[str, int],
+    attempted: set[str],
+    module_pos: dict[str, int],
+    frontload_pos: dict[str, int],
+) -> tuple[int, int, int, int]:
+    """Rotation rank for one query (module-level so tests can probe the
+    tie-break cases directly). Three tiers: (0) previously-checked but
+    never green — a fix awaiting re-verification, the most urgent rows;
+    (1) never checked at all (FRONTLOAD names first), except
+    DEFER_BEHIND_STALE names, which slot into the green tier strictly
+    between rounds DEFER_EFFECTIVE_ROUND-1 and DEFER_EFFECTIVE_ROUND;
+    (2) green, least-recently-verified first. Module order breaks
+    remaining ties so the order is deterministic."""
+    if name not in verified:
+        if name in attempted:
+            return (0, 0, 0, module_pos[name])
+        if name in DEFER_BEHIND_STALE:
+            return (2, DEFER_EFFECTIVE_ROUND, 0, module_pos[name])
+        return (1, 0 if name in frontload_pos else 1, 0, module_pos[name])
+    return (2, verified[name], 1, module_pos[name])
 
 
 def _row_is_green(row: dict) -> bool:
@@ -216,25 +239,12 @@ def build_catalog() -> Catalog:
 
     frontload_pos = {name: i for i, name in enumerate(FRONTLOAD)}
 
-    def sort_key(name: str) -> tuple[int, int, int]:
-        # three tiers: (0) previously-checked but never green — a fix
-        # awaiting re-verification, the most urgent rows; (1) never
-        # checked at all (FRONTLOAD names first), except
-        # DEFER_BEHIND_STALE names, which slot into the green tier at
-        # DEFER_EFFECTIVE_ROUND — behind the stale backlog, ahead of
-        # recent greens (see the constant's comment for why a
-        # last-place tier would starve them); (2) green,
-        # least-recently-verified first. Module order breaks remaining
-        # ties so the order is deterministic.
-        if name not in verified:
-            if name in attempted:
-                return (0, 0, module_pos[name])
-            if name in DEFER_BEHIND_STALE:
-                return (2, DEFER_EFFECTIVE_ROUND, module_pos[name])
-            return (1, 0 if name in frontload_pos else 1, module_pos[name])
-        return (2, verified[name], module_pos[name])
-
-    rotation = sorted((n for n in merged.queries if n not in CANARIES), key=sort_key)
+    rotation = sorted(
+        (n for n in merged.queries if n not in CANARIES),
+        key=lambda n: rotation_sort_key(
+            n, verified, attempted, module_pos, frontload_pos
+        ),
+    )
 
     ordered = Catalog()
     for name in CANARIES + rotation:

@@ -67,6 +67,39 @@ def test_rotation_window_covers_never_verified(spark):
                 )
 
 
+def test_deferred_sort_key_strictly_between_rounds():
+    """ADVICE r10: a deferred name must sort strictly BEFORE a green
+    verified AT DEFER_EFFECTIVE_ROUND (the r10 key tied there and left
+    entry to module_pos) and strictly AFTER a green from the previous
+    round — regardless of module position."""
+    from csv_to_parquet_spark import catalog
+
+    module_pos = {"deferred_q": 0, "green_at_eff": 1, "green_older": 2}
+    verified = {
+        "green_at_eff": catalog.DEFER_EFFECTIVE_ROUND,
+        "green_older": catalog.DEFER_EFFECTIVE_ROUND - 1,
+    }
+    orig = catalog.DEFER_BEHIND_STALE
+    catalog.DEFER_BEHIND_STALE = {"deferred_q"}
+    try:
+        key = lambda n: catalog.rotation_sort_key(  # noqa: E731
+            n, verified, set(), module_pos, {}
+        )
+        # deferred beats the effective-round green even though the
+        # green has the SMALLER... (here larger) module_pos; flip the
+        # positions to prove module_pos cannot decide it either way
+        assert key("deferred_q") < key("green_at_eff")
+        assert key("green_older") < key("deferred_q")
+        module_pos2 = {"deferred_q": 9, "green_at_eff": 0, "green_older": 5}
+        key2 = lambda n: catalog.rotation_sort_key(  # noqa: E731
+            n, verified, set(), module_pos2, {}
+        )
+        assert key2("deferred_q") < key2("green_at_eff")
+        assert key2("green_older") < key2("deferred_q")
+    finally:
+        catalog.DEFER_BEHIND_STALE = orig
+
+
 def test_verified_rounds_snapshot_loads():
     from csv_to_parquet_spark import catalog
 
