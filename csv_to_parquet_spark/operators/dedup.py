@@ -2011,8 +2011,11 @@ def dedup_ngram_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CCNET_LINE_TOKENS = 10
 
 #: (doc_id, line_no) packed into one BIGINT so "first occurrence" is
-#: a single MIN — line_no < 2^20 (a 10M-token document) by corpus
-#: construction; doc_id up to 2^43 before overflow.
+#: a single MIN — line_no < 2^20 (a 10M-token document) is GUARDED in
+#: the plan, not assumed: both engines raise on a line_no at or past
+#: the pack base (r10 advice — a silent collision would corrupt
+#: first-occurrence order identically in both engines, so oracle
+#: parity could never catch it). doc_id up to 2^43 before overflow.
 _CCNET_LINE_PACK = 1 << 20
 
 #: DuckDB mirror of the CCNet hash normalization in
@@ -2050,7 +2053,10 @@ _CCNET_NORM_SQL = (
     nf AS (
       SELECT doc_id, lang, n_lines, line_no, line,
              {md5_60_sql(_CCNET_NORM_SQL)} AS fp,
-             doc_id * {_CCNET_LINE_PACK} + line_no AS pack
+             doc_id * {_CCNET_LINE_PACK}
+               + CASE WHEN line_no < {_CCNET_LINE_PACK} THEN line_no
+                      ELSE error('ccnet line_no overflows pack base')
+                 END AS pack
       FROM ln),
     keep AS (SELECT fp, MIN(pack) AS kpack FROM nf GROUP BY 1),
     kept AS (
@@ -2089,13 +2095,17 @@ def dedup_ccnet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-preserving join of surviving lines (string_agg ORDER BY ==
     array_sort on (line_no, line) structs).
 
-    Plan — ONE line-hash exchange: explode to ~tokens/{_CCNET_LINE_TOKENS}
-    line rows, fingerprint map-side (the shuffle carries (fp, pack)
-    longs, never line text), groupBy fp with a map-side-combined MIN,
-    then an fp-keyed join back (AQE skew-splits hot boilerplate
-    fingerprints) and one (doc_id)-keyed aggregation for the rewrite.
-    At 100 TB this is the same shape CCNet runs sharded: no sort, no
-    window over the corpus, exchanges bounded by the line population.
+    Plan — one corpus-scale fingerprint exchange plus the fp join-back
+    and the doc-keyed rewrite (3 exchanges total, pinned in PLANS.md):
+    explode to ~tokens/{_CCNET_LINE_TOKENS} line rows, fingerprint
+    map-side (the first-occurrence shuffle carries (fp, pack) longs,
+    never line text), groupBy fp with a map-side-combined MIN, then an
+    fp-keyed join back (AQE skew-splits hot boilerplate fingerprints)
+    and one (doc_id)-keyed aggregation for the rewrite. At 100 TB this
+    is the same shape CCNet runs sharded: no sort, no window over the
+    corpus, exchanges bounded by the line population. The pack guard
+    raises loudly (both engines) if a document ever exceeds
+    2²⁰ lines instead of silently corrupting first-occurrence order.
     Reference: no counterpart (converter.go is a per-file converter);
     SURVEY §2 LLM-dedup extension."""
     K = _CCNET_LINE_TOKENS
@@ -2135,9 +2145,16 @@ def dedup_ccnet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line_no",
             "line",
             md5_60(norm).alias("fp"),
-            (F.col("doc_id") * _CCNET_LINE_PACK + F.col("line_no")).alias(
-                "pack"
-            ),
+            (
+                F.col("doc_id") * _CCNET_LINE_PACK
+                + F.when(
+                    F.col("line_no") < _CCNET_LINE_PACK, F.col("line_no")
+                ).otherwise(
+                    F.raise_error(
+                        F.lit("ccnet line_no overflows pack base")
+                    )
+                )
+            ).alias("pack"),
         )
     )
     keep = nf.groupBy("fp").agg(F.min("pack").alias("kpack"))
