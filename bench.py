@@ -188,25 +188,33 @@ HEADLINE = [
     "dedup_cross_source_overlap",
 ]
 
-# Entries with a history of driver-artifact drift on UNCHANGED code
-# (r8: dedup_embedding_cosine 4.88 s in the artifact vs 2.26 s
-# isolated min-of-5; stats_spearman_rank 2.41 vs 1.67;
-# stats_winsorized_mean 1.09 vs 0.66 — all host-variance, see
-# SCALE.md "Host-variance pinning"). The default min-of-k loop's
+# Automated variance floor-check (VERDICT r10 #2). bench_floors.json
+# (committed; maintained by scripts/refresh_bench_floors.py) records
+# each entry's historical per-query minimum on current code. Any
+# entry whose timed reading exceeds FLOOR_TOLERANCE × its floor
+# SELF-PROMOTES to a fixed min-of-4 protocol in the same run — the
 # 20%-agreement early stop is defeated by SUSTAINED co-tenant
-# contention (two agreeing slow runs stop the loop), so these run a
-# fixed FOUR timed passes with no early stop. Costs ~10 s total.
-VARIANCE_FLAGGED = {
-    "dedup_embedding_cosine",
-    "stats_spearman_rank",
-    "stats_winsorized_mean",
-    # r8->r9 drifters on unchanged plans (r9 verdict #4):
-    # stream_transform_with_state 3.02->3.65 s, join_collation_ci_segments
-    # 0.35->0.49 s — both consistent with the pinned uniform
-    # host-inflation class; fixed min-of-4 pins their true floor.
-    "stream_transform_with_state",
-    "join_collation_ci_segments",
-}
+# contention (two agreeing slow runs stop the loop; see SCALE.md
+# "Host-variance pinning"), so promoted entries take all four passes
+# with no early stop. Entries still above tolerance after promotion
+# are reported in the payload's "floor_violations" field — the
+# per-round drift ledger the hand-curated VARIANCE_FLAGGED set used
+# to approximate a round late. Entries with no recorded floor (new
+# this round) skip the check; their first committed run seeds it.
+FLOOR_TOLERANCE = 1.25
+
+#: Headline entries added since the last committed floors refresh —
+#: the only names allowed to have no floor (they seed one on the next
+#: scripts/refresh_bench_floors.py run; pinned by tests/test_round11.py).
+FLOORLESS_NEW: set[str] = set()
+
+
+def load_floors() -> dict[str, float]:
+    try:
+        with open(os.path.join(_REPO, "bench_floors.json")) as f:
+            return {k: float(v) for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        return {}
 
 
 def main() -> int:
@@ -238,6 +246,8 @@ def main() -> int:
 
     from csv_to_parquet_spark.operators.cache import release_caches
 
+    floors = load_floors()
+    floor_violations: dict[str, dict] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
@@ -247,13 +257,8 @@ def main() -> int:
         t0 = time.perf_counter()
         run_once(fn)
         t = time.perf_counter() - t0
-        if name in VARIANCE_FLAGGED:
-            # fixed min-of-4, no early stop (see VARIANCE_FLAGGED)
-            for _ in range(3):
-                t0 = time.perf_counter()
-                run_once(fn)
-                t = min(t, time.perf_counter() - t0)
-        elif t >= 0.25:
+        n_timed = 1
+        if t >= 0.25:
             # Iterative multi-job queries (connected components, the
             # LSH pipelines) still pay residual JIT/GC on their second
             # execution: measured 3.5 s -> 2.3 s steady state for CC
@@ -272,8 +277,24 @@ def main() -> int:
                 run_once(fn)
                 t2 = time.perf_counter() - t0
                 prev, t = t, min(t, t2)
+                n_timed += 1
                 if abs(t2 - prev) / max(t, 1e-9) < 0.2:
                     break
+        floor = floors.get(name)
+        if floor is not None and t > FLOOR_TOLERANCE * floor:
+            # self-promote to the fixed min-of-4 protocol (no early
+            # stop) — finish out whatever passes remain of the four
+            while n_timed < 4:
+                t0 = time.perf_counter()
+                run_once(fn)
+                t = min(t, time.perf_counter() - t0)
+                n_timed += 1
+            if t > FLOOR_TOLERANCE * floor:
+                floor_violations[name] = {
+                    "floor": floor,
+                    "min_of_4": round(t, 3),
+                    "ratio": round(t / floor, 2),
+                }
         timings[name] = round(t, 3)
         # AFTER the timed pass: persisted intermediates (the MinHash
         # shingle cache, the LSH band index) count as steady state for
@@ -412,6 +433,7 @@ def main() -> int:
         "convert_csv_mb": round(csv_mb, 2),
         "convert_mbps": convert_mbps,
         "recall_at_10": recall,
+        "floor_violations": floor_violations,
         "queries": timings,
     }
     names = sorted(timings)
