@@ -186,6 +186,10 @@ HEADLINE = [
     "dedup_ccnet_lines",
     "tokenizer_fertility_report",
     "dedup_cross_source_overlap",
+    # round-11 operators
+    "text_langid_model",
+    "mix_source_weights",
+    "text_url_domain_filter",
 ]
 
 # Automated variance floor-check (VERDICT r10 #2). bench_floors.json
@@ -206,7 +210,11 @@ FLOOR_TOLERANCE = 1.25
 #: Headline entries added since the last committed floors refresh —
 #: the only names allowed to have no floor (they seed one on the next
 #: scripts/refresh_bench_floors.py run; pinned by tests/test_round11.py).
-FLOORLESS_NEW: set[str] = set()
+FLOORLESS_NEW: set[str] = {
+    "text_langid_model",
+    "mix_source_weights",
+    "text_url_domain_filter",
+}
 
 
 def load_floors() -> dict[str, float]:

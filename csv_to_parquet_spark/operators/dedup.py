@@ -2276,3 +2276,136 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: mixing weights from the cross-source overlap matrix
+
+
+@CAT.query(
+    "mix_source_weights",
+    oracle=f"""
+    WITH occ AS (
+      SELECT source, unnest({_PASSAGES_SQL}) AS sh FROM documents),
+    fp AS (
+      SELECT DISTINCT source, {md5_60_sql("sh")} AS fp FROM occ),
+    tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM fp
+            GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2),
+    pj AS (
+      SELECT p.*, ta.n AS n_a, tb.n AS n_b
+      FROM pairs p
+      JOIN tot ta ON ta.source = p.src_a
+      JOIN tot tb ON tb.source = p.src_b),
+    ceded AS (
+      SELECT CASE WHEN n_a < n_b THEN src_a
+                  WHEN n_b < n_a THEN src_b
+                  ELSE GREATEST(src_a, src_b) END AS source,
+             CAST(SUM(shared) AS BIGINT) AS c
+      FROM pj GROUP BY 1),
+    eff AS (
+      SELECT t.source, t.n,
+             CAST(COALESCE(c.c, 0) AS BIGINT) AS ceded,
+             GREATEST(t.n - CAST(COALESCE(c.c, 0) AS BIGINT), 0) AS e
+      FROM tot t LEFT JOIN ceded c USING (source)),
+    s AS (SELECT CAST(SUM(e) AS BIGINT) AS te FROM eff)
+    SELECT eff.source, eff.n AS n_passages, eff.ceded AS ceded_passages,
+           CAST(eff.e AS BIGINT) AS effective_passages,
+           CAST(CAST(eff.e AS HUGEINT) * 1000000 // s.te AS BIGINT)
+             AS weight_micro
+    FROM eff, s
+    """,
+)
+def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing-weight DECISION operator over the cross-source overlap
+    matrix (VERDICT r10 #5 — the consumer that turns the r10
+    diagnostic into an action): down-weight each source by the
+    duplicated mass it shares with a LARGER source, then normalize.
+    The rule is the published mixing-audit convention — for every
+    overlapping pair, the SMALLER source (ties: the lexicographically
+    larger name) cedes the shared passage mass, so the dominant copy
+    of the text keeps its weight and the dominated source stops
+    double-counting it:
+
+        ceded(s)   = Σ shared(a, b) over pairs s loses
+        effective  = max(n_distinct_passages − ceded, 0)
+        weight     = effective · 10⁶ // Σ effective   (integer floor)
+
+    Reconciliation with :func:`dedup_cross_source_overlap` is pinned
+    by an invariant test (tests/test_round11.py): the per-source ceded
+    mass recomputed from the overlap matrix's rows matches exactly,
+    and Σ weight_micro ∈ (10⁶ − |sources|, 10⁶].
+
+    Exactness: counts are distinct-set cardinalities, ceding is
+    integer sums with a deterministic loser rule, and the weight is a
+    cross-multiplied integer ratio widened through
+    DECIMAL(38,0)/HUGEINT (no overflow at 10¹³+ passages/source, no
+    doubles). An all-duplicate corpus (Σ effective = 0) fails loudly
+    (division by zero) in BOTH engines rather than emitting garbage.
+
+    Plan: identical corpus shape to the overlap matrix — ONE
+    corpus-scale DISTINCT (fp, source) exchange, then every further
+    frame (totals, pairs, ceded, the 1-row normalizer) is |sources|-
+    or |sources|²-sized and broadcast; the same DF-cap prefilter
+    escape hatch documented there applies at thousands of dumps.
+    Reference: no counterpart (converter.go is a per-file converter);
+    SURVEY §2 LLM-dedup extension."""
+    occ = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(shingles(tokenize("text"), _PASSAGE_N)).alias("sh"),
+    )
+    fp = _persist(
+        occ.select("source", md5_60(F.col("sh")).alias("fp")).distinct()
+    )
+    tot = fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = fp.select(F.col("source").alias("src_a"), "fp")
+    b = fp.select(F.col("source").alias("src_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    loser = (
+        F.when(F.col("n_a") < F.col("n_b"), F.col("src_a"))
+        .when(F.col("n_b") < F.col("n_a"), F.col("src_b"))
+        .otherwise(F.greatest("src_a", "src_b"))
+    )
+    ceded = (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .groupBy(loser.alias("source"))
+        .agg(F.sum("shared").cast("bigint").alias("c"))
+    )
+    eff = (
+        tot.join(F.broadcast(ceded), "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_passages"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("ceded_passages"),
+            F.greatest(
+                F.col("n") - F.coalesce("c", F.lit(0)), F.lit(0)
+            ).cast("bigint").alias("effective_passages"),
+        )
+    )
+    te = eff.agg(
+        F.sum("effective_passages").cast("bigint").alias("te")
+    )
+    return eff.join(F.broadcast(te)).select(
+        "source",
+        "n_passages",
+        "ceded_passages",
+        "effective_passages",
+        F.expr(
+            "cast(cast(effective_passages as decimal(38,0)) * 1000000"
+            " div te as bigint)"
+        ).alias("weight_micro"),
+    )

@@ -3896,3 +3896,364 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div n_bytes as bigint)"
         ).alias("tokens_per_byte_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: trained language identification (the last unbuilt CCNet stage)
+
+
+#: Char n-gram order for the langid classifier (trigram is the
+#: classic langid.py / fastText-default granularity).
+_LANGID_N = 3
+#: Hashed feature buckets — small enough that the per-language weight
+#: vector inlines as an array literal in the scoring projection (the
+#: quality_model_score convention), large enough that distinct
+#: character distributions land in distinct buckets.
+_LANGID_D = 64
+#: Training sample: the lowest doc_ids (the bounded-sample trainer
+#: convention every ANN index here uses — model parameters come from
+#: a fixed-size sample, corpus-independent).
+_LANGID_SAMPLE = 512
+
+
+def _langid_grams(t):
+    """Array of char {_LANGID_N}-grams of a (lower/trimmed) string
+    column — F.sequence positions + Column.substr, no Python."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(t) - (_LANGID_N - 1)),
+        lambda i: t.substr(i, F.lit(_LANGID_N)),
+    )
+
+
+def langid_score_frame(docs: DataFrame) -> DataFrame:
+    """Train a naive-Bayes linear langid on the lowest
+    ``_LANGID_SAMPLE`` doc_ids of ``docs`` (columns: doc_id, lang,
+    text), then score EVERY row — factored out so tests can run the
+    identical estimator on planted fixtures with genuinely distinct
+    character distributions.
+
+    Model: per language, Laplace-smoothed log-probabilities of hashed
+    char-trigram buckets plus a document-frequency log-prior, all
+    FLOORED to integer micro-units so scores are exact BIGINTs
+    (the _LM_SCALE fixed-point discipline). Score(doc, lang) =
+    prior[lang] + Σ_grams w[lang][h(gram) mod D]; prediction is the
+    argmax with ties broken (score DESC, lang DESC) identically in
+    both engines.
+
+    Plan: training is one bounded explode+count over the ≤512-doc
+    sample (TakeOrdered + model-sized aggregations, collected once —
+    |langs|·D + |langs| rows); scoring is a ZERO-SHUFFLE codegen
+    projection — buckets hashed once per doc into an int array, then
+    |langs| F.aggregate folds over inlined weight-array literals.
+    No corpus join, no explode, no Python in the scoring path."""
+    import math
+
+    norm = F.lower(F.trim(F.col("text")))
+    base = docs.select("doc_id", "lang", norm.alias("t")).filter(
+        F.length("t") >= _LANGID_N
+    )
+    samp = _persist(base.orderBy("doc_id").limit(_LANGID_SAMPLE))
+    ex = samp.select(
+        "lang",
+        F.explode(
+            F.transform(
+                _langid_grams(F.col("t")),
+                lambda g: (md5_60(g) % _LANGID_D).cast("int"),
+            )
+        ).alias("b"),
+    )
+    cnt = {
+        (r.lang, r.b): r.c
+        for r in ex.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    tot = {
+        r.lang: r.c
+        for r in ex.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    dl = {
+        r.lang: r.c
+        for r in samp.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_sample = sum(dl.values())
+    langs = sorted(tot)
+    weights = {
+        lang: [
+            int(
+                math.floor(
+                    math.log(
+                        (cnt.get((lang, b), 0) + 1)
+                        / float(tot[lang] + _LANGID_D)
+                    )
+                    * _LM_SCALE
+                )
+            )
+            for b in range(_LANGID_D)
+        ]
+        for lang in langs
+    }
+    priors = {
+        lang: int(math.floor(math.log(dl[lang] / float(n_sample)) * _LM_SCALE))
+        for lang in langs
+    }
+
+    withb = base.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            _langid_grams(F.col("t")),
+            lambda g: (md5_60(g) % _LANGID_D).cast("int"),
+        ).alias("bs"),
+    )
+
+    def score_of(lang):
+        warr = F.array(*[F.lit(w) for w in weights[lang]])
+        return F.aggregate(
+            F.col("bs"),
+            F.lit(priors[lang]).cast("bigint"),
+            lambda acc, b: acc + F.element_at(warr, b + 1),
+        )
+
+    ranked = withb.select(
+        "doc_id",
+        "lang",
+        F.reverse(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            score_of(lang).alias("s"),
+                            F.lit(lang).alias("pl"),
+                        )
+                        for lang in langs
+                    ]
+                )
+            )
+        ).alias("rk"),
+    )
+    margin = (
+        (F.col("rk")[0]["s"] - F.col("rk")[1]["s"])
+        if len(langs) > 1
+        else F.lit(0).cast("bigint")
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.col("rk")[0]["pl"].alias("pred_lang"),
+        F.col("rk")[0]["s"].alias("score_micro"),
+        margin.alias("margin_micro"),
+        (F.col("rk")[0]["pl"] == F.col("lang")).alias("agree"),
+    )
+
+
+def _langid_oracle() -> str:
+    """DuckDB replay of :func:`langid_score_frame` — sample selection,
+    trigram bucket counts, smoothed integer weights + priors, corpus
+    scoring join, windowed argmax. Weight/grid CTEs MATERIALIZED (the
+    chained-CTE inlining guard); the corpus scoring join stays inline
+    so it fuses."""
+    gram = f"substring(t, CAST(i AS INTEGER), {_LANGID_N})"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+      WHERE len(lower(trim(text))) >= {_LANGID_N}),
+    samp AS MATERIALIZED (
+      SELECT * FROM base ORDER BY doc_id LIMIT {_LANGID_SAMPLE}),
+    ex AS (
+      SELECT lang, {md5_60_sql(gram)} % {_LANGID_D} AS b
+      FROM samp, unnest(range(1, len(t) - {_LANGID_N - 2})) AS u(i)),
+    cnt AS (SELECT lang, b, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+    tot AS (SELECT lang, COUNT(*) AS n FROM ex GROUP BY 1),
+    dl AS (SELECT lang, COUNT(*) AS d FROM samp GROUP BY 1),
+    ns AS (SELECT COUNT(*) AS m FROM samp),
+    grid AS (SELECT dl.lang, gb.b FROM dl, unnest(range(0, {_LANGID_D})) AS gb(b)),
+    w AS MATERIALIZED (
+      SELECT g.lang, g.b,
+             CAST(FLOOR(ln((COALESCE(c.c, 0) + 1)
+                           / CAST(t.n + {_LANGID_D} AS DOUBLE))
+                        * {_LM_SCALE}) AS BIGINT) AS w
+      FROM grid g
+      JOIN tot t USING (lang)
+      LEFT JOIN cnt c ON c.lang = g.lang AND c.b = g.b),
+    pri AS MATERIALIZED (
+      SELECT dl.lang,
+             CAST(FLOOR(ln(dl.d / CAST(ns.m AS DOUBLE)) * {_LM_SCALE})
+                  AS BIGINT) AS p
+      FROM dl, ns),
+    cb AS (
+      SELECT doc_id, {md5_60_sql(gram)} % {_LANGID_D} AS b
+      FROM base, unnest(range(1, len(t) - {_LANGID_N - 2})) AS u(i)),
+    sc AS (
+      SELECT cb.doc_id, w.lang AS cand,
+             CAST(MAX(pri.p) + SUM(w.w) AS BIGINT) AS s
+      FROM cb JOIN w ON w.b = cb.b JOIN pri ON pri.lang = w.lang
+      GROUP BY cb.doc_id, w.lang),
+    rk AS (
+      SELECT doc_id, cand, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, cand DESC) AS rn,
+             s - lead(s) OVER (PARTITION BY doc_id
+                               ORDER BY s DESC, cand DESC) AS mg
+      FROM sc)
+    SELECT b.doc_id, b.lang, rk.cand AS pred_lang, rk.s AS score_micro,
+           CAST(COALESCE(rk.mg, 0) AS BIGINT) AS margin_micro,
+           (rk.cand = b.lang) AS agree
+    FROM rk JOIN base b USING (doc_id) WHERE rk.rn = 1
+    """
+
+
+@CAT.query("text_langid_model", oracle=_langid_oracle())
+def text_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language identification — the one CCNet/C4 stage that
+    was still unbuilt (Wenzek et al. 2020 run fastText langid UPSTREAM
+    of the LM buckets; every other entry consumes the corpus's `lang`
+    column as given). fastText-style shape: hashed char-trigram
+    features → per-language linear scores → argmax, with the model
+    trained on a bounded sample and applied as a zero-shuffle inlined
+    projection (see :func:`langid_score_frame` for the estimator and
+    the plan shape; composite into text_ccnet_buckets pinned by
+    tests/test_round11.py).
+
+    Honesty note (the ANN recall-honesty convention): the synthetic
+    corpus draws EVERY language's text from the same English word
+    distribution — `lang` is an independent label, not a property of
+    the characters — so corpus-level agreement lands near the
+    majority-class prior by construction. The estimator's
+    discrimination is proven on planted fixtures with genuinely
+    distinct character distributions (tests/test_round11.py), where
+    agreement is exact; margin_micro quantifies ambiguity per doc.
+
+    Exactness: weights and priors are floor(ln(·)·10⁶) integer
+    micro-units, scores are BIGINT sums, the argmax tie-breaks
+    (score DESC, lang DESC) — bit-identical in DuckDB.
+    Reference: no counterpart (converter.go is a per-file converter);
+    SURVEY §2 LLM-text extension."""
+    return langid_score_frame(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 11: URL/domain-level filtering (RefinedWeb/C4 blocklist + cap)
+
+
+#: Registrable-domain universe for the deterministic URL fixture: 40
+#: domains d0..d39, TLD fixed by dom_id % 4 so the registrable name is
+#: a pure function of the doc-id hash (both engines replay it).
+_URL_DOMS = 40
+_URL_TLDS = ("com", "org", "net", "io")
+#: RefinedWeb-style per-domain contribution cap: a registrable domain
+#: contributes its _URL_CAP lowest doc_ids; the rest are 'capped'.
+_URL_CAP = 12
+#: C4/RefinedWeb-style blocklist — explicit registrable-domain
+#: literals (consistent with the dom_id % 4 TLD rule: 3→io, 17→org,
+#: 29→org; pinned by tests/test_round11.py).
+_URL_BLOCKLIST = ("d3.io", "d17.org", "d29.org")
+_URL_BLOCK_SQL = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+
+
+@CAT.query(
+    "text_url_domain_filter",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {md5_60_sql("CAST(doc_id AS VARCHAR)")} % {_URL_DOMS} AS dom_id
+      FROM documents),
+    u AS (
+      SELECT doc_id,
+             'https://www.d' || CAST(dom_id AS VARCHAR) || '.' ||
+             list_value('{_URL_TLDS[0]}', '{_URL_TLDS[1]}',
+                        '{_URL_TLDS[2]}', '{_URL_TLDS[3]}')[
+               CAST(dom_id % 4 AS INTEGER) + 1] ||
+             '/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM h),
+    p AS (
+      SELECT doc_id, url,
+             regexp_extract(
+               regexp_extract(url, '^https://([^/]+)/', 1),
+               '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM u),
+    f AS (
+      SELECT doc_id, domain,
+             domain IN ({_URL_BLOCK_SQL}) AS blocked,
+             row_number() OVER (
+               PARTITION BY domain, domain IN ({_URL_BLOCK_SQL})
+               ORDER BY doc_id) AS rk
+      FROM p)
+    SELECT doc_id, domain,
+           CAST(CASE WHEN blocked THEN 0 ELSE rk END AS BIGINT)
+             AS domain_rank,
+           CASE WHEN blocked THEN 'blocked'
+                WHEN rk > {_URL_CAP} THEN 'capped'
+                ELSE 'kept' END AS verdict
+    FROM f
+    """,
+)
+def text_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-level filtering — the RefinedWeb/C4 pipeline stage
+    that runs BEFORE any content filter: parse each document's URL,
+    extract the registrable domain, drop blocklisted domains, and cap
+    every domain's contribution at its ``_URL_CAP`` lowest doc_ids
+    (RefinedWeb's per-domain frequency cap, the defense against a
+    single crawler-friendly site dominating the corpus).
+
+    The corpus carries no URL column, so the URL ASSIGNMENT is a
+    deterministic fixture stage (registrable domain = pure function of
+    the doc-id hash — the multimodal-stub convention: fixture-gen is
+    replayed identically by both engines and clearly marked). The
+    OPERATOR under test is everything after it: host extraction and
+    registrable-domain parsing are real regexes over the URL string,
+    the blocklist is an IN-list, and the cap is a rank within the
+    domain.
+
+    Exactness: hash-derived domain ids, string equality against
+    literal blocklist entries, and a deterministic (domain, doc_id)
+    rank — no doubles anywhere. Blocked docs report rank 0 (they never
+    consume a cap slot — the published order: blocklist first, cap the
+    survivors).
+
+    Plan: URL synthesis + parsing + blocklist test are one zero-
+    shuffle codegen projection; the cap is ONE domain-keyed window
+    exchange (partition (domain, blocked), order doc_id). At web scale
+    registrable-domain cardinality is ~10⁷ with the hottest domains at
+    ~10⁶ docs — a single window partition per domain holds; a truly
+    degenerate domain would switch to the two-phase rank scaffold
+    (rank_global_two_phase) keyed on (domain, doc_id-bucket).
+    Reference: no counterpart (converter.go is a per-file converter);
+    SURVEY §2 LLM-text extension."""
+    h = md5_60(F.col("doc_id").cast("string"))
+    dom_id = h % _URL_DOMS
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _URL_TLDS]),
+        (dom_id % 4).cast("int") + 1,
+    )
+    url = F.concat(
+        F.lit("https://www.d"),
+        dom_id.cast("string"),
+        F.lit("."),
+        tld,
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    p = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract(
+            F.regexp_extract(url, "^https://([^/]+)/", 1),
+            r"([^.]+\.[^.]+)$",
+            1,
+        ).alias("domain"),
+    )
+    blocked = F.col("domain").isin(*_URL_BLOCKLIST)
+    rk = F.row_number().over(
+        Window.partitionBy("domain", blocked).orderBy("doc_id")
+    )
+    f = p.select("doc_id", "domain", blocked.alias("blocked"), rk.alias("rk"))
+    return f.select(
+        "doc_id",
+        "domain",
+        F.when(F.col("blocked"), F.lit(0))
+        .otherwise(F.col("rk"))
+        .cast("bigint")
+        .alias("domain_rank"),
+        F.when(F.col("blocked"), F.lit("blocked"))
+        .when(F.col("rk") > _URL_CAP, F.lit("capped"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    )

@@ -127,6 +127,10 @@ HEAVY = [
     # round-10 additions with scale-sensitive semantics
     "dedup_ccnet_lines",  # cross-doc first-occurrence races at real volume
     "dedup_cross_source_overlap",  # per-fp pair populations grow with volume
+    # round-11 additions with scale-sensitive semantics
+    "text_langid_model",  # trained weights shift with the bigger sample; argmax tie density
+    "mix_source_weights",  # ceding races on near-equal source sizes at volume
+    "text_url_domain_filter",  # per-domain cap boundaries only bind at real volume
 ]
 
 QUERIES = entry_mod.queries()

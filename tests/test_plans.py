@@ -245,6 +245,7 @@ _BNLJ_ALLOW = {
     "events_markov_stationary",  # 1-row state-count broadcast for uniform start
     "orders_kaplan_meier",  # 1-row horizon + 1-row subject-total attaches
     "sample_dsir_importance",  # 1-row target/raw token-total broadcasts
+    "mix_source_weights",  # 1-row effective-total broadcast normalizer
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
