@@ -247,6 +247,22 @@ SHOWCASE = {
         [r"\(\d+\) HashAggregate[^\n]{0,80}",
          r"hashpartitioning\(lang[^\n]{0,40}"],
     ),
+    "text_langid_model": (
+        "trained langid scoring is a ZERO-SHUFFLE codegen projection "
+        "(inlined weight-array literals; buckets hashed once per doc; "
+        "the one Exchange is spread()'s fixture-only widen — no join, "
+        "no Python in the scoring plan)",
+        [r"\(\d+\) Project[^\n]{0,40}",
+         r"!\(\d+\) BroadcastHashJoin",
+         r"!MapInPandas"],
+    ),
+    "text_url_domain_filter": (
+        "URL parse + blocklist are map-side; the RefinedWeb cap is "
+        "exactly ONE domain-keyed window exchange (the other Exchange "
+        "is spread()'s fixture-only widen)",
+        [r"hashpartitioning\(domain[^\n]{0,60}",
+         r"\(\d+\) Window[^\n]{0,60}"],
+    ),
 }
 
 
