@@ -14,10 +14,12 @@ trainer budget bought recall), rebase that entry explicitly:
     python scripts/refresh_bench_floors.py --rebase knn_ivf_ann
 
 which resets the named entry to the minimum of the SOURCE artifacts
-only (dropping the stale pre-change floor). Sources are the full
-bench payloads on current code: BENCH_LOCAL.json and
-BENCH_LOCAL_CALM.json, plus any extra payload paths given as
-positional args.
+only (dropping the stale pre-change floor). The default source is
+BENCH_LOCAL.json (the latest current-code payload) plus any extra
+payload paths given as positional args — deliberately NOT the
+archived calm-window snapshot (BENCH_LOCAL_CALM.json seeded the
+initial floors but is r10-code: keeping it as a perpetual source
+would re-introduce stale pre-change floors after every --rebase).
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ import sys
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOORS = os.path.join(_ROOT, "bench_floors.json")
-DEFAULT_SOURCES = ["BENCH_LOCAL.json", "BENCH_LOCAL_CALM.json"]
+DEFAULT_SOURCES = ["BENCH_LOCAL.json"]
 
 
 def main() -> int:
