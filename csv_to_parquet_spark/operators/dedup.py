@@ -2282,10 +2282,13 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 11: mixing weights from the cross-source overlap matrix
 
 
-@CAT.query(
-    "mix_source_weights",
-    oracle=f"""
-    WITH occ AS (
+#: Shared oracle-CTE prefix producing ``eff(source, n, ceded, e)`` —
+#: the down-weighted per-source passage mass consumed by BOTH
+#: mix_source_weights and mix_token_allocation (one constant, so the
+#: two oracles can never drift from each other). ``eff`` is
+#: MATERIALIZED: both consumers reference it at least twice, and the
+#: chain above it is corpus-scale (the duckdb-cte-inlining guard).
+_SRC_EFF_CTES = f"""occ AS (
       SELECT source, unnest({_PASSAGES_SQL}) AS sh FROM documents),
     fp AS (
       SELECT DISTINCT source, {md5_60_sql("sh")} AS fp FROM occ),
@@ -2307,11 +2310,17 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE GREATEST(src_a, src_b) END AS source,
              CAST(SUM(shared) AS BIGINT) AS c
       FROM pj GROUP BY 1),
-    eff AS (
+    eff AS MATERIALIZED (
       SELECT t.source, t.n,
              CAST(COALESCE(c.c, 0) AS BIGINT) AS ceded,
              GREATEST(t.n - CAST(COALESCE(c.c, 0) AS BIGINT), 0) AS e
-      FROM tot t LEFT JOIN ceded c USING (source)),
+      FROM tot t LEFT JOIN ceded c USING (source))"""
+
+
+@CAT.query(
+    "mix_source_weights",
+    oracle=f"""
+    WITH {_SRC_EFF_CTES},
     s AS (SELECT CAST(SUM(e) AS BIGINT) AS te FROM eff)
     SELECT eff.source, eff.n AS n_passages, eff.ceded AS ceded_passages,
            CAST(eff.e AS BIGINT) AS effective_passages,
@@ -2354,6 +2363,28 @@ def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatch documented there applies at thousands of dumps.
     Reference: no counterpart (converter.go is a per-file converter);
     SURVEY §2 LLM-dedup extension."""
+    eff = _source_effective_frame(spark, sf_dir)
+    te = eff.agg(
+        F.sum("effective_passages").cast("bigint").alias("te")
+    )
+    return eff.join(F.broadcast(te)).select(
+        "source",
+        "n_passages",
+        "ceded_passages",
+        "effective_passages",
+        F.expr(
+            "cast(cast(effective_passages as decimal(38,0)) * 1000000"
+            " div te as bigint)"
+        ).alias("weight_micro"),
+    )
+
+
+def _source_effective_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_passages, ceded_passages, effective_passages) —
+    the down-weighting core shared by :func:`mix_source_weights`
+    (normalized weights) and :func:`mix_token_allocation` (budget
+    apportionment). One corpus-scale DISTINCT (fp, source) exchange;
+    everything downstream is |sources|- or |sources|²-sized."""
     occ = _docs(spark, sf_dir).select(
         "source",
         F.explode(shingles(tokenize("text"), _PASSAGE_N)).alias("sh"),
@@ -2385,7 +2416,7 @@ def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(loser.alias("source"))
         .agg(F.sum("shared").cast("bigint").alias("c"))
     )
-    eff = (
+    return (
         tot.join(F.broadcast(ceded), "source", "left")
         .select(
             "source",
@@ -2396,16 +2427,130 @@ def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("effective_passages"),
         )
     )
-    te = eff.agg(
-        F.sum("effective_passages").cast("bigint").alias("te")
+
+
+# ---------------------------------------------------------------------------
+# Round 11: token-budget apportionment over the mixing weights
+
+
+#: Global token budget for the mixture-allocation entry — a model
+#: parameter (the "how many tokens do we train on" input), not a
+#: corpus statistic; sf-independent by design.
+_MIX_BUDGET = 1_000_000
+
+
+@CAT.query(
+    "mix_token_allocation",
+    oracle=f"""
+    WITH {_SRC_EFF_CTES},
+    s AS (SELECT CAST(SUM(e) AS BIGINT) AS te FROM eff),
+    avail AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY 1),
+    base AS (
+      SELECT eff.source, eff.e,
+             CAST(CAST({_MIX_BUDGET} AS HUGEINT) * eff.e // s.te
+                  AS BIGINT) AS b,
+             CAST(CAST({_MIX_BUDGET} AS HUGEINT) * eff.e % s.te
+                  AS BIGINT) AS r
+      FROM eff, s),
+    lo AS (SELECT CAST({_MIX_BUDGET} - SUM(b) AS BIGINT) AS leftover
+           FROM base),
+    rk AS (
+      SELECT source, e, b, r,
+             row_number() OVER (ORDER BY r DESC, source) AS rn
+      FROM base),
+    alloc AS (
+      SELECT rk.source, rk.e,
+             CAST(rk.b + CASE WHEN rk.rn <= lo.leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc_tokens
+      FROM rk, lo)
+    SELECT a.source,
+           CAST(a.e AS BIGINT) AS effective_passages,
+           av.avail_tokens,
+           a.alloc_tokens,
+           CAST((CAST(a.alloc_tokens AS HUGEINT) * 1000
+                 + av.avail_tokens - 1) // av.avail_tokens
+                AS BIGINT) AS repeats_milli
+    FROM alloc a JOIN avail av USING (source)
+    """,
+)
+def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment over the down-weighted mixture — the
+    step after :func:`mix_source_weights` in a training-data plan:
+    given a global token budget, how many tokens does each source
+    contribute, and how many EPOCHS of that source does the allocation
+    imply (the data-constrained repeat factor of Muennighoff et al.
+    2023 — an allocation above a source's available tokens means the
+    source repeats)?
+
+    Apportionment is Hamilton / largest-remainder, the classic
+    integer-exact scheme: base_i = ⌊B·eff_i / Σeff⌋, and the leftover
+    B − Σbase tokens (one per source, at most |sources|−1) go to the
+    largest remainders (ties: source name ASC). Σ alloc_tokens == B
+    EXACTLY — pinned by an invariant test, with every allocation
+    within one token of its real quota. repeats_milli =
+    ⌈alloc·1000 / available⌉ in integer thousandths of an epoch.
+
+    Exactness: the quota arithmetic is cross-multiplied integers
+    widened through DECIMAL(38,0)/HUGEINT (B·eff exceeds int64 when a
+    10¹³-token budget meets a 10¹³-passage source); the remainder is
+    recovered as B·eff − base·Σeff on the Spark side (identical to
+    the oracle's modulo by the division algorithm), so both engines
+    rank identical integers. Everything downstream of the corpus
+    aggregations is |sources|-sized.
+
+    Plan: TWO corpus-scale exchanges — the DISTINCT (fp, source) the
+    effective-mass core shares with the overlap matrix, and one
+    source-keyed token-count aggregation (map-side combined). The
+    apportionment itself (1-row total broadcasts, a |sources|-row
+    remainder window) is model-sized. Reference: no counterpart
+    (converter.go is a per-file converter); SURVEY §2 LLM-dedup
+    extension."""
+    eff = _source_effective_frame(spark, sf_dir)
+    te = eff.agg(F.sum("effective_passages").cast("bigint").alias("te"))
+    avail = _docs(spark, sf_dir).groupBy("source").agg(
+        F.sum(F.size(tokenize("text"))).cast("bigint").alias("avail_tokens")
     )
-    return eff.join(F.broadcast(te)).select(
+    base = eff.join(F.broadcast(te)).select(
         "source",
-        "n_passages",
-        "ceded_passages",
         "effective_passages",
         F.expr(
-            "cast(cast(effective_passages as decimal(38,0)) * 1000000"
-            " div te as bigint)"
-        ).alias("weight_micro"),
+            f"cast(cast({_MIX_BUDGET} as decimal(38,0))"
+            " * effective_passages div te as bigint)"
+        ).alias("b"),
+        F.expr(
+            f"cast(cast({_MIX_BUDGET} as decimal(38,0)) * effective_passages"
+            f" - (cast({_MIX_BUDGET} as decimal(38,0))"
+            " * effective_passages div te) * te as bigint)"
+        ).alias("r"),
+    )
+    lo = base.agg(
+        (F.lit(_MIX_BUDGET) - F.sum("b")).cast("bigint").alias("leftover")
+    )
+    rk = base.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("r"), F.asc("source"))),
+    )
+    alloc = rk.join(F.broadcast(lo)).select(
+        "source",
+        "effective_passages",
+        (
+            F.col("b")
+            + F.when(F.col("rn") <= F.col("leftover"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).cast("bigint").alias("alloc_tokens"),
+    )
+    return alloc.join(F.broadcast(avail), "source").select(
+        "source",
+        "effective_passages",
+        "avail_tokens",
+        "alloc_tokens",
+        F.expr(
+            "cast((cast(alloc_tokens as decimal(38,0)) * 1000"
+            " + avail_tokens - 1) div avail_tokens as bigint)"
+        ).alias("repeats_milli"),
     )

@@ -246,6 +246,7 @@ _BNLJ_ALLOW = {
     "orders_kaplan_meier",  # 1-row horizon + 1-row subject-total attaches
     "sample_dsir_importance",  # 1-row target/raw token-total broadcasts
     "mix_source_weights",  # 1-row effective-total broadcast normalizer
+    "mix_token_allocation",  # 1-row total + 1-row leftover broadcasts
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are

@@ -253,3 +253,28 @@ def test_round11_oracle_parity_smoke(spark, sf_oracle):
         du = con.execute(o[name]).df()
         assert len(sp) == len(du), name
         assert compare_frames(sp, du) == [], name
+
+
+def test_token_allocation_is_exact_hamilton(spark, queries):
+    """Σ alloc == budget EXACTLY; every allocation within one token of
+    its real quota; effective mass reconciles with mix_source_weights;
+    repeats_milli is the integer ceiling of alloc·1000/available."""
+    from csv_to_parquet_spark.operators.dedup import _MIX_BUDGET
+
+    sf = "/root/testdata/sf0.01"
+    alloc = {
+        r.source: r
+        for r in queries["mix_token_allocation"](spark, sf).collect()
+    }
+    weights = {
+        r.source: r for r in queries["mix_source_weights"](spark, sf).collect()
+    }
+    assert set(alloc) == set(weights)
+    assert sum(r.alloc_tokens for r in alloc.values()) == _MIX_BUDGET
+    te = sum(r.effective_passages for r in alloc.values())
+    for src, r in alloc.items():
+        assert r.effective_passages == weights[src].effective_passages
+        quota = _MIX_BUDGET * r.effective_passages / te
+        assert quota - 1 < r.alloc_tokens < quota + 1, src
+        expect_rep = -(-r.alloc_tokens * 1000 // r.avail_tokens)
+        assert r.repeats_milli == expect_rep, src
