@@ -191,6 +191,7 @@ HEADLINE = [
     "mix_source_weights",
     "text_url_domain_filter",
     "mix_token_allocation",
+    "mix_select_documents",
 ]
 
 # Automated variance floor-check (VERDICT r10 #2). bench_floors.json
@@ -211,7 +212,7 @@ FLOOR_TOLERANCE = 1.25
 #: Headline entries added since the last committed floors refresh —
 #: the only names allowed to have no floor (they seed one on the next
 #: scripts/refresh_bench_floors.py run; pinned by tests/test_round11.py).
-FLOORLESS_NEW: set[str] = {"mix_token_allocation"}
+FLOORLESS_NEW: set[str] = {"mix_token_allocation", "mix_select_documents"}
 
 
 def load_floors() -> dict[str, float]:

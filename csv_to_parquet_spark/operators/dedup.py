@@ -2435,20 +2435,23 @@ def _source_effective_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Global token budget for the mixture-allocation entry — a model
 #: parameter (the "how many tokens do we train on" input), not a
-#: corpus statistic; sf-independent by design.
-_MIX_BUDGET = 1_000_000
+#: corpus statistic; sf-independent by design. 28k is chosen so BOTH
+#: regimes are exercised at the driver's sf0.01 gate: per-source
+#: allocations (~1.2-1.7k tokens) STRADDLE the per-source available
+#: mass (~1.3-1.5k) — some sources repeat (repeats_milli > 1000),
+#: others leave documents unselected — and at sf0.1 the selection
+#: boundary binds for every source. A budget above the corpus total
+#: would make `selected` vacuously true everywhere and the repeat
+#: factor untested.
+_MIX_BUDGET = 28_000
 
 
-@CAT.query(
-    "mix_token_allocation",
-    oracle=f"""
-    WITH {_SRC_EFF_CTES},
+#: Oracle-CTE chain extending ``_SRC_EFF_CTES`` to the Hamilton
+#: allocation — produces ``alloc(source, e, alloc_tokens)``. Shared by
+#: mix_token_allocation and mix_select_documents (one constant, zero
+#: drift). ``alloc`` is MATERIALIZED for the same reason as ``eff``.
+_MIX_ALLOC_CTES = f"""{_SRC_EFF_CTES},
     s AS (SELECT CAST(SUM(e) AS BIGINT) AS te FROM eff),
-    avail AS (
-      SELECT source,
-             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
-                  AS BIGINT) AS avail_tokens
-      FROM documents GROUP BY 1),
     base AS (
       SELECT eff.source, eff.e,
              CAST(CAST({_MIX_BUDGET} AS HUGEINT) * eff.e // s.te
@@ -2462,11 +2465,22 @@ _MIX_BUDGET = 1_000_000
       SELECT source, e, b, r,
              row_number() OVER (ORDER BY r DESC, source) AS rn
       FROM base),
-    alloc AS (
+    alloc AS MATERIALIZED (
       SELECT rk.source, rk.e,
              CAST(rk.b + CASE WHEN rk.rn <= lo.leftover THEN 1 ELSE 0 END
                   AS BIGINT) AS alloc_tokens
-      FROM rk, lo)
+      FROM rk, lo)"""
+
+
+@CAT.query(
+    "mix_token_allocation",
+    oracle=f"""
+    WITH {_MIX_ALLOC_CTES},
+    avail AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY 1)
     SELECT a.source,
            CAST(a.e AS BIGINT) AS effective_passages,
            av.avail_tokens,
@@ -2509,11 +2523,29 @@ def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     remainder window) is model-sized. Reference: no counterpart
     (converter.go is a per-file converter); SURVEY §2 LLM-dedup
     extension."""
-    eff = _source_effective_frame(spark, sf_dir)
-    te = eff.agg(F.sum("effective_passages").cast("bigint").alias("te"))
     avail = _docs(spark, sf_dir).groupBy("source").agg(
         F.sum(F.size(tokenize("text"))).cast("bigint").alias("avail_tokens")
     )
+    alloc = _mix_alloc_frame(spark, sf_dir)
+    return alloc.join(F.broadcast(avail), "source").select(
+        "source",
+        "effective_passages",
+        "avail_tokens",
+        "alloc_tokens",
+        F.expr(
+            "cast((cast(alloc_tokens as decimal(38,0)) * 1000"
+            " + avail_tokens - 1) div avail_tokens as bigint)"
+        ).alias("repeats_milli"),
+    )
+
+
+def _mix_alloc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, effective_passages, alloc_tokens) — the Hamilton
+    apportionment core shared by :func:`mix_token_allocation` and
+    :func:`mix_select_documents` (the Spark twin of the
+    ``_MIX_ALLOC_CTES`` oracle constant)."""
+    eff = _source_effective_frame(spark, sf_dir)
+    te = eff.agg(F.sum("effective_passages").cast("bigint").alias("te"))
     base = eff.join(F.broadcast(te)).select(
         "source",
         "effective_passages",
@@ -2534,7 +2566,7 @@ def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.row_number().over(Window.orderBy(F.desc("r"), F.asc("source"))),
     )
-    alloc = rk.join(F.broadcast(lo)).select(
+    return rk.join(F.broadcast(lo)).select(
         "source",
         "effective_passages",
         (
@@ -2544,13 +2576,104 @@ def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("alloc_tokens"),
     )
-    return alloc.join(F.broadcast(avail), "source").select(
+
+
+#: Documents per prefix-sum bucket for the selection scaffold (the
+#: packing.BUCKET convention: the offset table has N/BUCKET rows per
+#: source — at 10¹² docs set ~10⁶; small here so the test corpus
+#: exercises multiple buckets).
+_SEL_BUCKET = 128
+
+
+@CAT.query(
+    "mix_select_documents",
+    oracle=f"""
+    WITH {_MIX_ALLOC_CTES},
+    toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before_tokens
+      FROM toks)
+    SELECT c.doc_id, c.source, c.n_tokens, c.cum_before_tokens,
+           c.cum_before_tokens < a.alloc_tokens AS selected
+    FROM cum c JOIN alloc a USING (source)
+    """,
+)
+def mix_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the mixture — the final step of the weights →
+    budget → SELECTION chain: per source, documents are taken in
+    deterministic priority order (doc_id here; production substitutes
+    a quality or hash-priority key — the scaffold is unchanged) until
+    the source's Hamilton allocation (:func:`mix_token_allocation`) is
+    exhausted. A document is selected iff the tokens BEFORE it in its
+    source's order are still under the allocation, so the one
+    boundary-crossing document is included (the packing convention:
+    an allocation is a minimum draw, trimmed downstream by the
+    sequence packer) and every source with a nonzero allocation
+    contributes at least one document.
+
+    Exactness: prefix sums of integer token counts, compared against
+    the integer allocation — no floats; the selection boundary is
+    pinned per source by an invariant test.
+
+    Plan: the allocation core's two corpus-scale exchanges, plus the
+    pack_token_budget two-phase prefix-sum scaffold for the per-source
+    running totals — within-(source, doc-bucket) windows run parallel,
+    only the per-(source, bucket) offset frame (corpus/{_SEL_BUCKET}
+    rows) pays a per-source sequential window, and documents pick up
+    their offset through a broadcast join. No corpus-wide
+    single-partition window: a source with 10¹¹ documents never
+    funnels through one task. Reference: no counterpart (converter.go
+    is a per-file converter); SURVEY §2 LLM-dedup extension."""
+    alloc = _mix_alloc_frame(spark, sf_dir).select("source", "alloc_tokens")
+    toks = _persist(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            "source",
+            F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+            F.expr(f"doc_id div {_SEL_BUCKET}").alias("bucket"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = toks.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("source", "bucket")
+        .agg(F.sum("n_tokens").alias("bucket_sum"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("bucket_sum").over(w_off), F.lit(0))
+        )
+        .select("source", "bucket", "offset")
+    )
+    cum = within.join(F.broadcast(offsets), ["source", "bucket"]).select(
+        "doc_id",
         "source",
-        "effective_passages",
-        "avail_tokens",
-        "alloc_tokens",
-        F.expr(
-            "cast((cast(alloc_tokens as decimal(38,0)) * 1000"
-            " + avail_tokens - 1) div avail_tokens as bigint)"
-        ).alias("repeats_milli"),
+        "n_tokens",
+        (F.col("cum_in") + F.col("offset") - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("cum_before_tokens"),
+    )
+    return cum.join(F.broadcast(alloc), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_before_tokens",
+        (F.col("cum_before_tokens") < F.col("alloc_tokens")).alias(
+            "selected"
+        ),
     )

@@ -131,6 +131,7 @@ HEAVY = [
     "text_langid_model",  # trained weights shift with the bigger sample; argmax tie density
     "mix_source_weights",  # ceding races on near-equal source sizes at volume
     "mix_token_allocation",  # remainder-rank ties only densify at volume
+    "mix_select_documents",  # prefix-sum bucket boundaries at real volume
     "text_url_domain_filter",  # per-domain cap boundaries only bind at real volume
 ]
 

@@ -247,6 +247,7 @@ _BNLJ_ALLOW = {
     "sample_dsir_importance",  # 1-row target/raw token-total broadcasts
     "mix_source_weights",  # 1-row effective-total broadcast normalizer
     "mix_token_allocation",  # 1-row total + 1-row leftover broadcasts
+    "mix_select_documents",  # same 1-row totals inside the alloc core
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are

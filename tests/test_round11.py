@@ -278,3 +278,36 @@ def test_token_allocation_is_exact_hamilton(spark, queries):
         assert quota - 1 < r.alloc_tokens < quota + 1, src
         expect_rep = -(-r.alloc_tokens * 1000 // r.avail_tokens)
         assert r.repeats_milli == expect_rep, src
+
+
+def test_select_documents_boundary_and_regimes(spark, queries):
+    """Selection must be EXACTLY the per-source greedy prefix rule
+    (cum_before < alloc, boundary-crossing doc included), and the
+    sf0.01 budget must exercise BOTH regimes: some documents
+    unselected AND some sources repeating (alloc > available) — a
+    budget above the corpus total would make the whole entry
+    vacuously true."""
+    sf = "/root/testdata/sf0.01"
+    alloc = {
+        r.source: r
+        for r in queries["mix_token_allocation"](spark, sf).collect()
+    }
+    rows = queries["mix_select_documents"](spark, sf).collect()
+    assert any(not r.selected for r in rows)
+    assert any(
+        a.alloc_tokens > a.avail_tokens for a in alloc.values()
+    )
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in docs:
+            assert r.cum_before_tokens == cum, (src, r.doc_id)
+            assert r.selected == (cum < alloc[src].alloc_tokens), (
+                src,
+                r.doc_id,
+            )
+            cum += r.n_tokens
+        assert cum == alloc[src].avail_tokens, src
