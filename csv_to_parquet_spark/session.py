@@ -36,6 +36,20 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
+    # Executor Python workers must import this package too (pandas
+    # UDFs pickle references to csv_to_parquet_spark.*). The driver
+    # finds it via sys.path, but workers only inherit PYTHONPATH —
+    # running bench.py/__spark_entry__ from OUTSIDE the repo root
+    # crashed every Arrow-UDF stage with ModuleNotFoundError (caught
+    # by the r11 /verify pass). On a real cluster the equivalent is
+    # shipping the package via --py-files / a wheel.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -311,3 +311,45 @@ def test_select_documents_boundary_and_regimes(spark, queries):
             )
             cum += r.n_tokens
         assert cum == alloc[src].avail_tokens, src
+
+
+def test_workers_import_package_from_foreign_cwd(tmp_path):
+    """Executor Python workers must resolve csv_to_parquet_spark even
+    when the driver process starts OUTSIDE the repo root (r11 /verify
+    finding: sys.path fixes the driver only; workers need PYTHONPATH,
+    which get_spark now exports). Runs a pandas-UDF stage in a
+    subprocess whose cwd is a temp dir."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from csv_to_parquet_spark.session import get_spark
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+spark = get_spark(app_name="cwdcheck", master="local[2]")
+spark.sparkContext.setLogLevel("ERROR")
+
+@pandas_udf("bigint")
+def double_it(x: pd.Series) -> pd.Series:
+    return x * 2
+
+df = spark.range(10).select(double_it("id").alias("y"))
+print("SUM", sum(r.y for r in df.collect()))
+"""
+    env = {
+        k: v
+        for k, v in __import__("os").environ.items()
+        if k != "PYTHONPATH"
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "SUM 90" in out.stdout, out.stderr[-2000:]
