@@ -207,6 +207,16 @@ HEADLINE = [
 # per-round drift ledger the hand-curated VARIANCE_FLAGGED set used
 # to approximate a round late. Entries with no recorded floor (new
 # this round) skip the check; their first committed run seeds it.
+#
+# READ THE VIOLATION COUNT AS A HOST-NOISE GAUGE, NOT A REGRESSION
+# LIST (VERDICT r11 #7). On identical code, one day's four windows
+# read 11 / 23 / 53 / 58 violations — the count tracks co-tenant
+# load, and a uniform drift across unrelated entries is the
+# signature (see the memory note: per-query diff BEFORE touching
+# code). A violation is only a real regression if it survives an
+# ISOLATED min-of-5 for that one entry on a calm window; anything
+# else is weather. Do not chase individual floor_violations rows
+# from a window whose count is elevated across the board.
 FLOOR_TOLERANCE = 1.25
 
 #: Headline entries added since the last committed floors refresh —
@@ -455,11 +465,17 @@ def main() -> int:
                 separators=(",", ":"),
             )
         )
-    # Belt-and-braces: the FULL payload goes to BENCH_LOCAL.json at
-    # the repo root so a truncated capture never loses the
-    # per-query numbers.
+    # Belt-and-braces: the FULL payload goes to a repo-root artifact so
+    # a truncated capture never loses the per-query numbers. Only the
+    # canonical sf0.1 scale writes BENCH_LOCAL.json — any other sf
+    # (e.g. the /verify recipe's sf0.001 smoke) writes a scale-suffixed
+    # sidecar instead, so a smoke run can never clobber the committed
+    # headline artifact (VERDICT r11 #3; it recurred twice in r10).
+    artifact = (
+        "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf}.json"
+    )
     try:
-        with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
+        with open(os.path.join(_REPO, artifact), "w") as f:
             f.write(json.dumps(payload, separators=(",", ":")) + "\n")
     except OSError:
         pass

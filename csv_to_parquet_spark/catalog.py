@@ -117,15 +117,22 @@ def rotation_sort_key(
     attempted: set[str],
     module_pos: dict[str, int],
     frontload_pos: dict[str, int],
+    oracle_stale: set[str] = frozenset(),
 ) -> tuple[int, int, int, int]:
     """Rotation rank for one query (module-level so tests can probe the
     tie-break cases directly). Three tiers: (0) previously-checked but
-    never green — a fix awaiting re-verification, the most urgent rows;
+    never green — a fix awaiting re-verification, the most urgent rows
+    — with ``oracle_stale`` names (VERDICT r11 #1: the entry grew a
+    DuckDB oracle AFTER its last driver-green row, so the driver has
+    only ever rows-only-checked it; its oracle form is unverified and
+    must re-enter the window) ranked just behind true red rows;
     (1) never checked at all (FRONTLOAD names first), except
     DEFER_BEHIND_STALE names, which slot into the green tier strictly
     between rounds DEFER_EFFECTIVE_ROUND-1 and DEFER_EFFECTIVE_ROUND;
     (2) green, least-recently-verified first. Module order breaks
     remaining ties so the order is deterministic."""
+    if name in oracle_stale:
+        return (0, 1, 0, module_pos[name])
     if name not in verified:
         if name in attempted:
             return (0, 0, 0, module_pos[name])
@@ -172,6 +179,35 @@ def load_verified_rounds() -> dict[str, int]:
             if isinstance(row, dict) and _row_is_green(row):
                 verified[name] = max(verified.get(name, 0), rnd)
     return verified
+
+
+def load_rows_only_verified() -> set[str]:
+    """Names whose LATEST driver-green row was rows-only
+    (``err == "no_oracle"``). If such a name now carries an oracle in
+    the live catalog, its oracle form has never seen the driver's
+    DuckDB compare — ``build_catalog`` treats it as stale so the next
+    window re-verifies it (VERDICT r11 #1). Names green only in the
+    committed snapshot (no artifact row on disk) are assumed
+    oracle-backed — the snapshot predates rows-only entries."""
+    latest: dict[str, tuple[int, bool]] = {}
+    root = os.path.dirname(_PKG_DIR)
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or not _row_is_green(row):
+                continue
+            oracle_backed = bool(row.get("hash_match"))
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, oracle_backed)
+    return {n for n, (_, oracle_backed) in latest.items() if not oracle_backed}
 
 
 def load_attempted() -> set[str]:
@@ -239,10 +275,15 @@ def build_catalog() -> Catalog:
 
     frontload_pos = {name: i for i, name in enumerate(FRONTLOAD)}
 
+    # VERDICT r11 #1: an entry whose oracle was added AFTER its last
+    # driver-green (rows-only) row is stale — the oracle form has never
+    # been driver-compared. Self-maintaining for any future conversion.
+    oracle_stale = {n for n in load_rows_only_verified() if n in merged.oracle}
+
     rotation = sorted(
         (n for n in merged.queries if n not in CANARIES),
         key=lambda n: rotation_sort_key(
-            n, verified, attempted, module_pos, frontload_pos
+            n, verified, attempted, module_pos, frontload_pos, oracle_stale
         ),
     )
 

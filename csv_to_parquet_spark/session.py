@@ -38,17 +38,27 @@ def get_spark(
 
     # Executor Python workers must import this package too (pandas
     # UDFs pickle references to csv_to_parquet_spark.*). The driver
-    # finds it via sys.path, but workers only inherit PYTHONPATH —
+    # finds it via sys.path, but workers only see the worker env —
     # running bench.py/__spark_entry__ from OUTSIDE the repo root
     # crashed every Arrow-UDF stage with ModuleNotFoundError (caught
-    # by the r11 /verify pass). On a real cluster the equivalent is
-    # shipping the package via --py-files / a wheel.
+    # by the r11 /verify pass). Scoped to the workers via
+    # spark.executorEnv.PYTHONPATH (SparkContext merges executorEnv.*
+    # into every Python worker's environment, local mode included)
+    # instead of mutating the process-global os.environ, which leaked
+    # the repo root into EVERY subprocess the caller spawned
+    # afterwards (ADVICE r11). Like any conf, it is a no-op when
+    # getOrCreate reuses an existing session — same-process reuse
+    # already has a working driver sys.path, so that case needs no
+    # export. On a real cluster the equivalent is shipping the
+    # package via --py-files / a wheel.
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    if pkg_root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            pkg_root + (os.pathsep + existing if existing else "")
+    inherited = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in inherited.split(os.pathsep):
+        worker_pythonpath = (
+            pkg_root + (os.pathsep + inherited if inherited else "")
         )
+    else:
+        worker_pythonpath = inherited
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -65,6 +75,7 @@ def get_spark(
         # cluster deploy doesn't silently inherit something else.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -39,6 +39,9 @@ def main() -> int:
     sources = list(DEFAULT_SOURCES)
     while "--rebase" in args:
         i = args.index("--rebase")
+        if i + 1 >= len(args):
+            print("error: --rebase requires an entry name", file=sys.stderr)
+            return 2
         rebase.add(args[i + 1])
         del args[i : i + 2]
     sources.extend(args)
@@ -63,6 +66,14 @@ def main() -> int:
         pass
 
     for name in rebase:
+        # ADVICE r11: a typo'd --rebase used to silently no-op and
+        # leave the stale floor in place under a success message.
+        if name not in floors and name not in fresh:
+            print(
+                f"warning: --rebase {name!r} matches no floor and no "
+                "source artifact entry — check the spelling",
+                file=sys.stderr,
+            )
         floors.pop(name, None)
     for name, t in fresh.items():
         floors[name] = min(floors.get(name, t), t)
