@@ -2633,6 +2633,25 @@ def mix_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels through one task. Reference: no counterpart (converter.go
     is a per-file converter); SURVEY §2 LLM-dedup extension."""
     alloc = _mix_alloc_frame(spark, sf_dir).select("source", "alloc_tokens")
+    cum = _mix_cum_frame(spark, sf_dir)
+    return cum.join(F.broadcast(alloc), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_before_tokens",
+        (F.col("cum_before_tokens") < F.col("alloc_tokens")).alias(
+            "selected"
+        ),
+    )
+
+
+def _mix_cum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, cum_before_tokens) — the per-source
+    token prefix sum in doc_id order, via the pack_token_budget
+    two-phase scaffold (within-(source, bucket) windows run parallel;
+    the per-(source, bucket) offset frame is corpus/_SEL_BUCKET rows).
+    Shared by :func:`mix_select_documents` and the round-12 epoched
+    consumers (:func:`mix_pack_sequences`, :func:`mix_training_order`)."""
     toks = _persist(
         _docs(spark, sf_dir).select(
             "doc_id",
@@ -2660,7 +2679,7 @@ def mix_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "bucket", "offset")
     )
-    cum = within.join(F.broadcast(offsets), ["source", "bucket"]).select(
+    return within.join(F.broadcast(offsets), ["source", "bucket"]).select(
         "doc_id",
         "source",
         "n_tokens",
@@ -2668,12 +2687,261 @@ def mix_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_before_tokens"),
     )
-    return cum.join(F.broadcast(alloc), "source").select(
-        "doc_id",
+
+
+# ---------------------------------------------------------------------------
+# Round 12: the epoched training stream — mixture -> packed bins + order
+
+
+#: Oracle-CTE chain extending ``_MIX_ALLOC_CTES`` to the EPOCHED
+#: document-instance stream — produces ``inst(source, doc_id,
+#: n_tokens, epoch)``: document d of source s appears once per epoch e
+#: with e·avail + cum_before(d) < alloc, i.e. the source's doc list
+#: repeats cyclically (Muennighoff data-constrained repeats) until its
+#: Hamilton allocation is exhausted, each epoch ending on the one
+#: boundary-crossing document. Epoch 0 is EXACTLY the
+#: mix_select_documents selected set (pinned by a composite test).
+#: Shared by mix_pack_sequences and mix_training_order (one constant,
+#: zero drift); ``inst`` is MATERIALIZED — the chain above it is
+#: corpus-scale (the duckdb-cte-inlining guard).
+_MIX_INST_CTES = f"""{_MIX_ALLOC_CTES},
+    mavail AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY 1),
+    mtoks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    mcum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before_tokens
+      FROM mtoks),
+    inst AS MATERIALIZED (
+      SELECT c.source, c.doc_id, c.n_tokens,
+             unnest(range(0,
+               (a.alloc_tokens - c.cum_before_tokens
+                + av.avail_tokens - 1) // av.avail_tokens)) AS epoch
+      FROM mcum c
+      JOIN alloc a USING (source)
+      JOIN mavail av USING (source)
+      WHERE c.cum_before_tokens < a.alloc_tokens)"""
+
+
+def _mix_instances_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, doc_id, n_tokens, epoch) — the Spark twin of the
+    ``_MIX_INST_CTES`` oracle constant (see its docstring for the
+    instance rule). The repeat count per document is closed-form,
+    n_rep = ⌈(alloc − cum_before) / avail⌉ when positive, so the
+    epoch explosion is a narrow ``sequence``+``explode`` map — no
+    shuffle beyond the cum/alloc cores it builds on."""
+    alloc = _mix_alloc_frame(spark, sf_dir).select("source", "alloc_tokens")
+    avail = _docs(spark, sf_dir).groupBy("source").agg(
+        F.sum(F.size(tokenize("text"))).cast("bigint").alias("avail_tokens")
+    )
+    return (
+        _mix_cum_frame(spark, sf_dir)
+        .join(F.broadcast(alloc), "source")
+        .join(F.broadcast(avail), "source")
+        .filter(F.col("cum_before_tokens") < F.col("alloc_tokens"))
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.expr(
+                        "(alloc_tokens - cum_before_tokens + avail_tokens"
+                        " - 1) div avail_tokens"
+                    )
+                    - F.lit(1),
+                )
+            ).alias("epoch"),
+        )
+    )
+
+
+#: Tokens per packed training bin — same budget as
+#: packing.pack_token_budget (the corpus-order packer this entry's
+#: mixture-order variant composes with).
+_PACK_BIN = 2048
+
+
+@CAT.query(
+    "mix_pack_sequences",
+    oracle=f"""
+    WITH {_MIX_INST_CTES},
+    g AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY source, epoch, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM inst)
+    SELECT CAST((cum_tokens - 1) // {_PACK_BIN} AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM g GROUP BY 1
+    """,
+)
+def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the SELECTED MIXTURE into contiguous {_PACK_BIN}-token
+    training bins — the composite that closes the weights → budget →
+    selection → PACKING chain (VERDICT r11 #2): the epoched instance
+    stream (each source's documents repeating per its Hamilton
+    allocation, :func:`_mix_instances_frame`) is laid out in the
+    deterministic (source, epoch, doc_id) order and cut into
+    fixed-token bins exactly as :func:`packing.pack_token_budget`
+    cuts the raw corpus — a document lands in the bin containing its
+    LAST token, so every bin spans {_PACK_BIN} positions of the
+    mixture's token stream.
+
+    The invariant the composite exists to prove (pinned by a
+    tests/test_round12.py invariant test): the packed token mass per
+    source equals the Hamilton allocation up to the per-epoch
+    boundary document — alloc ≤ mass < alloc + n_epochs·max_doc — and
+    Σ bins.sum_tokens == Σ instance mass, so the budget the
+    apportionment promised is the budget the packer ships (±boundary).
+
+    Exactness: integer token counts, closed-form integer repeat
+    counts, integer prefix sums — no floats anywhere.
+
+    Plan: the allocation core's two corpus-scale exchanges, one
+    tokenize pass for the prefix-sum scaffold, then the instance
+    explosion is a narrow map and the global prefix sum is the
+    two-phase scan partitioned by (source, epoch, doc-bucket) — the
+    offset table is (corpus/{_SEL_BUCKET})·epochs rows (with the
+    production bucket ~10⁶ docs and data-constrained epochs ≤ ~10,
+    ~10⁶-row — single-task-window + broadcast safe); no corpus-wide
+    single-partition window. Reference: no counterpart (converter.go
+    is a per-file converter); SURVEY §2 LLM-dedup extension."""
+    inst = _persist(
+        _mix_instances_frame(spark, sf_dir).withColumn(
+            "bucket", F.expr(f"doc_id div {_SEL_BUCKET}")
+        )
+    )
+    w_in = (
+        Window.partitionBy("source", "epoch", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = inst.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    w_off = Window.orderBy("source", "epoch", "bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        inst.groupBy("source", "epoch", "bucket")
+        .agg(F.sum("n_tokens").alias("bucket_sum"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("bucket_sum").over(w_off), F.lit(0))
+        )
+        .select("source", "epoch", "bucket", "offset")
+    )
+    cum = within.join(
+        F.broadcast(offsets), ["source", "epoch", "bucket"]
+    ).withColumn("cum_tokens", F.col("cum_in") + F.col("offset"))
+    return (
+        cum.withColumn(
+            "bin_id",
+            F.expr(f"(cum_tokens - 1) div {_PACK_BIN}").cast("bigint"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+#: Seed for the reproducible training-order shuffle — a run parameter
+#: (the "data order seed" every published training config records),
+#: not a corpus statistic.
+_ORDER_SEED = "spark-graft-r12"
+
+
+@CAT.query(
+    "mix_training_order",
+    oracle=f"""
+    WITH {_MIX_INST_CTES},
+    k AS (
+      SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch,
+             {md5_60_sql(
+                 f"concat('{_ORDER_SEED}', ':', source, ':', "
+                 "CAST(doc_id AS VARCHAR), ':', CAST(epoch AS VARCHAR))"
+             )} AS shuffle_key
+      FROM inst)
+    SELECT source, doc_id, epoch, shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY epoch, shuffle_key, source, doc_id)
+             AS BIGINT) AS train_order
+    FROM k
+    """,
+)
+def mix_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order curriculum over the selected
+    mixture (VERDICT r11 #4 — the step between selection and packing
+    in published pipelines): every document instance of the epoched
+    mixture stream gets a globally consecutive, REPRODUCIBLE training
+    position. Order = (epoch, seeded hash): within an epoch band the
+    mixture is hash-shuffled (md5 of seed:source:doc_id:epoch — a new
+    deterministic permutation per epoch, the "reshuffle each epoch"
+    convention), and epoch bands ascend, so data-constrained sources'
+    repeats land progressively later in training — the curriculum
+    published data-constrained recipes use. Changing ``_ORDER_SEED``
+    changes the permutation; re-running does not (determinism test).
+
+    Exactness: the sort key (epoch, shuffle_key, source, doc_id) is
+    unique (md5 collisions broken by the id columns), so the global
+    rank is engine-independent.
+
+    Plan: the instance stream's exchanges, then the distributed
+    zipWithIndex scaffold (:func:`rank_global_two_phase`):
+    range-repartition on the full sort key, per-partition
+    ``row_number`` (parallel), |partitions|-row broadcast offsets — no
+    single-task global window over the 10¹²-instance stream; the
+    sampled range boundaries are nondeterministic but the unique total
+    order makes the FINAL rank exact. Reference: no counterpart
+    (converter.go is a per-file converter); SURVEY §2 LLM-dedup
+    extension."""
+    k = _mix_instances_frame(spark, sf_dir).select(
         "source",
-        "n_tokens",
-        "cum_before_tokens",
-        (F.col("cum_before_tokens") < F.col("alloc_tokens")).alias(
-            "selected"
-        ),
+        "doc_id",
+        "epoch",
+        md5_60(
+            F.concat_ws(
+                ":", F.lit(_ORDER_SEED), "source", "doc_id", "epoch"
+            )
+        ).alias("shuffle_key"),
+    )
+    r = _persist(
+        k.repartitionByRange(
+            32, "epoch", "shuffle_key", "source", "doc_id"
+        ).withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid").orderBy(
+        "epoch", "shuffle_key", "source", "doc_id"
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        r.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("off", F.coalesce(F.sum("c").over(w_off), F.lit(0)))
+        .select("pid", "off")
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "source",
+            "doc_id",
+            "epoch",
+            "shuffle_key",
+            (F.col("rn") + F.col("off")).cast("bigint").alias("train_order"),
+        )
     )

@@ -248,6 +248,8 @@ _BNLJ_ALLOW = {
     "mix_source_weights",  # 1-row effective-total broadcast normalizer
     "mix_token_allocation",  # 1-row total + 1-row leftover broadcasts
     "mix_select_documents",  # same 1-row totals inside the alloc core
+    "mix_pack_sequences",  # same 1-row totals inside the alloc core
+    "mix_training_order",  # same 1-row totals inside the alloc core
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are
