@@ -3945,9 +3945,15 @@ def langid_score_frame(docs: DataFrame) -> DataFrame:
     |langs|·D + |langs| rows); scoring is a ZERO-SHUFFLE codegen
     projection — buckets hashed once per doc into an int array, then
     |langs| F.aggregate folds over inlined weight-array literals.
-    No corpus join, no explode, no Python in the scoring path."""
-    import math
+    No corpus join, no explode, no Python in the scoring path.
 
+    The floor(ln·10⁶) weight/prior constants are evaluated ONCE
+    through DuckDB itself (a |langs|·D-row scalar query over the
+    collected counts, identical expression text to the oracle's), so
+    the literals inlined into the Spark projection are definitionally
+    the numbers the oracle recomputes — parity no longer depends on
+    CPython's libm agreeing with DuckDB's at floor boundaries
+    (ADVICE r11)."""
     norm = F.lower(F.trim(F.col("text")))
     base = docs.select("doc_id", "lang", norm.alias("t")).filter(
         F.length("t") >= _LANGID_N
@@ -3976,25 +3982,45 @@ def langid_score_frame(docs: DataFrame) -> DataFrame:
     }
     n_sample = sum(dl.values())
     langs = sorted(tot)
-    weights = {
-        lang: [
-            int(
-                math.floor(
-                    math.log(
-                        (cnt.get((lang, b), 0) + 1)
-                        / float(tot[lang] + _LANGID_D)
-                    )
-                    * _LM_SCALE
-                )
-            )
+    # Evaluate the micro-nat constants with DuckDB's ln — the SAME
+    # expression text the oracle runs — so both engines inline
+    # identical integers by construction (see docstring).
+    import duckdb
+    import pandas as pd
+
+    win = pd.DataFrame(
+        [
+            (lang, b, cnt.get((lang, b), 0), tot[lang])
+            for lang in langs
             for b in range(_LANGID_D)
-        ]
-        for lang in langs
-    }
+        ],
+        columns=["lang", "b", "c", "n"],
+    )
+    pin = pd.DataFrame(
+        [(lang, dl[lang], n_sample) for lang in langs],
+        columns=["lang", "d", "m"],
+    )
+    con = duckdb.connect()
+    con.register("win", win)
+    con.register("pin", pin)
+    weights = {lang: [0] * _LANGID_D for lang in langs}
+    for lang, b, w in con.execute(
+        f"""SELECT lang, b,
+                   CAST(FLOOR(ln((c + 1) / CAST(n + {_LANGID_D} AS DOUBLE))
+                              * {_LM_SCALE}) AS BIGINT)
+            FROM win"""
+    ).fetchall():
+        weights[lang][b] = int(w)
     priors = {
-        lang: int(math.floor(math.log(dl[lang] / float(n_sample)) * _LM_SCALE))
-        for lang in langs
+        lang: int(p)
+        for lang, p in con.execute(
+            f"""SELECT lang,
+                       CAST(FLOOR(ln(d / CAST(m AS DOUBLE)) * {_LM_SCALE})
+                            AS BIGINT)
+                FROM pin"""
+        ).fetchall()
     }
+    con.close()
 
     withb = base.select(
         "doc_id",
