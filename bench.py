@@ -192,6 +192,10 @@ HEADLINE = [
     "text_url_domain_filter",
     "mix_token_allocation",
     "mix_select_documents",
+    # round-12 entries
+    "mix_pack_sequences",
+    "mix_training_order",
+    "tokenizer_unigram_lm",
 ]
 
 # Automated variance floor-check (VERDICT r10 #2). bench_floors.json
@@ -222,7 +226,11 @@ FLOOR_TOLERANCE = 1.25
 #: Headline entries added since the last committed floors refresh —
 #: the only names allowed to have no floor (they seed one on the next
 #: scripts/refresh_bench_floors.py run; pinned by tests/test_round11.py).
-FLOORLESS_NEW: set[str] = set()
+FLOORLESS_NEW: set[str] = {
+    "mix_pack_sequences",
+    "mix_training_order",
+    "tokenizer_unigram_lm",
+}
 
 
 def load_floors() -> dict[str, float]:

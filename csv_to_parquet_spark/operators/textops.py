@@ -4283,3 +4283,390 @@ def text_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: unigram-LM (SentencePiece-style) tokenizer trainer
+
+
+#: Word types longer than this are excluded from the trainer histogram
+#: (the SentencePiece max-sentencepiece-length discipline; also the DP
+#: unroll bound for the oracle replay).
+_ULM_MAXLEN = 12
+#: Maximum candidate piece length.
+_ULM_MAXP = 4
+#: Multi-char seed candidates: top-K substrings (2.._ULM_MAXP chars)
+#: by f-weighted occurrence, ties (occ DESC, piece ASC).
+_ULM_K = 48
+#: Viterbi-EM rounds (segment -> recount -> Laplace+1 recost).
+_ULM_ITERS = 2
+
+
+def _ulm_viterbi_pieces(w, cost: dict):
+    """Viterbi segmentation of word column ``w`` under integer piece
+    costs — entirely Spark higher-order functions (one ``aggregate``
+    fold over positions carrying the dp/backpointer array, its finish
+    lambda a second bounded fold that walks the backpointers), so the
+    per-word DP stays inside whole-stage codegen: no pandas UDF, no
+    Python in the segmentation path, plan size LINEAR in _ULM_MAXLEN
+    (the naive nested-expression encoding is 4^12 nodes).
+
+    Tie rule: candidates are tried longest-piece-first and replaced
+    only on strictly smaller cost, so ties prefer the longest final
+    piece — the oracle's ``least`` + first-equal-in-(4..1)-order
+    backpointer CASE implements the identical preference."""
+    costmap = F.create_map(
+        *[x for p, c in sorted(cost.items()) for x in (F.lit(p), F.lit(c))]
+    )
+
+    def dp_step(acc, i):
+        best = None
+        for L in range(_ULM_MAXP, 0, -1):
+            # guards evaluate under when(); clamp keeps the masked
+            # element_at/substr index positive (negative would silently
+            # index from the end)
+            j1 = F.greatest(i - F.lit(L) + 1, F.lit(1))
+            cand = F.when(
+                i >= F.lit(L),
+                F.element_at(acc, j1)["dp"]
+                + F.try_element_at(costmap, w.substr(j1, F.lit(L))),
+            )
+            chosen = F.struct(cand.alias("dp"), F.lit(L).alias("bk"))
+            if best is None:
+                best = chosen
+            else:
+                best = F.when(
+                    cand.isNotNull()
+                    & (best["dp"].isNull() | (cand < best["dp"])),
+                    chosen,
+                ).otherwise(best)
+        return F.concat(acc, F.array(best))
+
+    def finish(acc):
+        def back_step(st, _):
+            bk = F.element_at(acc, st["pos"] + 1)["bk"]
+            return F.when(
+                st["pos"] > 0,
+                F.struct(
+                    (st["pos"] - bk).alias("pos"),
+                    F.concat(
+                        F.array(w.substr(st["pos"] - bk + 1, bk)), st["ps"]
+                    ).alias("ps"),
+                ),
+            ).otherwise(st)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(_ULM_MAXLEN)),
+            F.struct(
+                F.length(w).cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("ps"),
+            ),
+            back_step,
+        )["ps"]
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.array(
+            F.struct(
+                F.lit(0).cast("bigint").alias("dp"),
+                F.lit(0).cast("int").alias("bk"),
+            )
+        ),
+        dp_step,
+        finish,
+    )
+
+
+def _ulm_costs(counts: dict) -> dict:
+    """floor(ln(T/occ)·10⁶) integer micro-nat costs, evaluated through
+    DuckDB's own ln over the model-sized count table — the langid
+    convention (ADVICE r11): the literals the Spark projection inlines
+    are definitionally the numbers the oracle recomputes."""
+    import duckdb
+    import pandas as pd
+
+    tot = sum(counts.values())
+    df = pd.DataFrame(
+        [(p, c, tot) for p, c in counts.items()],
+        columns=["piece", "occ", "tot"],
+    )
+    con = duckdb.connect()
+    con.register("cdf", df)
+    out = {
+        p: int(w)
+        for p, w in con.execute(
+            f"""SELECT piece,
+                       CAST(FLOOR(ln(tot / CAST(occ AS DOUBLE))
+                                  * {_LM_SCALE}) AS BIGINT)
+                FROM cdf"""
+        ).fetchall()
+    }
+    con.close()
+    return out
+
+
+def unigram_lm_model(words: DataFrame) -> list[tuple]:
+    """Train the unigram LM on a word-type histogram ``words``
+    (columns: w string, f bigint) and return the final model rows
+    ``(piece, piece_len, viterbi_count, cost_micro, kept)`` — factored
+    so tests can run the identical estimator on planted histograms.
+
+    Shape (the ``bpe_learn_merges`` discipline): the corpus appears
+    only through the histogram; every EM round segments WORD TYPES
+    (distributed, zero-Python DP via :func:`_ulm_viterbi_pieces`),
+    recounts with a piece groupBy whose result is model-sized
+    (≤ alphabet + {_ULM_K} rows — the only per-round collect), and
+    re-estimates costs driver-side. Seed = all single chars + top-K
+    multi-char substrings by f-weighted occurrence."""
+    words = _persist(words)
+    subs = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(_ULM_MAXP)),
+                            lambda L: F.when(
+                                i + L - 1 <= F.length("w"),
+                                F.col("w").substr(i, L),
+                            ),
+                        ),
+                        lambda p: p.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("piece"),
+        "f",
+    )
+    occ = _persist(
+        subs.groupBy("piece").agg(F.sum("f").cast("bigint").alias("occ"))
+    )
+    chars = {
+        r.piece: r.occ
+        for r in occ.filter(F.length("piece") == 1).collect()
+    }
+    multi = {
+        r.piece: r.occ
+        for r in occ.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("occ"), "piece")
+        .limit(_ULM_K)
+        .collect()
+    }
+    vocab = dict(chars)
+    vocab.update(multi)
+    cost = _ulm_costs(vocab)
+
+    counts: dict = {}
+    for _ in range(_ULM_ITERS):
+        seg = words.select(
+            "f",
+            F.explode(
+                _ulm_viterbi_pieces(F.col("w"), cost)
+            ).alias("piece"),
+        )
+        got = {
+            r.piece: r.c
+            for r in seg.groupBy("piece")
+            .agg(F.sum("f").cast("bigint").alias("c"))
+            .collect()
+        }
+        counts = {p: got.get(p, 0) for p in vocab}
+        cost = _ulm_costs({p: c + 1 for p, c in counts.items()})
+
+    return [
+        (p, len(p), int(counts[p]), int(cost[p]), len(p) == 1 or counts[p] > 0)
+        for p in sorted(vocab)
+    ]
+
+
+def _ulm_pivot_cols() -> str:
+    cols = []
+    for i in range(1, _ULM_MAXLEN + 1):
+        for L in range(1, min(_ULM_MAXP, i) + 1):
+            cols.append(
+                f"MAX(CASE WHEN i = {i} AND L = {L} THEN cost END)"
+                f" AS c_{i}_{L}"
+            )
+    return ",\n             ".join(cols)
+
+
+def _ulm_iter_sql(it: int, cost_in: str, vocab: str) -> str:
+    """Oracle CTE block for one EM iteration: per-word pivot of
+    end-position piece costs, {_ULM_MAXLEN} DP levels (``least`` over
+    candidates + first-equal-in-longest-first-order backpointer),
+    {_ULM_MAXLEN} backtrack steps, piece recount, Laplace+1 recost.
+    Levels chain linearly (single-reference CTEs inline without
+    re-evaluation); only the multi-referenced frames are MATERIALIZED
+    (the duckdb-cte-inlining guard)."""
+    parts = [
+        f"""u{it}sub AS (
+      SELECT s.w, s.i, s.L, c.cost
+      FROM (SELECT w.w, u.i, l.L,
+                   substring(w.w, CAST(u.i - l.L + 1 AS INTEGER),
+                             CAST(l.L AS INTEGER)) AS piece
+            FROM u_words w,
+                 unnest(range(1, len(w.w) + 1)) AS u(i),
+                 unnest([1, 2, 3, 4]) AS l(L)
+            WHERE u.i - l.L + 1 >= 1) s
+      JOIN {cost_in} c ON c.piece = s.piece),
+    u{it}piv AS MATERIALIZED (
+      SELECT w,
+             {_ulm_pivot_cols()}
+      FROM u{it}sub GROUP BY w),
+    u{it}l0 AS (
+      SELECT w.w, w.f, p.* EXCLUDE (w) FROM u_words w
+      JOIN u{it}piv p USING (w))"""
+    ]
+    for i in range(1, _ULM_MAXLEN + 1):
+        cands = []
+        for L in range(min(_ULM_MAXP, i), 0, -1):
+            dp_prev = f"dp_{i - L}" if i - L > 0 else "CAST(0 AS BIGINT)"
+            cands.append((L, f"({dp_prev} + c_{i}_{L})"))
+        least = "least(" + ", ".join(c for _, c in cands) + ")"
+        arms = " ".join(
+            f"WHEN {c} IS NOT NULL AND dp_{i} = {c} THEN {L}"
+            for L, c in cands
+        )
+        parts.append(
+            f"""u{it}l{i} AS (
+      SELECT *, {least} AS dp_{i},
+             CASE WHEN dp_{i} IS NULL THEN 0 {arms} ELSE 0 END AS bk_{i}
+      FROM u{it}l{i - 1})"""
+        )
+    bk_arms = " ".join(
+        f"WHEN {i} THEN bk_{i}" for i in range(1, _ULM_MAXLEN + 1)
+    )
+    parts.append(
+        f"""u{it}t0 AS (
+      SELECT *, CAST(len(w) AS INTEGER) AS pos_0 FROM u{it}l{_ULM_MAXLEN})"""
+    )
+    for k in range(1, _ULM_MAXLEN + 1):
+        parts.append(
+            f"""u{it}t{k} AS (
+      SELECT *,
+        CASE WHEN pos_{k - 1} > 0
+             THEN (CASE pos_{k - 1} {bk_arms} ELSE 0 END) ELSE 0 END
+          AS bkc_{k},
+        CASE WHEN pos_{k - 1} > 0
+             THEN substring(w, pos_{k - 1} - bkc_{k} + 1, bkc_{k}) END
+          AS piece_{k},
+        CASE WHEN pos_{k - 1} > 0 THEN pos_{k - 1} - bkc_{k}
+             ELSE pos_{k - 1} END AS pos_{k}
+      FROM u{it}t{k - 1})"""
+        )
+    piece_list = ", ".join(f"piece_{k}" for k in range(1, _ULM_MAXLEN + 1))
+    parts.append(
+        f"""u{it}cnt AS (
+      SELECT piece, CAST(SUM(f) AS BIGINT) AS c
+      FROM (SELECT f, unnest([{piece_list}]) AS piece
+            FROM u{it}t{_ULM_MAXLEN})
+      WHERE piece IS NOT NULL GROUP BY piece),
+    u{it}full AS MATERIALIZED (
+      SELECT v.piece, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+      FROM {vocab} v LEFT JOIN u{it}cnt c USING (piece)),
+    u{it}cost AS MATERIALIZED (
+      SELECT v.piece,
+             CAST(FLOOR(ln(t.tot / CAST(v.c + 1 AS DOUBLE))
+                        * {_LM_SCALE}) AS BIGINT) AS cost
+      FROM u{it}full v, (SELECT SUM(c + 1) AS tot FROM u{it}full) t)"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _ulm_oracle() -> str:
+    """DuckDB replay of :func:`unigram_lm_model` — histogram, seed
+    vocabulary, {_ULM_ITERS} unrolled EM iterations, final vocab."""
+    iters = []
+    cost_in = "u_c0"
+    for it in range(1, _ULM_ITERS + 1):
+        iters.append(_ulm_iter_sql(it, cost_in, "u_seedv"))
+        cost_in = f"u{it}cost"
+    body = ",\n    ".join(iters)
+    last = _ULM_ITERS
+    return f"""
+    WITH u_tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0),
+    u_words AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM u_tok
+      WHERE len(w) BETWEEN 1 AND {_ULM_MAXLEN} GROUP BY w),
+    u_subocc AS (
+      SELECT substring(w, CAST(i AS INTEGER), CAST(L AS INTEGER)) AS piece,
+             CAST(SUM(f) AS BIGINT) AS occ
+      FROM u_words,
+           unnest(range(1, len(w) + 1)) AS u(i),
+           unnest([1, 2, 3, 4]) AS l(L)
+      WHERE i + L - 1 <= len(w)
+      GROUP BY 1),
+    u_seedv AS MATERIALIZED (
+      SELECT piece, occ FROM u_subocc WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, occ FROM (
+        SELECT piece, occ FROM u_subocc WHERE len(piece) >= 2
+        ORDER BY occ DESC, piece LIMIT {_ULM_K})),
+    u_c0 AS MATERIALIZED (
+      SELECT v.piece,
+             CAST(FLOOR(ln(t.tot / CAST(v.occ AS DOUBLE)) * {_LM_SCALE})
+                  AS BIGINT) AS cost
+      FROM u_seedv v, (SELECT SUM(occ) AS tot FROM u_seedv) t),
+    {body}
+    SELECT v.piece,
+           CAST(len(v.piece) AS BIGINT) AS piece_len,
+           f.c AS viterbi_count,
+           k.cost AS cost_micro,
+           (len(v.piece) = 1 OR f.c > 0) AS kept
+    FROM u_seedv v
+    JOIN u{last}full f USING (piece)
+    JOIN u{last}cost k USING (piece)
+    """
+
+
+@CAT.query("tokenizer_unigram_lm", oracle=_ulm_oracle())
+def tokenizer_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018; the SentencePiece
+    model family) — the other production tokenizer beside the BPE
+    triptych (VERDICT r11 #5): seed a candidate vocabulary (all
+    single characters + the top-{_ULM_K} f-weighted substrings of
+    2..{_ULM_MAXP} chars), then run {_ULM_ITERS} Viterbi-EM rounds —
+    segment every word type by minimum total piece cost (integer
+    micro-nats, floor(ln·10⁶)), recount pieces f-weighted over the
+    best segmentations, Laplace-smooth and re-estimate costs — and
+    emit the learned vocabulary with final expected counts, final
+    costs, and the kept flag (multi-char pieces the EM stopped using
+    are pruned from the shipped vocab; single chars always stay for
+    coverage).
+
+    Like classic trainers this runs on the WORD-TYPE histogram, so
+    every EM round is vocabulary-sized — at 100 TB the corpus is
+    touched exactly once (tokenize + histogram groupBy); the DP is
+    zero-Python whole-stage-codegen folds (:func:`_ulm_viterbi_pieces`)
+    over word types, and the only per-round collect is the ≤ alphabet
+    + {_ULM_K}-row piece-count frame (the bpe_learn_merges
+    discipline). Micro-nat constants are evaluated through DuckDB's
+    own ln (the langid/ADVICE-r11 convention), so cross-engine parity
+    never rides on libm agreement at floor boundaries.
+
+    The oracle replays the ENTIRE trainer — seed selection, both EM
+    rounds' DP (pivoted end-position piece costs + {_ULM_MAXLEN}
+    chained dp levels with the identical longest-piece tie rule),
+    backtracking, recounting, re-costing — as generated unrolled CTEs,
+    so the LEARNED MODEL is verified cross-engine, not merely counts;
+    a third, pure-Python EM reimplementation reconciles the vocab and
+    the corpus fertility in tests/test_round12.py.
+    Reference: no counterpart (converter.go is a per-file converter);
+    SURVEY §2 LLM-text extension."""
+    words = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(tokenize(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w").between(1, _ULM_MAXLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    rows = unigram_lm_model(words)
+    return spark.createDataFrame(
+        rows,
+        "piece STRING, piece_len BIGINT, viterbi_count BIGINT,"
+        " cost_micro BIGINT, kept BOOLEAN",
+    )

@@ -133,6 +133,10 @@ HEAVY = [
     "mix_token_allocation",  # remainder-rank ties only densify at volume
     "mix_select_documents",  # prefix-sum bucket boundaries at real volume
     "text_url_domain_filter",  # per-domain cap boundaries only bind at real volume
+    # round-12 additions with scale-sensitive semantics
+    "mix_pack_sequences",  # epoched two-phase prefix sums, bin boundaries at volume
+    "mix_training_order",  # global-rank over hash keys, range-boundary ties
+    "tokenizer_unigram_lm",  # seed top-K ties + DP cost ties on the real histogram
 ]
 
 QUERIES = entry_mod.queries()

@@ -182,3 +182,137 @@ def test_mix_training_order_deterministic_bijection(spark, sf_smoke):
         if r.selected
     }
     assert epoch0 == selected and len(epoch0) > 0
+
+
+def _ulm_reference(words, iters=2, k=48, maxp=4):
+    """Independent pure-Python Viterbi-EM reimplementation (third
+    engine beside Spark and the DuckDB oracle) — costs evaluated
+    through DuckDB ln exactly like both engine twins."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+
+    def costs_of(counts):
+        tot = sum(counts.values())
+        df = pd.DataFrame(
+            [(p, c, tot) for p, c in counts.items()],
+            columns=["piece", "occ", "tot"],
+        )
+        con.register("cdf", df)
+        return {
+            p: int(w)
+            for p, w in con.execute(
+                "SELECT piece, CAST(FLOOR(ln(tot / CAST(occ AS DOUBLE))"
+                " * 1000000) AS BIGINT) FROM cdf"
+            ).fetchall()
+        }
+
+    def viterbi(w, cost):
+        dp = [0] + [None] * len(w)
+        bk = [0] * (len(w) + 1)
+        for i in range(1, len(w) + 1):
+            best, b_l = None, 0
+            for length in range(maxp, 0, -1):
+                if length > i:
+                    continue
+                c = cost.get(w[i - length:i])
+                if c is None:
+                    continue
+                cand = dp[i - length] + c
+                if best is None or cand < best:
+                    best, b_l = cand, length
+            dp[i] = best
+            bk[i] = b_l
+        ps, pos = [], len(w)
+        while pos > 0:
+            ps.append(w[pos - bk[pos]:pos])
+            pos -= bk[pos]
+        return ps
+
+    occ: dict = {}
+    for w, f in words:
+        for i in range(len(w)):
+            for length in range(1, maxp + 1):
+                if i + length <= len(w):
+                    p = w[i:i + length]
+                    occ[p] = occ.get(p, 0) + f
+    chars = {p: c for p, c in occ.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in occ.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:k]
+    vocab = dict(chars)
+    vocab.update(dict(multi))
+    cost = costs_of(vocab)
+    counts: dict = {}
+    for _ in range(iters):
+        counts = {p: 0 for p in cost}
+        for w, f in words:
+            for p in viterbi(w, cost):
+                counts[p] += f
+        cost = costs_of({p: c + 1 for p, c in counts.items()})
+    con.close()
+    return counts, cost
+
+
+def test_unigram_lm_matches_pure_python_em(spark, sf_smoke):
+    """The learned model (vocab, Viterbi counts, final costs, prune
+    flags) must equal an independent pure-Python EM run on the same
+    histogram, and the corpus fertility it implies must reconcile."""
+    import duckdb
+
+    from csv_to_parquet_spark.operators.textops import tokenizer_unigram_lm
+
+    rows = {
+        r.piece: r for r in tokenizer_unigram_lm(spark, sf_smoke).collect()
+    }
+    words = duckdb.sql(
+        f"""SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS w
+              FROM read_parquet('{sf_smoke}/documents.parquet')
+              WHERE len(trim(text)) > 0)
+            WHERE len(w) BETWEEN 1 AND 12 GROUP BY w"""
+    ).fetchall()
+    counts, cost = _ulm_reference(words)
+    assert set(rows) == set(counts)
+    for p, r in rows.items():
+        assert r.viterbi_count == counts[p], p
+        assert r.cost_micro == cost[p], p
+        assert r.kept == (len(p) == 1 or counts[p] > 0), p
+    # fertility reconciliation: total pieces / total word occurrences
+    tok_total = sum(f for _, f in words)
+    piece_total = sum(r.viterbi_count for r in rows.values())
+    assert piece_total == sum(counts.values())
+    fertility_milli = piece_total * 1000 // tok_total
+    assert 1000 <= fertility_milli <= 12000  # >= 1 piece, <= maxlen/word
+
+
+def test_unigram_lm_em_iteration_refines(spark):
+    """EM discrimination on a planted histogram where the SECOND
+    iteration changes the model: after iter-1 counts re-price the
+    pieces, 'cad' becomes cheaper than 'ca'+'d' and the trainer
+    re-segments — iter-2 counts must differ from iter-1 and match the
+    reference; the abandoned 'ca' is pruned (kept=False) while the
+    now-unused single char 'd' stays for coverage."""
+    from csv_to_parquet_spark.operators.textops import unigram_lm_model
+
+    words = [
+        ("dccddda", 36),
+        ("cad", 2),
+        ("dadc", 25),
+        ("baa", 10),
+        ("ccbcacb", 32),
+    ]
+    wdf = spark.createDataFrame(words, "w STRING, f BIGINT")
+    model = {p: (c, cost, kept) for p, _, c, cost, kept in
+             unigram_lm_model(wdf)}
+    one_iter, _ = _ulm_reference(words, iters=1)
+    two_iter, _ = _ulm_reference(words, iters=2)
+    assert one_iter != two_iter  # the fixture exercises a real refit
+    for p, (c, _, kept) in model.items():
+        assert c == two_iter[p], p
+    assert model["cad"][0] == 2 and model["cad"][2]
+    assert model["ca"][0] == 0 and not model["ca"][2]  # pruned
+    assert model["d"][0] == 0 and model["d"][2]  # char kept at 0
