@@ -196,6 +196,7 @@ HEADLINE = [
     "mix_pack_sequences",
     "mix_training_order",
     "tokenizer_unigram_lm",
+    "tokenizer_unigram_fertility",
 ]
 
 # Automated variance floor-check (VERDICT r10 #2). bench_floors.json
@@ -230,6 +231,7 @@ FLOORLESS_NEW: set[str] = {
     "mix_pack_sequences",
     "mix_training_order",
     "tokenizer_unigram_lm",
+    "tokenizer_unigram_fertility",
 }
 
 

@@ -4491,11 +4491,15 @@ def _ulm_pivot_cols() -> str:
     return ",\n             ".join(cols)
 
 
-def _ulm_iter_sql(it: int, cost_in: str, vocab: str) -> str:
+def _ulm_iter_sql(
+    it: int, cost_in: str, vocab: str, recount: bool = True
+) -> str:
     """Oracle CTE block for one EM iteration: per-word pivot of
     end-position piece costs, {_ULM_MAXLEN} DP levels (``least`` over
     candidates + first-equal-in-longest-first-order backpointer),
-    {_ULM_MAXLEN} backtrack steps, piece recount, Laplace+1 recost.
+    {_ULM_MAXLEN} backtrack steps, then (``recount``) piece recount
+    and Laplace+1 recost — ``recount=False`` emits the segmentation
+    only (the APPLY shape the fertility report consumes).
     Levels chain linearly (single-reference CTEs inline without
     re-evaluation); only the multi-referenced frames are MATERIALIZED
     (the duckdb-cte-inlining guard)."""
@@ -4556,8 +4560,9 @@ def _ulm_iter_sql(it: int, cost_in: str, vocab: str) -> str:
       FROM u{it}t{k - 1})"""
         )
     piece_list = ", ".join(f"piece_{k}" for k in range(1, _ULM_MAXLEN + 1))
-    parts.append(
-        f"""u{it}cnt AS (
+    if recount:
+        parts.append(
+            f"""u{it}cnt AS (
       SELECT piece, CAST(SUM(f) AS BIGINT) AS c
       FROM (SELECT f, unnest([{piece_list}]) AS piece
             FROM u{it}t{_ULM_MAXLEN})
@@ -4570,22 +4575,21 @@ def _ulm_iter_sql(it: int, cost_in: str, vocab: str) -> str:
              CAST(FLOOR(ln(t.tot / CAST(v.c + 1 AS DOUBLE))
                         * {_LM_SCALE}) AS BIGINT) AS cost
       FROM u{it}full v, (SELECT SUM(c + 1) AS tot FROM u{it}full) t)"""
-    )
+        )
     return ",\n    ".join(parts)
 
 
-def _ulm_oracle() -> str:
-    """DuckDB replay of :func:`unigram_lm_model` — histogram, seed
-    vocabulary, {_ULM_ITERS} unrolled EM iterations, final vocab."""
+def _ulm_train_ctes() -> str:
+    """The trainer's full CTE chain (histogram → seed → {_ULM_ITERS}
+    EM iterations → final counts/costs) — shared by the trainer oracle
+    and the fertility-report oracle so they can never drift."""
     iters = []
     cost_in = "u_c0"
     for it in range(1, _ULM_ITERS + 1):
         iters.append(_ulm_iter_sql(it, cost_in, "u_seedv"))
         cost_in = f"u{it}cost"
     body = ",\n    ".join(iters)
-    last = _ULM_ITERS
-    return f"""
-    WITH u_tok AS (
+    return f"""u_tok AS (
       SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
       FROM documents WHERE len(trim(text)) > 0),
     u_words AS MATERIALIZED (
@@ -4610,7 +4614,15 @@ def _ulm_oracle() -> str:
              CAST(FLOOR(ln(t.tot / CAST(v.occ AS DOUBLE)) * {_LM_SCALE})
                   AS BIGINT) AS cost
       FROM u_seedv v, (SELECT SUM(occ) AS tot FROM u_seedv) t),
-    {body}
+    {body}"""
+
+
+def _ulm_oracle() -> str:
+    """DuckDB replay of :func:`unigram_lm_model` — histogram, seed
+    vocabulary, {_ULM_ITERS} unrolled EM iterations, final vocab."""
+    last = _ULM_ITERS
+    return f"""
+    WITH {_ulm_train_ctes()}
     SELECT v.piece,
            CAST(len(v.piece) AS BIGINT) AS piece_len,
            f.c AS viterbi_count,
@@ -4669,4 +4681,126 @@ def tokenizer_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "piece STRING, piece_len BIGINT, viterbi_count BIGINT,"
         " cost_micro BIGINT, kept BOOLEAN",
+    )
+
+
+def _ulm_fertility_oracle() -> str:
+    """DuckDB replay of :func:`tokenizer_unigram_fertility` — the full
+    trainer chain (shared constant), the kept-vocab projection, ONE
+    apply-only DP block over the word types, and the per-language
+    aggregation of the (lang, word) histogram."""
+    piece_list = ", ".join(f"piece_{k}" for k in range(1, _ULM_MAXLEN + 1))
+    last = _ULM_ITERS
+    return f"""
+    WITH {_ulm_train_ctes()},
+    u_kept AS MATERIALIZED (
+      SELECT k.piece, k.cost FROM u{last}cost k
+      JOIN u{last}full f USING (piece)
+      WHERE len(k.piece) = 1 OR f.c > 0),
+    {_ulm_iter_sql(last + 1, "u_kept", "u_seedv", recount=False)},
+    u_nseg AS MATERIALIZED (
+      SELECT w,
+             CAST(len(list_filter([{piece_list}],
+                                  x -> x IS NOT NULL)) AS BIGINT)
+               AS n_pieces
+      FROM u{last + 1}t{_ULM_MAXLEN}),
+    u_lw AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT lang,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w
+            FROM documents WHERE len(trim(text)) > 0)
+      WHERE len(w) BETWEEN 1 AND {_ULM_MAXLEN} GROUP BY 1, 2)
+    SELECT l.lang,
+           CAST(SUM(l.f) AS BIGINT) AS n_words,
+           CAST(SUM(l.f * s.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(l.f * len(l.w)) AS BIGINT) AS n_chars,
+           CAST(CAST(SUM(l.f * s.n_pieces) AS HUGEINT) * 1000
+                // SUM(l.f) AS BIGINT) AS fertility_milli,
+           CAST(CAST(SUM(l.f * len(l.w)) AS HUGEINT) * 1000
+                // SUM(l.f * s.n_pieces) AS BIGINT)
+             AS chars_per_piece_milli
+    FROM u_lw l JOIN u_nseg s USING (w)
+    GROUP BY 1
+    """
+
+
+@CAT.query("tokenizer_unigram_fertility", oracle=_ulm_fertility_oracle())
+def tokenizer_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility report of the SHIPPED unigram-LM vocab —
+    the apply side of :func:`tokenizer_unigram_lm` (and the unigram
+    twin of ``tokenizer_fertility_report``, which reports the BPE
+    cascade): segment every word type under the trainer's final
+    kept-piece costs (pruned pieces excluded — shipped-model
+    semantics), then weight by the (lang, word) histogram to report
+    words, pieces, chars, fertility (pieces per word, integer milli)
+    and chars per piece for every language.
+
+    Scale: the corpus is touched twice (trainer histogram + lang-keyed
+    histogram, both map-side-combined groupBys); segmentation runs
+    once per word TYPE (the codegen fold), and the (lang, word) join
+    is word-type-sized on both sides — no broadcast assumption, the
+    optimizer picks the join strategy. Words longer than
+    {_ULM_MAXLEN} chars are outside the trainer's universe and are
+    excluded from the report (documented trainer discipline).
+
+    Exactness: integer counts, integer milli ratios widened through
+    DECIMAL(38,0)/HUGEINT; the only floats live inside the trainer's
+    DuckDB-evaluated cost constants (shared with the trainer oracle
+    via one CTE constant, zero drift).
+    Reference: no counterpart (converter.go is a per-file converter);
+    SURVEY §2 LLM-text extension."""
+    words = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(tokenize(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w").between(1, _ULM_MAXLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    model = unigram_lm_model(words)
+    kept_cost = {p: cost for p, _, _, cost, kept in model if kept}
+    segn = words.select(
+        "w",
+        F.size(_ulm_viterbi_pieces(F.col("w"), kept_cost))
+        .cast("bigint")
+        .alias("n_pieces"),
+    )
+    lw = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "lang",
+            F.explode(tokenize(F.lower(F.col("text")))).alias("w"),
+        )
+        .filter(F.length("w").between(1, _ULM_MAXLEN))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    agg = (
+        lw.join(segn, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_words"),
+            F.sum(F.col("f") * F.col("n_pieces"))
+            .cast("bigint")
+            .alias("n_pieces"),
+            F.sum(F.col("f") * F.length("w"))
+            .cast("bigint")
+            .alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        F.expr(
+            "cast(cast(n_pieces as decimal(38,0)) * 1000 div n_words"
+            " as bigint)"
+        ).alias("fertility_milli"),
+        F.expr(
+            "cast(cast(n_chars as decimal(38,0)) * 1000 div n_pieces"
+            " as bigint)"
+        ).alias("chars_per_piece_milli"),
     )

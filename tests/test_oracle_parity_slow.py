@@ -137,6 +137,7 @@ HEAVY = [
     "mix_pack_sequences",  # epoched two-phase prefix sums, bin boundaries at volume
     "mix_training_order",  # global-rank over hash keys, range-boundary ties
     "tokenizer_unigram_lm",  # seed top-K ties + DP cost ties on the real histogram
+    "tokenizer_unigram_fertility",  # kept-vocab DP ties + milli boundaries at volume
 ]
 
 QUERIES = entry_mod.queries()

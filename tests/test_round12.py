@@ -316,3 +316,74 @@ def test_unigram_lm_em_iteration_refines(spark):
     assert model["cad"][0] == 2 and model["cad"][2]
     assert model["ca"][0] == 0 and not model["ca"][2]  # pruned
     assert model["d"][0] == 0 and model["d"][2]  # char kept at 0
+
+
+def test_unigram_fertility_reconciles_with_shipped_model(spark, sf_smoke):
+    """The fertility report must equal a pure-Python application of
+    the SHIPPED (kept-only) model to the (lang, word) histogram —
+    trainer and report reconcile through the same reference EM."""
+    import duckdb
+
+    from csv_to_parquet_spark.operators.textops import (
+        tokenizer_unigram_fertility,
+    )
+
+    got = {
+        r.lang: r
+        for r in tokenizer_unigram_fertility(spark, sf_smoke).collect()
+    }
+    words = duckdb.sql(
+        f"""SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS w
+              FROM read_parquet('{sf_smoke}/documents.parquet')
+              WHERE len(trim(text)) > 0)
+            WHERE len(w) BETWEEN 1 AND 12 GROUP BY w"""
+    ).fetchall()
+    counts, cost = _ulm_reference(words)
+    kept_cost = {
+        p: c for p, c in cost.items() if len(p) == 1 or counts[p] > 0
+    }
+
+    def n_seg(w):
+        dp = [0] + [None] * len(w)
+        bk = [0] * (len(w) + 1)
+        for i in range(1, len(w) + 1):
+            best, b_l = None, 0
+            for length in (4, 3, 2, 1):
+                if length > i:
+                    continue
+                c = kept_cost.get(w[i - length:i])
+                if c is None:
+                    continue
+                cand = dp[i - length] + c
+                if best is None or cand < best:
+                    best, b_l = cand, length
+            dp[i] = best
+            bk[i] = b_l
+        n, pos = 0, len(w)
+        while pos > 0:
+            n += 1
+            pos -= bk[pos]
+        return n
+
+    lw = duckdb.sql(
+        f"""SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+              SELECT lang, unnest(regexp_split_to_array(trim(lower(text)),
+                                                        '\\s+')) AS w
+              FROM read_parquet('{sf_smoke}/documents.parquet')
+              WHERE len(trim(text)) > 0)
+            WHERE len(w) BETWEEN 1 AND 12 GROUP BY 1, 2"""
+    ).fetchall()
+    ref: dict = {}
+    for lang, w, f in lw:
+        nw, np_, nc = ref.get(lang, (0, 0, 0))
+        ref[lang] = (nw + f, np_ + f * n_seg(w), nc + f * len(w))
+    assert set(got) == set(ref)
+    for lang, (nw, np_, nc) in ref.items():
+        r = got[lang]
+        assert (r.n_words, r.n_pieces, r.n_chars) == (nw, np_, nc), lang
+        assert r.fertility_milli == np_ * 1000 // nw
+        assert r.chars_per_piece_milli == nc * 1000 // np_
+        assert 1000 <= r.fertility_milli <= 12000
+        assert r.chars_per_piece_milli >= 1000
