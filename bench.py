@@ -227,12 +227,7 @@ FLOOR_TOLERANCE = 1.25
 #: Headline entries added since the last committed floors refresh —
 #: the only names allowed to have no floor (they seed one on the next
 #: scripts/refresh_bench_floors.py run; pinned by tests/test_round11.py).
-FLOORLESS_NEW: set[str] = {
-    "mix_pack_sequences",
-    "mix_training_order",
-    "tokenizer_unigram_lm",
-    "tokenizer_unigram_fertility",
-}
+FLOORLESS_NEW: set[str] = set()
 
 
 def load_floors() -> dict[str, float]:

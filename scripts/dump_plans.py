@@ -263,6 +263,32 @@ SHOWCASE = {
         [r"hashpartitioning\(domain[^\n]{0,60}",
          r"\(\d+\) Window[^\n]{0,60}"],
     ),
+    "mix_pack_sequences": (
+        "epoched mixture packing: every Window is partitioned — the "
+        "within-(source, epoch, bucket) running sums run parallel and "
+        "the offset cumulate is the (corpus/bucket)·epochs-row frame; "
+        "offsets and the model-sized alloc frames attach by broadcast",
+        [r"\(\d+\) Window[^\n]{0,90}",
+         r"\(\d+\) BroadcastHashJoin[^\n]{0,60}"],
+    ),
+    "mix_training_order": (
+        "reproducible training order: range repartition on the full "
+        "(epoch, shuffle_key, source, doc_id) sort key, per-partition "
+        "row_number (pid-partitioned Window), |partitions|-row "
+        "broadcast offsets — no single-task global window",
+        [r"rangepartitioning\(epoch[^\n]{0,80}",
+         r"\(\d+\) Window[^\n]{0,80}",
+         r"\(\d+\) BroadcastHashJoin[^\n]{0,60}"],
+    ),
+    "tokenizer_unigram_fertility": (
+        "unigram fertility: Viterbi segmentation is a zero-Python "
+        "codegen fold over word types (no MapInPandas anywhere); the "
+        "corpus appears as two map-side-combined histogram aggs and "
+        "the (lang, word) join strategy is left to AQE",
+        [r"\(\d+\) HashAggregate[^\n]{0,80}",
+         r"hashpartitioning\(lang[^\n]{0,40}",
+         r"!MapInPandas"],
+    ),
 }
 
 
