@@ -197,6 +197,7 @@ HEADLINE = [
     "mix_training_order",
     "tokenizer_unigram_lm",
     "tokenizer_unigram_fertility",
+    "text_stupid_backoff_lm",
 ]
 
 # Automated variance floor-check (VERDICT r10 #2). bench_floors.json

@@ -4804,3 +4804,190 @@ def tokenizer_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("chars_per_piece_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: Stupid Backoff trigram LM scoring (Brants et al. 2007)
+
+
+#: Word-trigram shingle SQL (space-joined, the shingles() convention).
+_TRIGRAMS_SQL = shingles_sql(_TOKS_SQL, 3)
+
+#: The per-trigram score expression — ONE textual constant parsed by
+#: BOTH engines (Spark F.expr and the DuckDB oracle), so every
+#: arithmetic op (double casts, divisions, the 0.4 / 0.16 backoff
+#: literals, the micro-nat floor) is the identical IEEE expression
+#: tree; ln is the only engine-library call (the _LM_SCALE
+#: convention). Levels: trigram MLE; else alpha * bigram MLE; else
+#: alpha^2 * Laplace unigram (OOV-safe). alpha^2 is the literal 0.16
+#: in both engines (NOT 0.4*0.4, whose double product is
+#: 0.16000000000000003).
+_SB_LP_SQL = f"""CAST(CASE
+      WHEN c3 IS NOT NULL
+        THEN FLOOR(ln(CAST(c3 AS DOUBLE) / cx2) * {_LM_SCALE})
+      WHEN b23 IS NOT NULL
+        THEN FLOOR(ln(CAST(b23 AS DOUBLE) / cx1 * 0.4) * {_LM_SCALE})
+      ELSE FLOOR(ln((CAST(COALESCE(u3, 0) AS DOUBLE) + 1) / (nn + vv)
+                    * 0.16) * {_LM_SCALE})
+    END AS BIGINT)"""
+
+_SB_LEVEL_SQL = """CASE WHEN c3 IS NOT NULL THEN 3
+         WHEN b23 IS NOT NULL THEN 2 ELSE 1 END"""
+
+
+@CAT.query(
+    "text_stupid_backoff_lm",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE len(trim(text)) > 0),
+    tg AS (SELECT doc_id, unnest({_TRIGRAMS_SQL}) AS tg FROM d),
+    tri AS MATERIALIZED (
+      SELECT tg, CAST(count(*) AS BIGINT) AS c3 FROM tg
+      WHERE doc_id % {_CCNET_TRAIN_MOD} = 0 GROUP BY tg),
+    ctx2 AS (
+      SELECT concat(split_part(tg, ' ', 1), ' ', split_part(tg, ' ', 2))
+               AS k12,
+             CAST(SUM(c3) AS BIGINT) AS cx2
+      FROM tri GROUP BY 1),
+    bi2 AS (
+      SELECT concat(split_part(tg, ' ', 2), ' ', split_part(tg, ' ', 3))
+               AS k23,
+             CAST(SUM(c3) AS BIGINT) AS b23
+      FROM tri GROUP BY 1),
+    ctx1 AS (
+      SELECT split_part(tg, ' ', 2) AS w2, CAST(SUM(c3) AS BIGINT) AS cx1
+      FROM tri GROUP BY 1),
+    uni AS (
+      SELECT split_part(tg, ' ', 3) AS w3, CAST(SUM(c3) AS BIGINT) AS u3
+      FROM tri GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c3) AS BIGINT) AS nn,
+                   CAST(COUNT(DISTINCT split_part(tg, ' ', 3)) AS BIGINT)
+                     AS vv
+            FROM tri),
+    sc AS (
+      SELECT t.doc_id, {_SB_LP_SQL} AS lp, {_SB_LEVEL_SQL} AS lvl
+      FROM (SELECT doc_id, tg,
+                   concat(split_part(tg, ' ', 1), ' ',
+                          split_part(tg, ' ', 2)) AS k12,
+                   concat(split_part(tg, ' ', 2), ' ',
+                          split_part(tg, ' ', 3)) AS k23,
+                   split_part(tg, ' ', 2) AS w2,
+                   split_part(tg, ' ', 3) AS w3
+            FROM tg) t
+      LEFT JOIN tri USING (tg)
+      LEFT JOIN ctx2 USING (k12)
+      LEFT JOIN bi2 USING (k23)
+      LEFT JOIN ctx1 USING (w2)
+      LEFT JOIN uni USING (w3)
+      CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tri_hit,
+           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bi_hit,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_uni_backoff,
+           CAST(-SUM(lp) AS BIGINT) AS neg_logprob_micro,
+           CAST((-SUM(lp)) // COUNT(*) AS BIGINT) AS per_trigram_micro
+    FROM sc GROUP BY doc_id
+    """,
+)
+def text_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation") — the web-scale backoff
+    scheme designed FOR distributed counting (no discount
+    renormalization, so the model is pure count tables), and the
+    production step up from the catalog's unigram/bigram MLE scorers:
+    S(w3|w1w2) = c(w1w2w3)/c(w1w2), backing off to 0.4·S(w3|w2), then
+    to 0.16·Laplace-unigram (OOV-safe). Trained on the
+    1/{_CCNET_TRAIN_MOD} doc_id slice (the text_ccnet_buckets
+    convention); EVERY lower-order table derives from the trigram
+    model itself (Σ over leading/trailing words), so each backoff
+    denominator exists by construction and the oracle derives the
+    identical closure.
+
+    Per-doc output: trigram count, per-level hit counts (a training
+    doc's trigrams are all in the model, so its n_tri_hit ==
+    n_trigrams — pinned by a test; held-out docs exercise both
+    backoff levels), and the integer micro-nat surprisal sum / mean.
+
+    Exactness: the score expression is ONE textual SQL constant
+    parsed by both engines (identical IEEE double ops, micro-nat
+    floor, order-independent BIGINT sums); ln is the engine library
+    (the _LM_SCALE convention).
+
+    Plan: one corpus trigram explode persisted and reused for the
+    train filter + scoring side; the model and every derived
+    denominator are vocabulary-sized aggs; scoring is key-shuffled
+    LEFT JOINs that AQE skew-splits on hot n-grams (a web-scale
+    trigram table does not broadcast); the 1-row (N, V) frame is the
+    only broadcast. No Python anywhere. Reference: no counterpart
+    (converter.go is a per-file converter); SURVEY §2 LLM-text
+    extension."""
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    tg = _persist(
+        docs.select(
+            "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("tg")
+        )
+    )
+    tri = tg.filter(F.col("doc_id") % _CCNET_TRAIN_MOD == 0).groupBy(
+        "tg"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+    tri = _persist(tri)
+    p = F.split(F.col("tg"), " ", 3)
+    k12 = F.concat_ws(" ", p[0], p[1])
+    k23 = F.concat_ws(" ", p[1], p[2])
+    ctx2 = tri.groupBy(k12.alias("k12")).agg(
+        F.sum("c3").cast("bigint").alias("cx2")
+    )
+    bi2 = tri.groupBy(k23.alias("k23")).agg(
+        F.sum("c3").cast("bigint").alias("b23")
+    )
+    ctx1 = tri.groupBy(p[1].alias("w2")).agg(
+        F.sum("c3").cast("bigint").alias("cx1")
+    )
+    uni = tri.groupBy(p[2].alias("w3")).agg(
+        F.sum("c3").cast("bigint").alias("u3")
+    )
+    tot = tri.agg(
+        F.sum("c3").cast("bigint").alias("nn"),
+        F.count_distinct(p[2]).cast("bigint").alias("vv"),
+    )
+    keyed = tg.select(
+        "doc_id",
+        "tg",
+        k12.alias("k12"),
+        k23.alias("k23"),
+        p[1].alias("w2"),
+        p[2].alias("w3"),
+    )
+    sc = (
+        keyed.join(tri, "tg", "left")
+        .join(ctx2, "k12", "left")
+        .join(bi2, "k23", "left")
+        .join(ctx1, "w2", "left")
+        .join(uni, "w3", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(_SB_LP_SQL).alias("lp"),
+            F.expr(_SB_LEVEL_SQL).alias("lvl"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tri_hit"),
+        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bi_hit"),
+        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_uni_backoff"),
+        (-F.sum("lp")).cast("bigint").alias("neg_logprob_micro"),
+        F.expr("cast((-sum(lp)) div count(*) as bigint)").alias(
+            "per_trigram_micro"
+        ),
+    )

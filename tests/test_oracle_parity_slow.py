@@ -138,6 +138,7 @@ HEAVY = [
     "mix_training_order",  # global-rank over hash keys, range-boundary ties
     "tokenizer_unigram_lm",  # seed top-K ties + DP cost ties on the real histogram
     "tokenizer_unigram_fertility",  # kept-vocab DP ties + milli boundaries at volume
+    "text_stupid_backoff_lm",  # backoff-level mix shifts with model coverage at volume
 ]
 
 QUERIES = entry_mod.queries()

@@ -250,6 +250,7 @@ _BNLJ_ALLOW = {
     "mix_select_documents",  # same 1-row totals inside the alloc core
     "mix_pack_sequences",  # same 1-row totals inside the alloc core
     "mix_training_order",  # same 1-row totals inside the alloc core
+    "text_stupid_backoff_lm",  # 1-row (N, V) model-total broadcast
 }
 
 # Key columns of the always-broadcastable dimensions (nation/region are

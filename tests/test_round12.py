@@ -387,3 +387,28 @@ def test_unigram_fertility_reconciles_with_shipped_model(spark, sf_smoke):
         assert r.chars_per_piece_milli == nc * 1000 // np_
         assert 1000 <= r.fertility_milli <= 12000
         assert r.chars_per_piece_milli >= 1000
+
+
+def test_stupid_backoff_levels_partition_and_train_docs_hit(spark, sf_smoke):
+    """Stupid-backoff invariants: level hit counts partition the
+    trigram count per doc; training-slice docs (their trigrams ARE the
+    model) score entirely at the trigram level; held-out docs exercise
+    the backoff levels; per_trigram_micro is the floored mean."""
+    from csv_to_parquet_spark.operators.textops import (
+        _CCNET_TRAIN_MOD,
+        text_stupid_backoff_lm,
+    )
+
+    rows = text_stupid_backoff_lm(spark, sf_smoke).collect()
+    assert rows
+    held_backoffs = 0
+    for r in rows:
+        assert r.n_tri_hit + r.n_bi_hit + r.n_uni_backoff == r.n_trigrams
+        assert r.per_trigram_micro == r.neg_logprob_micro // r.n_trigrams
+        assert r.neg_logprob_micro > 0  # probabilities < 1 everywhere
+        if r.doc_id % _CCNET_TRAIN_MOD == 0:
+            assert r.n_tri_hit == r.n_trigrams, r.doc_id
+        else:
+            held_backoffs += r.n_bi_hit + r.n_uni_backoff
+    # the held-out slice must genuinely exercise backoff
+    assert held_backoffs > 0
