@@ -289,6 +289,16 @@ SHOWCASE = {
          r"hashpartitioning\(lang[^\n]{0,40}",
          r"!MapInPandas"],
     ),
+    "text_stupid_backoff_lm": (
+        "stupid-backoff scoring: the trigram model and every derived "
+        "denominator are vocabulary-sized; scoring joins are "
+        "key-shuffles (a web-scale trigram table does not broadcast "
+        "by assumption — AQE may still choose to); the 1-row (N, V) "
+        "frame is broadcast; no Python anywhere",
+        [r"\(\d+\) HashAggregate[^\n]{0,80}",
+         r"hashpartitioning\(doc_id[^\n]{0,40}",
+         r"!EvalPython"],
+    ),
 }
 
 

@@ -412,3 +412,74 @@ def test_stupid_backoff_levels_partition_and_train_docs_hit(spark, sf_smoke):
             held_backoffs += r.n_bi_hit + r.n_uni_backoff
     # the held-out slice must genuinely exercise backoff
     assert held_backoffs > 0
+
+
+def test_unigram_viterbi_fold_matches_reference_on_random_words(spark):
+    """Adversarial cross-check of the codegen DP fold against the
+    pure-Python reference on one seeded batch of random words —
+    repeated chars (tie storms), length-1 and length-12 extremes,
+    costs with deliberate equal-sum collisions. Pins the fold's
+    clamped element_at indexing and the longest-piece tie rule."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_spark.operators.textops import (
+        _ulm_viterbi_pieces,
+    )
+
+    rng = random.Random(1234)
+    alphabet = "abc"
+    words = sorted(
+        {
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(200)
+        }
+    )
+    # cost table: all chars + random multi pieces, some with EQUAL
+    # costs so tie-breaking is actually exercised
+    cost = {c: 1000 for c in alphabet}
+    pieces = set()
+    for _ in range(60):
+        plen = rng.randint(2, 4)
+        pieces.add(
+            "".join(rng.choice(alphabet) for _ in range(plen))
+        )
+    for p in sorted(pieces):
+        cost[p] = rng.choice([900, 1500, 2000, len(p) * 1000])
+
+    def ref_seg(w):
+        dp = [0] + [None] * len(w)
+        bk = [0] * (len(w) + 1)
+        for i in range(1, len(w) + 1):
+            best, b_l = None, 0
+            for length in (4, 3, 2, 1):
+                if length > i:
+                    continue
+                c = cost.get(w[i - length:i])
+                if c is None:
+                    continue
+                cand = dp[i - length] + c
+                if best is None or cand < best:
+                    best, b_l = cand, length
+            dp[i] = best
+            bk[i] = b_l
+        ps, pos = [], len(w)
+        while pos > 0:
+            ps.append(w[pos - bk[pos]:pos])
+            pos -= bk[pos]
+        return list(reversed(ps))
+
+    wdf = spark.createDataFrame([(w,) for w in words], "w STRING")
+    got = {
+        r.w: list(r.ps)
+        for r in wdf.select(
+            "w", _ulm_viterbi_pieces(F.col("w"), cost).alias("ps")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == ref_seg(w), (w, got[w], ref_seg(w))
+        assert "".join(got[w]) == w
