@@ -2739,13 +2739,16 @@ def _mix_instances_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     instance rule). The repeat count per document is closed-form,
     n_rep = ⌈(alloc − cum_before) / avail⌉ when positive, so the
     epoch explosion is a narrow ``sequence``+``explode`` map — no
-    shuffle beyond the cum/alloc cores it builds on."""
+    shuffle beyond the cum/alloc cores it builds on. avail_tokens is
+    derived from the cum frame itself (its persisted per-doc token
+    counts), not a second corpus scan+tokenize (r12 review)."""
     alloc = _mix_alloc_frame(spark, sf_dir).select("source", "alloc_tokens")
-    avail = _docs(spark, sf_dir).groupBy("source").agg(
-        F.sum(F.size(tokenize("text"))).cast("bigint").alias("avail_tokens")
+    cum = _mix_cum_frame(spark, sf_dir)
+    avail = cum.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("avail_tokens")
     )
     return (
-        _mix_cum_frame(spark, sf_dir)
+        cum
         .join(F.broadcast(alloc), "source")
         .join(F.broadcast(avail), "source")
         .filter(F.col("cum_before_tokens") < F.col("alloc_tokens"))

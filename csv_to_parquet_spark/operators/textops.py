@@ -4405,6 +4405,21 @@ def _ulm_costs(counts: dict) -> dict:
     return out
 
 
+def _ulm_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer's word-type histogram (w, f) — ONE definition shared
+    by the trainer and the fertility report (and mirrored by the
+    u_words / u_lw oracle CTEs), so the length filter and
+    normalization cannot drift between the entries they reconcile."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(tokenize(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w").between(1, _ULM_MAXLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+
+
 def unigram_lm_model(words: DataFrame) -> list[tuple]:
     """Train the unigram LM on a word-type histogram ``words``
     (columns: w string, f bigint) and return the final model rows
@@ -4417,8 +4432,15 @@ def unigram_lm_model(words: DataFrame) -> list[tuple]:
     recounts with a piece groupBy whose result is model-sized
     (≤ alphabet + {_ULM_K} rows — the only per-round collect), and
     re-estimates costs driver-side. Seed = all single chars + top-K
-    multi-char substrings by f-weighted occurrence."""
-    words = _persist(words)
+    multi-char substrings by f-weighted occurrence.
+
+    Word types longer than _ULM_MAXLEN are outside the trainer's
+    universe and are filtered here (the backtrack fold walks exactly
+    _ULM_MAXLEN steps — without the filter an over-long planted word
+    would silently segment to its last 12 chars and corrupt counts)."""
+    words = _persist(
+        words.filter(F.length("w").between(1, _ULM_MAXLEN))
+    )
     subs = words.select(
         F.explode(
             F.flatten(
@@ -4511,7 +4533,7 @@ def _ulm_iter_sql(
                              CAST(l.L AS INTEGER)) AS piece
             FROM u_words w,
                  unnest(range(1, len(w.w) + 1)) AS u(i),
-                 unnest([1, 2, 3, 4]) AS l(L)
+                 unnest([{", ".join(str(i) for i in range(1, _ULM_MAXP + 1))}]) AS l(L)
             WHERE u.i - l.L + 1 >= 1) s
       JOIN {cost_in} c ON c.piece = s.piece),
     u{it}piv AS MATERIALIZED (
@@ -4600,7 +4622,7 @@ def _ulm_train_ctes() -> str:
              CAST(SUM(f) AS BIGINT) AS occ
       FROM u_words,
            unnest(range(1, len(w) + 1)) AS u(i),
-           unnest([1, 2, 3, 4]) AS l(L)
+           unnest([{", ".join(str(i) for i in range(1, _ULM_MAXP + 1))}]) AS l(L)
       WHERE i + L - 1 <= len(w)
       GROUP BY 1),
     u_seedv AS MATERIALIZED (
@@ -4668,14 +4690,7 @@ def tokenizer_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus fertility in tests/test_round12.py.
     Reference: no counterpart (converter.go is a per-file converter);
     SURVEY §2 LLM-text extension."""
-    words = (
-        _docs(spark, sf_dir)
-        .filter(F.length(F.trim("text")) > 0)
-        .select(F.explode(tokenize(F.lower(F.col("text")))).alias("w"))
-        .filter(F.length("w").between(1, _ULM_MAXLEN))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-    )
+    words = _ulm_words(spark, sf_dir)
     rows = unigram_lm_model(words)
     return spark.createDataFrame(
         rows,
@@ -4750,14 +4765,7 @@ def tokenizer_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     via one CTE constant, zero drift).
     Reference: no counterpart (converter.go is a per-file converter);
     SURVEY §2 LLM-text extension."""
-    words = (
-        _docs(spark, sf_dir)
-        .filter(F.length(F.trim("text")) > 0)
-        .select(F.explode(tokenize(F.lower(F.col("text")))).alias("w"))
-        .filter(F.length("w").between(1, _ULM_MAXLEN))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-    )
+    words = _ulm_words(spark, sf_dir)
     model = unigram_lm_model(words)
     kept_cost = {p: cost for p, _, _, cost, kept in model if kept}
     segn = words.select(

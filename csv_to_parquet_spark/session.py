@@ -46,11 +46,13 @@ def get_spark(
     # into every Python worker's environment, local mode included)
     # instead of mutating the process-global os.environ, which leaked
     # the repo root into EVERY subprocess the caller spawned
-    # afterwards (ADVICE r11). Like any conf, it is a no-op when
-    # getOrCreate reuses an existing session — same-process reuse
-    # already has a working driver sys.path, so that case needs no
-    # export. On a real cluster the equivalent is shipping the
-    # package via --py-files / a wheel.
+    # afterwards (ADVICE r11). Confs are a no-op when getOrCreate
+    # reuses an existing session, and driver sys.path does NOT feed
+    # workers — so after getOrCreate we also patch the live
+    # SparkContext.environment (UDF envVars snapshot it at function
+    # creation, the pbcompat mechanism), covering sessions created
+    # outside get_spark. On a real cluster the equivalent is shipping
+    # the package via --py-files / a wheel.
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     inherited = os.environ.get("PYTHONPATH", "")
     if pkg_root not in inherited.split(os.pathsep):
@@ -80,4 +82,15 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate may have attached to a pre-existing session whose
+    # worker env lacks the repo root (confs are ignored on reuse);
+    # sc.environment is snapshotted into every subsequently-created
+    # UDF's envVars, so patching it here covers that path too.
+    env = spark.sparkContext.environment
+    existing_pp = env.get("PYTHONPATH", "")
+    if pkg_root not in (existing_pp or "").split(os.pathsep):
+        env["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing_pp if existing_pp else "")
+        )
+    return spark

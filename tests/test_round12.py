@@ -134,8 +134,16 @@ def test_mix_pack_mass_matches_allocation(spark, sf_smoke):
         mix_pack_sequences(spark, sf_smoke).collect(),
         key=lambda r: r.bin_id,
     )
-    assert [b.bin_id for b in bins] == list(range(len(bins)))
-    assert sum(b.sum_tokens for b in bins) == sum(mass.values())
+    total = sum(mass.values())
+    ids = [b.bin_id for b in bins]
+    # bin ids are unique, nonnegative, and the last bin holds the
+    # stream's final token; a document LONGER than the bin budget
+    # legitimately skips intermediate ids (it lands in the bin of its
+    # last token), so contiguity is NOT asserted — only emitted bins
+    # are (trivially) non-empty.
+    assert len(set(ids)) == len(ids) and ids[0] >= 0
+    assert ids[-1] == (total - 1) // 2048
+    assert sum(b.sum_tokens for b in bins) == total
     assert all(b.n_docs >= 1 and b.n_sources >= 1 for b in bins)
 
 
@@ -405,7 +413,9 @@ def test_stupid_backoff_levels_partition_and_train_docs_hit(spark, sf_smoke):
     for r in rows:
         assert r.n_tri_hit + r.n_bi_hit + r.n_uni_backoff == r.n_trigrams
         assert r.per_trigram_micro == r.neg_logprob_micro // r.n_trigrams
-        assert r.neg_logprob_micro > 0  # probabilities < 1 everywhere
+        # >= 0, not > 0: a doc whose every trigram has a singleton
+        # training context scores exactly ln(1) = 0 at level 3
+        assert r.neg_logprob_micro >= 0
         if r.doc_id % _CCNET_TRAIN_MOD == 0:
             assert r.n_tri_hit == r.n_trigrams, r.doc_id
         else:
@@ -483,3 +493,44 @@ def test_unigram_viterbi_fold_matches_reference_on_random_words(spark):
     for w in words:
         assert got[w] == ref_seg(w), (w, got[w], ref_seg(w))
         assert "".join(got[w]) == w
+
+
+def test_workers_import_package_under_session_reuse(tmp_path):
+    """r12 review: when getOrCreate attaches to a PRE-EXISTING session
+    (confs ignored), get_spark must still deliver the repo root to
+    Python workers — via the live SparkContext.environment patch —
+    or every Arrow-UDF stage dies with ModuleNotFoundError."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+pre = (SparkSession.builder.master("local[2]")
+       .config("spark.ui.enabled", "false").getOrCreate())
+pre.sparkContext.setLogLevel("ERROR")
+from csv_to_parquet_spark.session import get_spark
+spark = get_spark(app_name="reusecheck")
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+@pandas_udf("bigint")
+def triple(x: pd.Series) -> pd.Series:
+    import csv_to_parquet_spark  # must resolve in the WORKER
+    return x * 3
+
+df = spark.range(10).select(triple("id").alias("y"))
+print("SUM", sum(r.y for r in df.collect()))
+"""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "SUM 135" in out.stdout, out.stderr[-2000:]
