@@ -2329,7 +2329,9 @@ _SRC_EFF_CTES = f"""occ AS (
     FROM eff, s
     """,
 )
-def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mix_source_weights(
+    spark: SparkSession, sf_dir: str, eff: DataFrame | None = None
+) -> DataFrame:
     """Mixing-weight DECISION operator over the cross-source overlap
     matrix (VERDICT r10 #5 — the consumer that turns the r10
     diagnostic into an action): down-weight each source by the
@@ -2363,7 +2365,8 @@ def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatch documented there applies at thousands of dumps.
     Reference: no counterpart (converter.go is a per-file converter);
     SURVEY §2 LLM-dedup extension."""
-    eff = _source_effective_frame(spark, sf_dir)
+    if eff is None:
+        eff = _source_effective_frame(spark, sf_dir)
     te = eff.agg(
         F.sum("effective_passages").cast("bigint").alias("te")
     )
@@ -2491,7 +2494,12 @@ _MIX_ALLOC_CTES = f"""{_SRC_EFF_CTES},
     FROM alloc a JOIN avail av USING (source)
     """,
 )
-def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mix_token_allocation(
+    spark: SparkSession,
+    sf_dir: str,
+    eff: DataFrame | None = None,
+    cum: DataFrame | None = None,
+) -> DataFrame:
     """Token-budget apportionment over the down-weighted mixture — the
     step after :func:`mix_source_weights` in a training-data plan:
     given a global token budget, how many tokens does each source
@@ -2523,10 +2531,19 @@ def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     remainder window) is model-sized. Reference: no counterpart
     (converter.go is a per-file converter); SURVEY §2 LLM-dedup
     extension."""
-    avail = _docs(spark, sf_dir).groupBy("source").agg(
-        F.sum(F.size(tokenize("text"))).cast("bigint").alias("avail_tokens")
-    )
-    alloc = _mix_alloc_frame(spark, sf_dir)
+    if cum is None:
+        avail = _docs(spark, sf_dir).groupBy("source").agg(
+            F.sum(F.size(tokenize("text")))
+            .cast("bigint")
+            .alias("avail_tokens")
+        )
+    else:
+        # pipeline path: the shared cum frame already carries per-doc
+        # token counts — no second corpus tokenize
+        avail = cum.groupBy("source").agg(
+            F.sum("n_tokens").cast("bigint").alias("avail_tokens")
+        )
+    alloc = _mix_alloc_frame(spark, sf_dir, eff=eff)
     return alloc.join(F.broadcast(avail), "source").select(
         "source",
         "effective_passages",
@@ -2539,12 +2556,17 @@ def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mix_alloc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mix_alloc_frame(
+    spark: SparkSession, sf_dir: str, eff: DataFrame | None = None
+) -> DataFrame:
     """(source, effective_passages, alloc_tokens) — the Hamilton
     apportionment core shared by :func:`mix_token_allocation` and
     :func:`mix_select_documents` (the Spark twin of the
-    ``_MIX_ALLOC_CTES`` oracle constant)."""
-    eff = _source_effective_frame(spark, sf_dir)
+    ``_MIX_ALLOC_CTES`` oracle constant). ``eff`` lets
+    :func:`mix_pipeline` thread one shared effective-mass frame
+    instead of recomputing the fingerprint DISTINCT."""
+    if eff is None:
+        eff = _source_effective_frame(spark, sf_dir)
     te = eff.agg(F.sum("effective_passages").cast("bigint").alias("te"))
     base = eff.join(F.broadcast(te)).select(
         "source",
@@ -2606,7 +2628,12 @@ _SEL_BUCKET = 128
     FROM cum c JOIN alloc a USING (source)
     """,
 )
-def mix_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mix_select_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    alloc: DataFrame | None = None,
+    cum: DataFrame | None = None,
+) -> DataFrame:
     """Materialize the mixture — the final step of the weights →
     budget → SELECTION chain: per source, documents are taken in
     deterministic priority order (doc_id here; production substitutes
@@ -2632,8 +2659,11 @@ def mix_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window: a source with 10¹¹ documents never
     funnels through one task. Reference: no counterpart (converter.go
     is a per-file converter); SURVEY §2 LLM-dedup extension."""
-    alloc = _mix_alloc_frame(spark, sf_dir).select("source", "alloc_tokens")
-    cum = _mix_cum_frame(spark, sf_dir)
+    if alloc is None:
+        alloc = _mix_alloc_frame(spark, sf_dir)
+    alloc = alloc.select("source", "alloc_tokens")
+    if cum is None:
+        cum = _mix_cum_frame(spark, sf_dir)
     return cum.join(F.broadcast(alloc), "source").select(
         "doc_id",
         "source",
@@ -2733,7 +2763,12 @@ _MIX_INST_CTES = f"""{_MIX_ALLOC_CTES},
       WHERE c.cum_before_tokens < a.alloc_tokens)"""
 
 
-def _mix_instances_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mix_instances_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    alloc: DataFrame | None = None,
+    cum: DataFrame | None = None,
+) -> DataFrame:
     """(source, doc_id, n_tokens, epoch) — the Spark twin of the
     ``_MIX_INST_CTES`` oracle constant (see its docstring for the
     instance rule). The repeat count per document is closed-form,
@@ -2742,8 +2777,11 @@ def _mix_instances_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the cum/alloc cores it builds on. avail_tokens is
     derived from the cum frame itself (its persisted per-doc token
     counts), not a second corpus scan+tokenize (r12 review)."""
-    alloc = _mix_alloc_frame(spark, sf_dir).select("source", "alloc_tokens")
-    cum = _mix_cum_frame(spark, sf_dir)
+    if alloc is None:
+        alloc = _mix_alloc_frame(spark, sf_dir)
+    alloc = alloc.select("source", "alloc_tokens")
+    if cum is None:
+        cum = _mix_cum_frame(spark, sf_dir)
     avail = cum.groupBy("source").agg(
         F.sum("n_tokens").cast("bigint").alias("avail_tokens")
     )
@@ -2792,7 +2830,9 @@ _PACK_BIN = 2048
     FROM g GROUP BY 1
     """,
 )
-def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mix_pack_sequences(
+    spark: SparkSession, sf_dir: str, inst: DataFrame | None = None
+) -> DataFrame:
     """Pack the SELECTED MIXTURE into contiguous {_PACK_BIN}-token
     training bins — the composite that closes the weights → budget →
     selection → PACKING chain (VERDICT r11 #2): the epoched instance
@@ -2823,11 +2863,16 @@ def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10⁶-row — single-task-window + broadcast safe); no corpus-wide
     single-partition window. Reference: no counterpart (converter.go
     is a per-file converter); SURVEY §2 LLM-dedup extension."""
-    inst = _persist(
-        _mix_instances_frame(spark, sf_dir).withColumn(
-            "bucket", F.expr(f"doc_id div {_SEL_BUCKET}")
+    if inst is None:
+        inst = _persist(
+            _mix_instances_frame(spark, sf_dir).withColumn(
+                "bucket", F.expr(f"doc_id div {_SEL_BUCKET}")
+            )
         )
-    )
+    else:
+        # pipeline path: inst is already persisted upstream; the
+        # bucket column is a narrow map over the cached rows
+        inst = inst.withColumn("bucket", F.expr(f"doc_id div {_SEL_BUCKET}"))
     w_in = (
         Window.partitionBy("source", "epoch", "bucket")
         .orderBy("doc_id")
@@ -2886,7 +2931,9 @@ _ORDER_SEED = "spark-graft-r12"
     FROM k
     """,
 )
-def mix_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mix_training_order(
+    spark: SparkSession, sf_dir: str, inst: DataFrame | None = None
+) -> DataFrame:
     """Deterministic training-order curriculum over the selected
     mixture (VERDICT r11 #4 — the step between selection and packing
     in published pipelines): every document instance of the epoched
@@ -2912,7 +2959,9 @@ def mix_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     order makes the FINAL rank exact. Reference: no counterpart
     (converter.go is a per-file converter); SURVEY §2 LLM-dedup
     extension."""
-    k = _mix_instances_frame(spark, sf_dir).select(
+    if inst is None:
+        inst = _mix_instances_frame(spark, sf_dir)
+    k = inst.select(
         "source",
         "doc_id",
         "epoch",
@@ -2948,3 +2997,48 @@ def mix_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") + F.col("off")).cast("bigint").alias("train_order"),
         )
     )
+
+
+def mix_pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The AMORTIZED mixing chain — all five ``mix_*`` entry outputs
+    from one pass over shared persisted cores, the way a production
+    run would execute the pipeline (each catalog entry deliberately
+    stays standalone for per-entry driver independence; this is the
+    compute-the-chain-once path those entries' docstrings promise).
+
+    Shared exactly once here (vs once PER ENTRY standalone):
+      - the corpus-scale DISTINCT (fp, source) fingerprint exchange
+        (``_source_effective_frame`` — feeds weights + allocation +
+        selection + both epoched consumers through ``alloc``),
+      - the tokenize + two-phase prefix-sum scaffold
+        (``_mix_cum_frame`` — feeds selection, avail-tokens, and the
+        instance stream),
+      - the epoched instance explosion (``_mix_instances_frame`` —
+        feeds packing and training order).
+
+    Returns ``{"weights", "allocation", "selection", "sequences",
+    "order"}`` — each DataFrame is row-identical to its standalone
+    catalog entry (pinned by tests/test_round12.py, which also pins
+    that each core function is invoked exactly once). Persisted
+    intermediates are registered with the tracked cache; call
+    ``operators.cache.release_caches`` when done, as bench does.
+
+    Scale: identical per-stage plans to the audited standalone
+    entries — sharing removes repeated corpus scans/exchanges without
+    adding any new shuffle; the persisted cores are the frames the
+    entries already persist (fp, toks) plus the |selected|·epochs
+    instance stream, which production would land to disk between
+    stages anyway. Reference: no counterpart (converter.go is a
+    per-file converter); SURVEY §2 LLM-dedup extension (non-entry
+    composition API)."""
+    eff = _persist(_source_effective_frame(spark, sf_dir))
+    alloc = _persist(_mix_alloc_frame(spark, sf_dir, eff=eff))
+    cum = _persist(_mix_cum_frame(spark, sf_dir))
+    inst = _persist(_mix_instances_frame(spark, sf_dir, alloc=alloc, cum=cum))
+    return {
+        "weights": mix_source_weights(spark, sf_dir, eff=eff),
+        "allocation": mix_token_allocation(spark, sf_dir, eff=eff, cum=cum),
+        "selection": mix_select_documents(spark, sf_dir, alloc=alloc, cum=cum),
+        "sequences": mix_pack_sequences(spark, sf_dir, inst=inst),
+        "order": mix_training_order(spark, sf_dir, inst=inst),
+    }

@@ -534,3 +534,75 @@ print("SUM", sum(r.y for r in df.collect()))
         timeout=300,
     )
     assert "SUM 135" in out.stdout, out.stderr[-2000:]
+
+
+def test_mix_pipeline_matches_standalone_entries(spark, sf_smoke):
+    """The amortized mix_pipeline must be row-identical to the five
+    standalone catalog entries on every output — sharing the cores
+    may change the physical plan, never the result. (The `order` leg
+    is deterministic because the (epoch, shuffle_key, source, doc_id)
+    sort key is unique — same reason the entry itself is replayable.)"""
+    from csv_to_parquet_spark.operators import dedup as d
+    from csv_to_parquet_spark.operators.cache import (
+        release_caches,
+        scope_token,
+    )
+
+    tok = scope_token()
+    try:
+        out = d.mix_pipeline(spark, sf_smoke)
+        standalone = {
+            "weights": d.mix_source_weights,
+            "allocation": d.mix_token_allocation,
+            "selection": d.mix_select_documents,
+            "sequences": d.mix_pack_sequences,
+            "order": d.mix_training_order,
+        }
+        assert set(out) == set(standalone)
+        for name, fn in standalone.items():
+            got = sorted(map(tuple, out[name].collect()))
+            want = sorted(map(tuple, fn(spark, sf_smoke).collect()))
+            assert got == want, f"mix_pipeline[{name}] diverges"
+            assert got, f"mix_pipeline[{name}] empty at smoke sf"
+    finally:
+        release_caches(tok)
+
+
+def test_mix_pipeline_computes_each_core_once(spark, sf_smoke, monkeypatch):
+    """The point of the pipeline: the corpus-scale cores run ONCE for
+    all five outputs (standalone, the fingerprint DISTINCT alone runs
+    four times across the chain's entries)."""
+    from csv_to_parquet_spark.operators import dedup as d
+    from csv_to_parquet_spark.operators.cache import (
+        release_caches,
+        scope_token,
+    )
+
+    calls = {"eff": 0, "cum": 0, "inst": 0}
+    orig_eff, orig_cum = d._source_effective_frame, d._mix_cum_frame
+    orig_inst = d._mix_instances_frame
+
+    def count(key, orig):
+        def wrapped(*a, **k):
+            calls[key] += 1
+            return orig(*a, **k)
+
+        return wrapped
+
+    monkeypatch.setattr(
+        d, "_source_effective_frame", count("eff", orig_eff)
+    )
+    monkeypatch.setattr(d, "_mix_cum_frame", count("cum", orig_cum))
+    monkeypatch.setattr(
+        d, "_mix_instances_frame", count("inst", orig_inst)
+    )
+    tok = scope_token()
+    try:
+        out = d.mix_pipeline(spark, sf_smoke)
+        # materialize everything — lazily-built plans must not trigger
+        # further core builds either
+        for df in out.values():
+            df.collect()
+    finally:
+        release_caches(tok)
+    assert calls == {"eff": 1, "cum": 1, "inst": 1}, calls
