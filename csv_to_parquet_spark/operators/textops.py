@@ -4657,7 +4657,12 @@ def _ulm_oracle() -> str:
 
 
 @CAT.query("tokenizer_unigram_lm", oracle=_ulm_oracle())
-def tokenizer_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenizer_unigram_lm(
+    spark: SparkSession,
+    sf_dir: str,
+    model: list[tuple] | None = None,
+    words: DataFrame | None = None,
+) -> DataFrame:
     """Unigram-LM tokenizer TRAINING (Kudo 2018; the SentencePiece
     model family) — the other production tokenizer beside the BPE
     triptych (VERDICT r11 #5): seed a candidate vocabulary (all
@@ -4690,10 +4695,12 @@ def tokenizer_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus fertility in tests/test_round12.py.
     Reference: no counterpart (converter.go is a per-file converter);
     SURVEY §2 LLM-text extension."""
-    words = _ulm_words(spark, sf_dir)
-    rows = unigram_lm_model(words)
+    if model is None:
+        if words is None:
+            words = _ulm_words(spark, sf_dir)
+        model = unigram_lm_model(words)
     return spark.createDataFrame(
-        rows,
+        model,
         "piece STRING, piece_len BIGINT, viterbi_count BIGINT,"
         " cost_micro BIGINT, kept BOOLEAN",
     )
@@ -4741,7 +4748,12 @@ def _ulm_fertility_oracle() -> str:
 
 
 @CAT.query("tokenizer_unigram_fertility", oracle=_ulm_fertility_oracle())
-def tokenizer_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenizer_unigram_fertility(
+    spark: SparkSession,
+    sf_dir: str,
+    model: list[tuple] | None = None,
+    words: DataFrame | None = None,
+) -> DataFrame:
     """Per-language fertility report of the SHIPPED unigram-LM vocab —
     the apply side of :func:`tokenizer_unigram_lm` (and the unigram
     twin of ``tokenizer_fertility_report``, which reports the BPE
@@ -4765,8 +4777,10 @@ def tokenizer_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     via one CTE constant, zero drift).
     Reference: no counterpart (converter.go is a per-file converter);
     SURVEY §2 LLM-text extension."""
-    words = _ulm_words(spark, sf_dir)
-    model = unigram_lm_model(words)
+    if words is None:
+        words = _ulm_words(spark, sf_dir)
+    if model is None:
+        model = unigram_lm_model(words)
     kept_cost = {p: cost for p, _, _, cost, kept in model if kept}
     segn = words.select(
         "w",
@@ -4812,6 +4826,34 @@ def tokenizer_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("chars_per_piece_milli"),
     )
+
+
+def unigram_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Amortized unigram-LM chain — the train-once path the two
+    catalog entries promise (each stays standalone for per-entry
+    driver independence, so standalone the Viterbi-EM trainer runs
+    TWICE across them and the word-type histogram three times).
+
+    Here the histogram is built and persisted once (the trainer's own
+    internal persist then materializes from this cache, so the corpus
+    is tokenized once for training) and the trained model is threaded
+    to both consumers via their optional ``model``/``words``
+    parameters. Returns ``{"model", "fertility"}`` — row-identical to
+    the standalone entries (test-pinned, along with
+    trainer-runs-once). Call ``operators.cache.release_caches`` when
+    done, as bench does. Reference: no counterpart (converter.go is a
+    per-file converter); SURVEY §2 LLM-text extension (non-entry
+    composition API, the mix_pipeline convention)."""
+    words = _persist(_ulm_words(spark, sf_dir))
+    model = unigram_lm_model(words)
+    return {
+        "model": tokenizer_unigram_lm(spark, sf_dir, model=model),
+        "fertility": tokenizer_unigram_fertility(
+            spark, sf_dir, model=model, words=words
+        ),
+    }
 
 
 # ---------------------------------------------------------------------------

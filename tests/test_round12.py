@@ -606,3 +606,49 @@ def test_mix_pipeline_computes_each_core_once(spark, sf_smoke, monkeypatch):
     finally:
         release_caches(tok)
     assert calls == {"eff": 1, "cum": 1, "inst": 1}, calls
+
+
+def test_unigram_pipeline_matches_standalone_and_trains_once(
+    spark, sf_smoke, monkeypatch
+):
+    """unigram_pipeline: both outputs row-identical to the standalone
+    entries, with the Viterbi-EM trainer invoked exactly ONCE (it runs
+    twice across the standalone pair)."""
+    from csv_to_parquet_spark.operators import textops as t
+    from csv_to_parquet_spark.operators.cache import (
+        release_caches,
+        scope_token,
+    )
+
+    calls = {"train": 0}
+    orig = t.unigram_lm_model
+
+    def counting(words):
+        calls["train"] += 1
+        return orig(words)
+
+    monkeypatch.setattr(t, "unigram_lm_model", counting)
+    tok = scope_token()
+    try:
+        out = t.unigram_pipeline(spark, sf_smoke)
+        got_model = sorted(map(tuple, out["model"].collect()))
+        got_fert = sorted(map(tuple, out["fertility"].collect()))
+    finally:
+        release_caches(tok)
+    assert calls["train"] == 1, calls
+    monkeypatch.undo()
+    tok = scope_token()
+    try:
+        want_model = sorted(
+            map(tuple, t.tokenizer_unigram_lm(spark, sf_smoke).collect())
+        )
+        want_fert = sorted(
+            map(
+                tuple,
+                t.tokenizer_unigram_fertility(spark, sf_smoke).collect(),
+            )
+        )
+    finally:
+        release_caches(tok)
+    assert got_model == want_model and got_model
+    assert got_fert == want_fert and got_fert
