@@ -2498,6 +2498,7 @@ def mix_token_allocation(
     spark: SparkSession,
     sf_dir: str,
     eff: DataFrame | None = None,
+    alloc: DataFrame | None = None,
     cum: DataFrame | None = None,
 ) -> DataFrame:
     """Token-budget apportionment over the down-weighted mixture — the
@@ -2543,7 +2544,8 @@ def mix_token_allocation(
         avail = cum.groupBy("source").agg(
             F.sum("n_tokens").cast("bigint").alias("avail_tokens")
         )
-    alloc = _mix_alloc_frame(spark, sf_dir, eff=eff)
+    if alloc is None:
+        alloc = _mix_alloc_frame(spark, sf_dir, eff=eff)
     return alloc.join(F.broadcast(avail), "source").select(
         "source",
         "effective_passages",
@@ -3037,7 +3039,9 @@ def mix_pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     inst = _persist(_mix_instances_frame(spark, sf_dir, alloc=alloc, cum=cum))
     return {
         "weights": mix_source_weights(spark, sf_dir, eff=eff),
-        "allocation": mix_token_allocation(spark, sf_dir, eff=eff, cum=cum),
+        "allocation": mix_token_allocation(
+            spark, sf_dir, alloc=alloc, cum=cum
+        ),
         "selection": mix_select_documents(spark, sf_dir, alloc=alloc, cum=cum),
         "sequences": mix_pack_sequences(spark, sf_dir, inst=inst),
         "order": mix_training_order(spark, sf_dir, inst=inst),

@@ -4437,9 +4437,14 @@ def unigram_lm_model(words: DataFrame) -> list[tuple]:
     Word types longer than _ULM_MAXLEN are outside the trainer's
     universe and are filtered here (the backtrack fold walks exactly
     _ULM_MAXLEN steps — without the filter an over-long planted word
-    would silently segment to its last 12 chars and corrupt counts)."""
-    words = _persist(
-        words.filter(F.length("w").between(1, _ULM_MAXLEN))
+    would silently segment to its last 12 chars and corrupt counts).
+    The CALLER'S frame is what gets persisted, with the filter a lazy
+    view over that cache — persisting the filtered derivative instead
+    would strand callers that reuse the same histogram (the fertility
+    entry's segmentation branch) on an uncached plan Spark's
+    CacheManager cannot substitute (r12 review)."""
+    words = _persist(words).filter(
+        F.length("w").between(1, _ULM_MAXLEN)
     )
     subs = words.select(
         F.explode(

@@ -141,8 +141,10 @@ def test_mix_pack_mass_matches_allocation(spark, sf_smoke):
     # legitimately skips intermediate ids (it lands in the bin of its
     # last token), so contiguity is NOT asserted — only emitted bins
     # are (trivially) non-empty.
+    from csv_to_parquet_spark.operators.dedup import _PACK_BIN
+
     assert len(set(ids)) == len(ids) and ids[0] >= 0
-    assert ids[-1] == (total - 1) // 2048
+    assert ids[-1] == (total - 1) // _PACK_BIN
     assert sum(b.sum_tokens for b in bins) == total
     assert all(b.n_docs >= 1 and b.n_sources >= 1 for b in bins)
 
@@ -504,9 +506,10 @@ def test_workers_import_package_under_session_reuse(tmp_path):
     import subprocess
     import sys
 
-    code = """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = f"""
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 pre = (SparkSession.builder.master("local[2]")
        .config("spark.ui.enabled", "false").getOrCreate())
