@@ -1256,29 +1256,38 @@ _COS_BLOCKS = 16
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ 0.4) — the brute-force
-    baseline the ANN path is measured against. All-double sequential
-    accumulation matches DuckDB's list_dot_product bit-for-bit.
-    Zero-norm vectors are filtered on both engines before scoring —
-    see :func:`csv_to_parquet_spark.functions.nonzero_norm`.
+    baseline the ANN path is measured against. Zero-norm vectors are
+    filtered on both engines before scoring — see
+    :func:`csv_to_parquet_spark.functions.nonzero_norm`.
 
-    Scale shape (r6 VERDICT fix): the semantics are inherently O(n²)
-    compute, but the MEMORY no longer is — the r6 shape broadcast the
-    whole corpus for a nested-loop join, and an n-sized broadcast dies
-    long before the compute does. Now both sides are bucketed by
-    ``vec_id mod _COS_BLOCKS`` and exploded to bucket-pair keys (left
-    row in bucket i → pairs (i, j≥i); right row in bucket j → pairs
-    (i≤j, j)), so the block join is a plain EQUALITY shuffle join on
-    (bi, bj): B(B+1)/2 uniformly-sized tasks, each holding two
-    n/B-row blocks — bounded per-task memory, no broadcast of
-    anything but literals. An unordered vector pair meets exactly
-    once: in its (min-bucket, max-bucket) task for distinct buckets
-    (emitted as least/greatest id), id-ordered within the diagonal
-    tasks. Shuffle volume is n·(B+1)/2 vector rows — the price of
-    removing the O(n) broadcast; at 100 TB you raise B so blocks fit
-    executors and the task count, not a single driver broadcast,
-    absorbs the growth.
+    Scale shape (r6 VERDICT fix kept; r12 kernel swap): the semantics
+    are inherently O(n²) compute, but neither the MEMORY nor the
+    per-pair cost is — each vector is bucketed by
+    ``vec_id mod _COS_BLOCKS`` and replicated to the B block-pair keys
+    its bucket participates in (one ``transform`` over 0..B−1 emitting
+    (least(c, j), greatest(c, j)) — the diagonal once), and ONE
+    shuffle groups each (bi, bj) block into an ``applyInPandas``
+    kernel: B(B+1)/2 uniformly-sized groups, per-group memory two
+    n/B-row blocks, never the corpus, and no broadcast of anything.
+    At 100 TB you raise B so blocks fit executors; the group count,
+    not a driver broadcast, absorbs the growth.
+
+    r12 optimization (guide §4.2 — heavy lifting in native code): the
+    r7–r11 shape joined exploded rows pairwise and scored each pair
+    with the interpreted zip_with/aggregate HOF — THREE 64-element
+    interpreted folds per pair (dot + both norms re-derived per pair),
+    ~400M boxed lambda ops at sf0.1. The kernel computes each block's
+    norms once per VECTOR and the cross-block dot matrix as 64
+    dimension-ordered vectorized accumulations — the `_seq_dots_udf`
+    parity argument: per (pair, dim) exactly one IEEE-754 multiply and
+    one add in dimension order, so every dot, norm, quotient is
+    BIT-IDENTICAL to the sequential HOF form and DuckDB's
+    list_dot_product replay (verified exact vs the oracle at sf0.01
+    AND sf0.1 before the swap). Only the surviving pairs cross Arrow
+    back; ROUND stays JVM-side. Measured 3.55 s → 0.88 s at sf0.1
+    (same-session min-of-3) with row-identical output.
     """
-    from csv_to_parquet_spark.functions import cosine_similarity, nonzero_norm
+    from csv_to_parquet_spark.functions import nonzero_norm
 
     B = _COS_BLOCKS
     e = (
@@ -1286,50 +1295,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .filter(nonzero_norm("embedding"))
     )
-    left = e.select(
-        F.col("vec_id").alias("ida"),
-        F.col("embedding").alias("va"),
-        (F.col("vec_id") % B).cast("int").alias("bi"),
+    bkt = (F.col("vec_id") % B).cast("int")
+    rep = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(B - 1)),
+                lambda j: F.struct(
+                    F.least(bkt, j).cast("int").alias("bi"),
+                    F.greatest(bkt, j).cast("int").alias("bj"),
+                ),
+            )
+        ).alias("bp"),
     ).select(
-        "ida",
-        "va",
-        "bi",
-        F.explode(F.sequence(F.col("bi"), F.lit(B - 1))).alias("bj"),
+        "vec_id",
+        "embedding",
+        F.col("bp.bi").alias("bi"),
+        F.col("bp.bj").alias("bj"),
     )
-    right = e.select(
-        F.col("vec_id").alias("idb"),
-        F.col("embedding").alias("vb"),
-        (F.col("vec_id") % B).cast("int").alias("bj"),
-    ).select(
-        "idb",
-        "vb",
-        "bj",
-        F.explode(F.sequence(F.lit(0), F.col("bj"))).alias("bi"),
-    )
-    # explicit numPartitions: the shuffle is tiny in BYTES but the
-    # post-join scoring is the CPU hot path — AQE would coalesce a
-    # planner shuffle down to a few tasks on byte size alone, while an
-    # explicit repartition count is respected
-    n_tasks = spark.sparkContext.defaultParallelism
-    left = left.repartition(n_tasks, "bi", "bj")
-    right = right.repartition(n_tasks, "bi", "bj")
-    cs = cosine_similarity("va", "vb")
+
+    def _block_cosine(key, pdf):
+        import numpy as np
+
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # dimension-ordered accumulation: bit-identical to the
+        # sequential F.aggregate fold / DuckDB list_dot_product
+        n2 = np.zeros(len(V))
+        for d in range(V.shape[1]):
+            n2 += V[:, d] * V[:, d]
+        nrm = np.sqrt(n2)
+        c = ids % B  # vec_ids are non-negative; % matches JVM here
+        ma, mb = c == bi, c == bj
+        ia, va_m, na = ids[ma], V[ma], nrm[ma]
+        ib, vb_m, nb = ids[mb], V[mb], nrm[mb]
+        if len(ia) == 0 or len(ib) == 0:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cs": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cs": "float64"})
+        acc = np.zeros((len(ia), len(ib)))
+        for d in range(V.shape[1]):
+            acc += va_m[:, d : d + 1] * vb_m[:, d][None, :]
+        cs = acc / (na[:, None] * nb[None, :])
+        ra, rb = np.nonzero(cs >= 0.4)
+        pa, pb, pc = ia[ra], ib[rb], cs[ra, rb]
+        if bi == bj:
+            keep = pa < pb
+            pa, pb, pc = pa[keep], pb[keep], pc[keep]
+        else:
+            pa, pb = np.minimum(pa, pb), np.maximum(pa, pb)
+        return pd.DataFrame({"vec_a": pa, "vec_b": pb, "cs": pc})
+
     return (
-        # SHUFFLE_HASH pins the equality join to a shuffled hash join:
-        # Catalyst's size estimate would otherwise re-broadcast the
-        # replicated corpus side (the exact anti-pattern this shape
-        # removes) and run the whole O(n²) scoring on one task
-        left.hint("SHUFFLE_HASH")
-        .join(right, ["bi", "bj"])
-        # diagonal blocks would otherwise see both orders of a pair
-        .filter((F.col("bi") != F.col("bj")) | (F.col("ida") < F.col("idb")))
-        .withColumn("cs", cs)
-        .filter(F.col("cs") >= 0.4)
-        .select(
-            F.least("ida", "idb").alias("vec_a"),
-            F.greatest("ida", "idb").alias("vec_b"),
-            F.round("cs", 6).alias("cosine"),
-        )
+        rep.groupBy("bi", "bj")
+        .applyInPandas(_block_cosine, "vec_a bigint, vec_b bigint, cs double")
+        .select("vec_a", "vec_b", F.round("cs", 6).alias("cosine"))
     )
 
 
@@ -2184,6 +2206,85 @@ def dedup_ccnet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 10: cross-source duplication-overlap matrix (mixing audit)
 
 
+def _mix_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, fps array<bigint>) — ONE narrow
+    scan+tokenize pass (persisted, tracked) shared by every consumer
+    of the mixing chain: the passage-fingerprint core
+    (:func:`_fp_sources`), the per-source available-token counts, and
+    the prefix-sum scaffold (:func:`_mix_cum_frame`). Before r12 each
+    entry re-scanned and re-tokenized ``documents`` once per consumer
+    (the overlap/weights/allocation/selection entries paid the regex
+    tokenize 2× each); this is the guide-§8 move — compute the
+    lightweight proxy of the corpus once, and run every decision off
+    it. At 100 TB the cache is ~8 bytes per corpus token — the same
+    signature-store materialization the MinHash pipeline documents
+    (a production chain lands it to disk between stages)."""
+    toks = tokenize("text")
+    return _persist(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.transform(
+                shingles(toks, _PASSAGE_N), lambda s: md5_60(s)
+            ).alias("fps"),
+        )
+    )
+
+
+def _fp_sources(base: DataFrame) -> DataFrame:
+    """(fp, ss sorted array<source>) — the distinct source set per
+    passage fingerprint, as ONE corpus-scale exchange (persisted,
+    tracked): explode → groupBy(fp) with a map-side partial
+    collect_set. Replaces the r10/r11 DISTINCT (fp, source) + fp-keyed
+    self-join shape, which paid THREE corpus-scale exchanges (the
+    distinct, then both self-join sides re-hashed by fp) to derive the
+    same two aggregates; per-source totals and source-pair overlap
+    counts now both come off this one collapsed frame. The set is
+    sorted so downstream pair generation is deterministic; per-fp set
+    size is bounded by |sources| (model-sized)."""
+    return _persist(
+        base.select("source", F.explode("fps").alias("fp"))
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    )
+
+
+def _fp_source_totals(bysrc: DataFrame) -> DataFrame:
+    """(source, n) distinct-fingerprint count per source off the
+    :func:`_fp_sources` frame — map-side combined, |sources| rows."""
+    return (
+        bysrc.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _fp_source_pairs(bysrc: DataFrame) -> DataFrame:
+    """(src_a, src_b, shared) ordered source-pair co-occurrence counts
+    off the :func:`_fp_sources` frame: per fp, all ordered pairs of
+    its (sorted) source set via a nested array transform — k² work per
+    fp bounded by |sources|², never a corpus-scale join."""
+    ss = F.col("ss")
+    pair_arr = F.flatten(
+        F.transform(
+            ss,
+            lambda a, i: F.transform(
+                F.slice(ss, i + 2, F.size(ss)),
+                lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+            ),
+        )
+    )
+    return (
+        bysrc.filter(F.size("ss") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+
+
 @CAT.query(
     "dedup_cross_source_overlap",
     oracle=f"""
@@ -2225,40 +2326,27 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio widened through DECIMAL(38,0)/HUGEINT (no overflow at
     10¹³+ passages per source, no doubles anywhere).
 
-    Plan: one explode → map-side fingerprint → DISTINCT (fp, source)
-    — the single CORPUS-scale exchange; everything downstream
-    operates on the deduplicated fingerprint population, which the
-    distinct collapses by the per-source duplication factor (at
-    local scale AQE broadcasts one side of the self-join outright;
-    at cluster scale the fp-keyed join re-exchanges only that
-    already-collapsed frame, never the raw occurrence stream).
-    Pair generation is the inverted-index self-join every *_pairs
-    entry uses: per-fp cost is k² over the sources sharing that
-    fingerprint, bounded by |sources|² — model-sized here; at
-    thousands of dumps the published audits prefilter universal
-    boilerplate by document frequency first (the `_WINNOW_DF_CAP`
-    pattern two entries up) before pairing. The pair aggregation and
-    the totals join are |sources|²- and |sources|-row frames —
-    broadcast. Reference: no counterpart (converter.go is a per-file
-    converter); SURVEY §2 LLM-dedup extension."""
-    occ = _docs(spark, sf_dir).select(
-        "source",
-        F.explode(shingles(tokenize("text"), _PASSAGE_N)).alias("sh"),
+    Plan (r12 reshape — guide §2.4, remove shuffles outright): one
+    explode → map-side fingerprint → groupBy(fp) with a partial
+    collect_set — the single CORPUS-scale exchange (the r10/r11 shape
+    paid three: a DISTINCT plus both sides of an fp-keyed self-join).
+    Everything downstream operates on the collapsed per-fingerprint
+    source sets: totals are an explode+count, pair generation is a
+    per-fp nested transform over the sorted set — k² per fp bounded
+    by |sources|², model-sized here; at thousands of dumps the
+    published audits prefilter universal boilerplate by document
+    frequency first (the `_WINNOW_DF_CAP` pattern two entries up)
+    before pairing. The pair aggregation and the totals join are
+    |sources|²- and |sources|-row frames — broadcast. The corpus scan
+    itself is the shared one-pass :func:`_mix_base` proxy (tokenized
+    once for this entry and the whole mix chain). Reference: no
+    counterpart (converter.go is a per-file converter); SURVEY §2
+    LLM-dedup extension."""
+    bysrc = _fp_sources(_mix_base(spark, sf_dir))
+    pairs = _fp_source_pairs(bysrc).withColumnRenamed(
+        "shared", "shared_passages"
     )
-    fp = _persist(
-        occ.select("source", md5_60(F.col("sh")).alias("fp")).distinct()
-    )
-    a = fp.select(F.col("source").alias("src_a"), "fp")
-    b = fp.select(F.col("source").alias("src_b"), "fp")
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_passages"))
-    )
-    tot = fp.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    tot = _fp_source_totals(bysrc)
     ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
     tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
     return (
@@ -2359,10 +2447,12 @@ def mix_source_weights(
     (division by zero) in BOTH engines rather than emitting garbage.
 
     Plan: identical corpus shape to the overlap matrix — ONE
-    corpus-scale DISTINCT (fp, source) exchange, then every further
-    frame (totals, pairs, ceded, the 1-row normalizer) is |sources|-
-    or |sources|²-sized and broadcast; the same DF-cap prefilter
-    escape hatch documented there applies at thousands of dumps.
+    corpus-scale groupBy(fp) exchange off the shared
+    :func:`_mix_base` proxy (r12: was DISTINCT + fp self-join, three
+    corpus exchanges), then every further frame (totals, pairs,
+    ceded, the 1-row normalizer) is |sources|- or |sources|²-sized
+    and broadcast; the same DF-cap prefilter escape hatch documented
+    there applies at thousands of dumps.
     Reference: no counterpart (converter.go is a per-file converter);
     SURVEY §2 LLM-dedup extension."""
     if eff is None:
@@ -2382,30 +2472,23 @@ def mix_source_weights(
     )
 
 
-def _source_effective_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _source_effective_frame(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """(source, n_passages, ceded_passages, effective_passages) —
     the down-weighting core shared by :func:`mix_source_weights`
     (normalized weights) and :func:`mix_token_allocation` (budget
-    apportionment). One corpus-scale DISTINCT (fp, source) exchange;
-    everything downstream is |sources|- or |sources|²-sized."""
-    occ = _docs(spark, sf_dir).select(
-        "source",
-        F.explode(shingles(tokenize("text"), _PASSAGE_N)).alias("sh"),
-    )
-    fp = _persist(
-        occ.select("source", md5_60(F.col("sh")).alias("fp")).distinct()
-    )
-    tot = fp.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    a = fp.select(F.col("source").alias("src_a"), "fp")
-    b = fp.select(F.col("source").alias("src_b"), "fp")
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
-    )
+    apportionment). One corpus-scale groupBy(fp) exchange off the
+    shared :func:`_mix_base` proxy (r12: was a DISTINCT + fp-keyed
+    self-join — three corpus-scale exchanges and a second corpus
+    tokenize); everything downstream is |sources|- or
+    |sources|²-sized. ``base`` lets callers thread one shared
+    tokenized proxy across the chain's cores."""
+    if base is None:
+        base = _mix_base(spark, sf_dir)
+    bysrc = _fp_sources(base)
+    tot = _fp_source_totals(bysrc)
+    pairs = _fp_source_pairs(bysrc)
     ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
     tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
     loser = (
@@ -2525,27 +2608,30 @@ def mix_token_allocation(
     rank identical integers. Everything downstream of the corpus
     aggregations is |sources|-sized.
 
-    Plan: TWO corpus-scale exchanges — the DISTINCT (fp, source) the
-    effective-mass core shares with the overlap matrix, and one
-    source-keyed token-count aggregation (map-side combined). The
+    Plan (r12: one shared scan): ONE corpus-scale groupBy(fp)
+    exchange (the effective-mass core, off the shared
+    :func:`_mix_base` proxy) plus one source-keyed token-count
+    aggregation (map-side combined, off the SAME cached proxy — the
+    second corpus scan+tokenize this entry used to pay is gone). The
     apportionment itself (1-row total broadcasts, a |sources|-row
     remainder window) is model-sized. Reference: no counterpart
     (converter.go is a per-file converter); SURVEY §2 LLM-dedup
     extension."""
-    if cum is None:
-        avail = _docs(spark, sf_dir).groupBy("source").agg(
-            F.sum(F.size(tokenize("text")))
-            .cast("bigint")
-            .alias("avail_tokens")
-        )
-    else:
+    if cum is not None:
         # pipeline path: the shared cum frame already carries per-doc
         # token counts — no second corpus tokenize
         avail = cum.groupBy("source").agg(
             F.sum("n_tokens").cast("bigint").alias("avail_tokens")
         )
-    if alloc is None:
-        alloc = _mix_alloc_frame(spark, sf_dir, eff=eff)
+        if alloc is None:
+            alloc = _mix_alloc_frame(spark, sf_dir, eff=eff)
+    else:
+        base = _mix_base(spark, sf_dir)
+        avail = base.groupBy("source").agg(
+            F.sum("n_tokens").cast("bigint").alias("avail_tokens")
+        )
+        if alloc is None:
+            alloc = _mix_alloc_frame(spark, sf_dir, eff=eff, base=base)
     return alloc.join(F.broadcast(avail), "source").select(
         "source",
         "effective_passages",
@@ -2559,16 +2645,20 @@ def mix_token_allocation(
 
 
 def _mix_alloc_frame(
-    spark: SparkSession, sf_dir: str, eff: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    eff: DataFrame | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """(source, effective_passages, alloc_tokens) — the Hamilton
     apportionment core shared by :func:`mix_token_allocation` and
     :func:`mix_select_documents` (the Spark twin of the
     ``_MIX_ALLOC_CTES`` oracle constant). ``eff`` lets
     :func:`mix_pipeline` thread one shared effective-mass frame
-    instead of recomputing the fingerprint DISTINCT."""
+    instead of recomputing the fingerprint core; ``base`` threads the
+    shared tokenized proxy one level further down."""
     if eff is None:
-        eff = _source_effective_frame(spark, sf_dir)
+        eff = _source_effective_frame(spark, sf_dir, base=base)
     te = eff.agg(F.sum("effective_passages").cast("bigint").alias("te"))
     base = eff.join(F.broadcast(te)).select(
         "source",
@@ -2652,20 +2742,25 @@ def mix_select_documents(
     the integer allocation — no floats; the selection boundary is
     pinned per source by an invariant test.
 
-    Plan: the allocation core's two corpus-scale exchanges, plus the
-    pack_token_budget two-phase prefix-sum scaffold for the per-source
-    running totals — within-(source, doc-bucket) windows run parallel,
-    only the per-(source, bucket) offset frame (corpus/{_SEL_BUCKET}
-    rows) pays a per-source sequential window, and documents pick up
-    their offset through a broadcast join. No corpus-wide
-    single-partition window: a source with 10¹¹ documents never
-    funnels through one task. Reference: no counterpart (converter.go
-    is a per-file converter); SURVEY §2 LLM-dedup extension."""
-    if alloc is None:
-        alloc = _mix_alloc_frame(spark, sf_dir)
+    Plan (r12: one shared scan): the allocation core's single
+    corpus-scale groupBy(fp) exchange, plus the pack_token_budget
+    two-phase prefix-sum scaffold for the per-source running totals —
+    within-(source, doc-bucket) windows run parallel, only the
+    per-(source, bucket) offset frame (corpus/{_SEL_BUCKET} rows) pays
+    a per-source sequential window, and documents pick up their offset
+    through a broadcast join. Both cores read the ONE cached
+    :func:`_mix_base` proxy, so the corpus is scanned and tokenized
+    once per invocation (was twice). No corpus-wide single-partition
+    window: a source with 10¹¹ documents never funnels through one
+    task. Reference: no counterpart (converter.go is a per-file
+    converter); SURVEY §2 LLM-dedup extension."""
+    if alloc is None or cum is None:
+        base = _mix_base(spark, sf_dir)
+        if alloc is None:
+            alloc = _mix_alloc_frame(spark, sf_dir, base=base)
+        if cum is None:
+            cum = _mix_cum_frame(spark, sf_dir, base=base)
     alloc = alloc.select("source", "alloc_tokens")
-    if cum is None:
-        cum = _mix_cum_frame(spark, sf_dir)
     return cum.join(F.broadcast(alloc), "source").select(
         "doc_id",
         "source",
@@ -2677,20 +2772,25 @@ def mix_select_documents(
     )
 
 
-def _mix_cum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mix_cum_frame(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, source, n_tokens, cum_before_tokens) — the per-source
     token prefix sum in doc_id order, via the pack_token_budget
     two-phase scaffold (within-(source, bucket) windows run parallel;
     the per-(source, bucket) offset frame is corpus/_SEL_BUCKET rows).
     Shared by :func:`mix_select_documents` and the round-12 epoched
-    consumers (:func:`mix_pack_sequences`, :func:`mix_training_order`)."""
-    toks = _persist(
-        _docs(spark, sf_dir).select(
-            "doc_id",
-            "source",
-            F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
-            F.expr(f"doc_id div {_SEL_BUCKET}").alias("bucket"),
-        )
+    consumers (:func:`mix_pack_sequences`, :func:`mix_training_order`).
+    ``base`` threads the shared :func:`_mix_base` proxy (r12); the
+    frame read twice below (within + offsets) is that persisted cache
+    either way."""
+    if base is None:
+        base = _mix_base(spark, sf_dir)
+    toks = base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"doc_id div {_SEL_BUCKET}").alias("bucket"),
     )
     w_in = (
         Window.partitionBy("source", "bucket")
@@ -2779,11 +2879,13 @@ def _mix_instances_frame(
     shuffle beyond the cum/alloc cores it builds on. avail_tokens is
     derived from the cum frame itself (its persisted per-doc token
     counts), not a second corpus scan+tokenize (r12 review)."""
-    if alloc is None:
-        alloc = _mix_alloc_frame(spark, sf_dir)
+    if alloc is None or cum is None:
+        base = _mix_base(spark, sf_dir)
+        if alloc is None:
+            alloc = _mix_alloc_frame(spark, sf_dir, base=base)
+        if cum is None:
+            cum = _mix_cum_frame(spark, sf_dir, base=base)
     alloc = alloc.select("source", "alloc_tokens")
-    if cum is None:
-        cum = _mix_cum_frame(spark, sf_dir)
     avail = cum.groupBy("source").agg(
         F.sum("n_tokens").cast("bigint").alias("avail_tokens")
     )
@@ -3028,14 +3130,16 @@ def mix_pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Scale: identical per-stage plans to the audited standalone
     entries — sharing removes repeated corpus scans/exchanges without
     adding any new shuffle; the persisted cores are the frames the
-    entries already persist (fp, toks) plus the |selected|·epochs
+    entries already persist (the tokenized base proxy, the per-fp
+    source sets) plus the |selected|·epochs
     instance stream, which production would land to disk between
     stages anyway. Reference: no counterpart (converter.go is a
     per-file converter); SURVEY §2 LLM-dedup extension (non-entry
     composition API)."""
-    eff = _persist(_source_effective_frame(spark, sf_dir))
+    base = _mix_base(spark, sf_dir)
+    eff = _persist(_source_effective_frame(spark, sf_dir, base=base))
     alloc = _persist(_mix_alloc_frame(spark, sf_dir, eff=eff))
-    cum = _persist(_mix_cum_frame(spark, sf_dir))
+    cum = _persist(_mix_cum_frame(spark, sf_dir, base=base))
     inst = _persist(_mix_instances_frame(spark, sf_dir, alloc=alloc, cum=cum))
     return {
         "weights": mix_source_weights(spark, sf_dir, eff=eff),

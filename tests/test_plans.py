@@ -184,14 +184,17 @@ def test_embedding_cosine_block_join_never_broadcasts_corpus(
     spark, sf_smoke, queries
 ):
     """r6 VERDICT #4 'done' criterion, pinned mechanically: the exact
-    cosine pair baseline must plan a SHUFFLED equality join over the
-    block-pair keys — no BroadcastExchange anywhere (the corpus is the
-    only join input, so any broadcast is an n-sized broadcast), no
-    nested-loop fallback."""
+    cosine pair baseline must never broadcast the corpus and never
+    fall back to a nested loop. Since r12 the block pairing is a
+    single grouped-kernel shuffle (FlatMapGroupsInPandas over the
+    (bi, bj) block keys) instead of a ShuffledHashJoin of exploded
+    row pairs — still one exchange of block-keyed vector rows, with
+    the O(n²) scoring vectorized inside the kernel."""
     plan = _plan(queries["dedup_embedding_cosine"](spark, sf_smoke))
     assert "BroadcastExchange" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "ShuffledHashJoin" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "hashpartitioning(bi" in plan, plan
 
 
 def test_embedding_lsh_pairs_candidate_join_ships_ids_only(spark, sf_smoke, queries):
