@@ -25,11 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from csv_to_parquet_spark.functions import (
-    cosine_similarity,
-    dot_double,
-    md5_60_sql,
-)
+from csv_to_parquet_spark.functions import dot_double, md5_60_sql
 from csv_to_parquet_spark.operators import Catalog
 from csv_to_parquet_spark.sources.tables import load_table, spread
 
@@ -121,6 +117,25 @@ def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hoisted_cosine() -> Column:
+    """cs = dot/(nq·ne) with BOTH norms precomputed once per VECTOR
+    (columns ``nq``/``ne``) instead of re-derived per pair — the
+    r12 guide-§1.2 per-task-work cut for the brute-force family:
+    `cosine_similarity` evaluated three interpreted 64-element folds
+    per (query, vector) pair (dot + both norms); hoisting leaves one.
+    Bit-exact: each hoisted norm is the sqrt of the identical
+    left-to-right double sum (the dedup_embedding_lsh_pairs parity
+    argument), and the quotient keeps the same multiply/divide order
+    as the oracle's ``/ (sqrt(..) * sqrt(..))``."""
+    return dot_double("qv", "embedding") / (F.col("nq") * F.col("ne"))
+
+
+def _norm_col(vec: Column | str) -> Column:
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.sqrt(dot_double(vec, vec))
+
+
+
 @CAT.query(
     "knn_bruteforce_cosine",
     oracle=f"""
@@ -146,19 +161,21 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus is scanned once with zero shuffle for the join
     (broadcast-nested-loop); only the scored rows (n_queries × corpus,
     pre-prunable per partition) hit the ranking exchange. This is the
-    ground-truth baseline for the ANN variants.
+    ground-truth baseline for the ANN variants. Per-vector norms are
+    hoisted out of the pair loop (:func:`_hoisted_cosine`).
     """
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).withColumn("ne", _norm_col("embedding"))
     q = F.broadcast(
         _queries(spark, sf_dir).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            _norm_col("embedding").alias("nq"),
         )
     )
-    cs = cosine_similarity("qv", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
     return (
         e.join(q, F.col("vec_id") != F.col("query_id"))
-        .withColumn("cs", cs)
+        .withColumn("cs", _hoisted_cosine())
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", F.round("cs", 6).alias("cosine"), "rn")
@@ -393,6 +410,7 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id",
         "embedding",
+        _norm_col("embedding").alias("ne"),  # hoisted: once per vector
         F.posexplode(_table_buckets(F.col("embedding"))).alias("tbl", "bucket"),
     )
     q = F.broadcast(
@@ -400,13 +418,15 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
+            _norm_col("embedding").alias("nq"),
             F.posexplode(_query_probes(F.col("embedding"))).alias(
                 "qtbl", "plist"
             ),
         )
-        .select("query_id", "qv", "qtbl", F.explode("plist").alias("qbucket"))
+        .select(
+            "query_id", "qv", "nq", "qtbl", F.explode("plist").alias("qbucket")
+        )
     )
-    cs = cosine_similarity("qv", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
     return (
         e.join(
@@ -415,7 +435,7 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "vec_id", cs.alias("cs"))
+        .select("query_id", "vec_id", _hoisted_cosine().alias("cs"))
         .groupBy("query_id", "vec_id")
         .agg(F.max("cs").alias("cs"))
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -709,25 +729,25 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = e.withColumn(
         "cell", _ivf_cells_int(F.col("embedding"), cents, 1)[0]
-    )
+    ).withColumn("ne", _norm_col("embedding"))  # hoisted: once per vector
     q = F.broadcast(
         _queries(spark, sf_dir)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
+            _norm_col("embedding").alias("nq"),
             F.explode(
                 _ivf_cells_int(F.col("embedding"), cents, _IVF_PROBES)
             ).alias("probe"),
         )
     )
-    cs = cosine_similarity("qv", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
     return (
         corpus.join(
             q,
             (F.col("cell") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
         )
-        .withColumn("cs", cs)
+        .withColumn("cs", _hoisted_cosine())
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", F.round("cs", 6).alias("cosine"), "rn")
@@ -884,15 +904,24 @@ def embedding_prefix_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv_to_parquet_spark.functions import nonzero_norm
 
     pre = lambda c: F.slice(F.col(c), 1, _MRL_DIMS)  # noqa: E731
+    # full + prefix norms hoisted to one evaluation per VECTOR (the
+    # _hoisted_cosine convention): the pair loop previously re-derived
+    # four norms per (query, vector) pair — six interpreted folds per
+    # pair down to two (the full and prefix dots).
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .filter(nonzero_norm("embedding"))
         .filter(nonzero_norm(pre("embedding")))
+        .withColumn("ne", _norm_col("embedding"))
+        .withColumn("ne_pre", _norm_col(pre("embedding")))
     )
     q = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("ne").alias("nq"),
+            F.col("ne_pre").alias("nq_pre"),
         )
     )
     scored = (
@@ -900,13 +929,10 @@ def embedding_prefix_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine_similarity("qv", "embedding").alias("cs_full"),
+            _hoisted_cosine().alias("cs_full"),
             (
                 dot_double(pre("qv"), pre("embedding"))
-                / (
-                    F.sqrt(dot_double(pre("qv"), pre("qv")))
-                    * F.sqrt(dot_double(pre("embedding"), pre("embedding")))
-                )
+                / (F.col("nq_pre") * F.col("ne_pre"))
             ).alias("cs_pre"),
         )
     )
@@ -975,17 +1001,18 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the band would come off the ANN candidate list instead, with
     identical downstream semantics. Deterministic (cosine DESC,
     vec_id) ordering makes the mined set engine-exact."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).withColumn("ne", _norm_col("embedding"))
     q = F.broadcast(
         _queries(spark, sf_dir).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            _norm_col("embedding").alias("nq"),
         )
     )
-    cs = cosine_similarity("qv", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
     return (
         e.join(q, F.col("vec_id") != F.col("query_id"))
-        .withColumn("cs", cs)
+        .withColumn("cs", _hoisted_cosine())
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > _NEG_LO) & (F.col("rn") <= _NEG_HI))
         .select(
