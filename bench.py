@@ -231,6 +231,33 @@ FLOOR_TOLERANCE = 1.25
 FLOORLESS_NEW: set[str] = set()
 
 
+def drift_index_of(
+    timings: dict[str, float], floors: dict[str, float]
+) -> float | None:
+    """Median ratio of this window's per-entry timings to their
+    committed calm floors (VERDICT r12 #2, additions-only payload
+    field). A mechanical host-load gauge: a calm window reads ~1.0-1.1,
+    the r12 drift windows read ~1.35 (the geomean inflation measured
+    across untouched entries there). The median over every floored
+    entry is robust to the handful of entries a round genuinely speeds
+    up or slows down, so it tracks the HOST, not the code. None when no
+    entry has a floor (fresh checkout)."""
+    ratios = sorted(
+        timings[n] / floors[n]
+        for n in timings
+        if n in floors and floors[n] > 0
+    )
+    if not ratios:
+        return None
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return round(med, 3)
+
+
 def load_floors() -> dict[str, float]:
     try:
         with open(os.path.join(_REPO, "bench_floors.json")) as f:
@@ -438,6 +465,9 @@ def main() -> int:
         release_caches()
 
     total = round(sum(timings.values()), 3)
+    # additions-only: timing methodology and all existing payload
+    # fields are untouched; drift_index is a NEW key (see its docstring)
+    drift_index = drift_index_of(timings, floors)
     # Output ordering matters: the driver's artifact stores only the
     # LAST ~2000 chars of stdout (verified r8: the full 122-entry
     # final line overflowed the tail and dropped every headline
@@ -455,6 +485,7 @@ def main() -> int:
         "convert_csv_mb": round(csv_mb, 2),
         "convert_mbps": convert_mbps,
         "recall_at_10": recall,
+        "drift_index": drift_index,
         "floor_violations": floor_violations,
         "queries": timings,
     }

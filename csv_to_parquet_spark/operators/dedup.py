@@ -223,47 +223,74 @@ class _CappedIndex(NamedTuple):
 
     sh: DataFrame  #: persisted (doc_id, sh) distinct pairs
     dfreq: DataFrame  #: (sh, df) document frequencies
-    stops: DataFrame  #: broadcast stop-shingles (df > cap)
+    stops: DataFrame  #: persisted (sh, is_stop) stop-shingles (df > cap)
     idx: DataFrame  #: sh minus stop-shingles — the joinable index
-    info: DataFrame  #: (doc_id, n_sh, capped_sh array) per doc
+    info: DataFrame  #: persisted (doc_id, n_sh, capped_sh array) per doc
+    docs: DataFrame  #: (sh, docs sorted array) per indexable shingle, ≥2 docs
 
 
-def _capped_index(
-    sh: DataFrame, df_cap: int, cache_dfreq: bool = False
-) -> _CappedIndex:
+def _capped_index(sh: DataFrame, df_cap: int) -> _CappedIndex:
     """The preamble every capped-index dedup shares. ``sh`` is
     persisted (tracked; see cache.release_caches): four consumers
-    reference it (sizes, document frequencies, the index join, the
-    capped add-back) and would otherwise re-run the
-    scan→explode→distinct shuffle each — this is the inverted index
-    any shingle-dedup system materializes once.
+    reference it (document frequencies, the stop-flag join feeding
+    info and the index, the supplemental containment probe) and would
+    otherwise re-run the scan→explode shuffle each — this is the
+    inverted index any shingle-dedup system materializes once.
 
-    ``cache_dfreq=True`` persists the per-shingle frequency frame as
-    well — for :func:`containment_pairs`, whose adaptive gate probes
-    it with a driver-side existence job BEFORE the main action;
-    without the cache that probe re-ran the full per-shingle
-    aggregation (measured +24% on the containment headline at sf0.1).
-    Callers without an eager probe (Jaccard, connected components)
-    leave it off: their single plan reads dfreq once, and caching a
-    per-shingle string frame they never re-read is pure columnar-
-    encode overhead."""
+    r13 restructure (guide §2.3/§2.4 — aggregate before you shuffle,
+    remove exchanges; VERDICT r12 #1):
+
+    - ``info`` is ONE doc-keyed aggregation over the stop-flagged rows
+      (count + conditional collect) instead of the r4–r12
+      sizes-aggregate ⋈ capped-aggregate LeftOuter join (two doc-keyed
+      exchanges + a join per build). It is PERSISTED: every consumer
+      references it twice (both pair sides), and before this the whole
+      subtree — including a fresh dfreq aggregation — was planned once
+      per reference (the r12 before-plans show 2-3 copies; AQE's
+      runtime exchange reuse did not collapse them into one query
+      stage). The cache is per-doc metadata, the same O(docs) class as
+      the signature store.
+    - ``stops`` is persisted too: it is the df > cap FILTER of dfreq —
+      at most the handful of boilerplate shingles (usually zero rows)
+      — and caching it means the corpus-scale dfreq aggregation behind
+      it runs ONCE, not once per broadcast site / eager probe. This
+      subsumes the old ``cache_dfreq`` option, which cached the full
+      corpus-scale per-shingle frame to serve the same probe.
+    - ``docs`` groups the capped index by shingle — (sh, sorted doc
+      list, length ≤ df_cap by construction, singleton groups dropped)
+      — so pair-generating consumers emit candidates with a bounded
+      array-explode instead of self-joining the index (the r12
+      fingerprint-core pattern: a corpus-keyed grouping replaces a
+      corpus-scale self-join; the join's per-key df² output rows and
+      the explode's are the same rows, but the join machinery, its
+      second index read, and one AQE query stage per join side
+      disappear). Skew stays bounded: stop shingles are dropped BEFORE
+      the grouping, so no group exceeds df_cap."""
     sh = _persist(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    if cache_dfreq:
-        dfreq = _persist(dfreq)
-    stops = F.broadcast(dfreq.filter(F.col("df") > df_cap).select("sh"))
-    idx = sh.join(stops, "sh", "left_anti")
-    empty = F.array().cast("array<string>")
-    capped = (
-        sh.join(stops, "sh", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("sh").alias("capped_sh"))
+    stops = _persist(
+        dfreq.filter(F.col("df") > df_cap)
+        .select("sh", F.lit(True).alias("is_stop"))
     )
-    info = sizes.join(capped, "doc_id", "left").select(
-        "doc_id", "n_sh", F.coalesce("capped_sh", empty).alias("capped_sh")
+    flagged = sh.join(F.broadcast(stops), "sh", "left")
+    idx = flagged.filter(F.col("is_stop").isNull()).select("doc_id", "sh")
+    # collect_list skips the NULLs the when() leaves on non-stop rows,
+    # and returns [] (never NULL) for docs with no stop shingle — the
+    # exact semantics of the old left-join + coalesce(empty) pair.
+    info = _persist(
+        flagged.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.collect_list(
+                F.when(F.col("is_stop"), F.col("sh"))
+            ).alias("capped_sh"),
+        )
     )
-    return _CappedIndex(sh, dfreq, stops, idx, info)
+    docs = (
+        idx.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    return _CappedIndex(sh, dfreq, stops, idx, info, docs)
 
 
 def ngram_jaccard_pairs(
@@ -273,13 +300,23 @@ def ngram_jaccard_pairs(
     distinct-pairs frame — parameterized on the df cap so tests can
     force stop-shingles on a synthetic corpus."""
     ix = _capped_index(sh, df_cap)
-    a = ix.idx.alias("a")
-    b = ix.idx.alias("b")
+    # candidate pairs from the per-shingle doc groups (r13; see
+    # _capped_index): each sorted group of k ≤ df_cap docs emits its
+    # k(k-1)/2 ordered (doc_a < doc_b) pairs via a two-step explode —
+    # doc_a with its strict tail slice, then the tail — so per-row
+    # memory stays O(df_cap), exactly the multiset the idx self-join
+    # on (a.sh = b.sh AND a.doc_id < b.doc_id) produced.
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ix.docs.select(
+            F.posexplode("docs").alias("i", "doc_a"), F.col("docs")
         )
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("docs", F.col("i") + 2, F.size("docs"))
+            ).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c_uncapped"))
     )
     ia = ix.info.select(
@@ -360,16 +397,16 @@ def containment_pairs(
     """Core of :func:`dedup_containment_pairs` over a (doc_id, sh)
     distinct-pairs frame — parameterized on the df cap so tests can
     force the supplemental stop-shingle path on a synthetic corpus."""
-    ix = _capped_index(sh, df_cap, cache_dfreq=True)
-    a = ix.idx.alias("a")
-    b = ix.idx.alias("b")
+    ix = _capped_index(sh, df_cap)
+    # directed candidates from the per-shingle doc groups (r13; see
+    # _capped_index): each group of k ≤ df_cap docs emits its k(k-1)
+    # ordered (doc_a ≠ doc_b) pairs — both directions, matching the
+    # idx self-join on (a.sh = b.sh AND a.doc_id != b.doc_id).
     common = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        ix.docs.select(F.explode("docs").alias("doc_a"), F.col("docs"))
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c_uncapped"))
     )
     # Supplemental candidates (see dedup_containment_pairs docstring):
@@ -391,10 +428,11 @@ def containment_pairs(
     heavy_pred = F.size("capped_sh").cast("double") >= F.lit(
         CONTAINMENT_THRESHOLD
     ) * F.col("n_sh")
-    # two-level probe: no stop shingle at all (one agg over the cached
-    # index — the driver-scale fast path) ⇒ no capped doc ⇒ no heavy
-    # doc, without ever building the capped/info DAG for the probe
-    has_stops = ix.dfreq.filter(F.col("df") > df_cap).limit(1).count() > 0
+    # two-level probe: no stop shingle at all (one read of the tiny
+    # persisted stops cache — its first materialization runs the dfreq
+    # aggregation exactly once) ⇒ no capped doc ⇒ no heavy doc,
+    # without ever building the info DAG for the probe
+    has_stops = ix.stops.limit(1).count() > 0
     if has_stops and ix.info.filter(heavy_pred).limit(1).count() > 0:
         heavy = ix.info.filter(heavy_pred).select(
             "doc_id", F.explode("capped_sh").alias("sh")
@@ -511,16 +549,24 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the shared _capped_index preamble; only the candidate predicate
     # — batch side vs corpus side — differs from the jaccard twin)
     ix = _capped_index(_doc_shingles(spark, sf_dir), SHINGLE_DF_CAP)
+    # cross-boundary candidates from the per-shingle doc groups (r13;
+    # see _capped_index): split each group's doc list into its batch
+    # and corpus sides with array filters, then cross them — exactly
+    # the batch-side ⋈ corpus-side rows of the old idx join, with
+    # corpus-internal pairs never generated, and both sides ≤ df_cap.
+    batch_docs = F.filter(
+        "docs", lambda d: d % _INC_BATCH_MOD == F.lit(0)
+    )
+    corpus_docs = F.filter(
+        "docs", lambda d: d % _INC_BATCH_MOD != F.lit(0)
+    )
     common = (
-        ix.idx.filter(is_batch)
-        .alias("b")
-        .join(
-            ix.idx.filter(~is_batch).alias("c"),
-            F.col("b.sh") == F.col("c.sh"),
+        ix.docs.select(
+            F.explode(batch_docs).alias("doc_id"),
+            corpus_docs.alias("cdocs"),
         )
-        .groupBy(
-            F.col("b.doc_id").alias("doc_id"), F.col("c.doc_id").alias("c_doc")
-        )
+        .select("doc_id", F.explode("cdocs").alias("c_doc"))
+        .groupBy("doc_id", "c_doc")
         .agg(F.count(F.lit(1)).alias("c_uncapped"))
     )
     ib = ix.info.select(
@@ -732,7 +778,12 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
     )
-    sig = (
+    # persisted (r13): BOTH pair sides read the signature frame, and
+    # without the cache the semi-join + md5 + Arrow-UDF subtree was
+    # planned and EXECUTED once per side (the r12 before-plan carries
+    # two full copies; 8 of the entry's 38 jobs were the duplicate).
+    # |pair members| × 512 B — the signature-store scale class.
+    sig = _persist(
         sh.join(members, "doc_id", "left_semi")
         .select("doc_id", (md5_60(F.col("sh")) % _P31).alias("h31"))
         .groupBy("doc_id")

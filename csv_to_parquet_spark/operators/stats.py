@@ -669,15 +669,28 @@ def events_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANK_BUCKET = 1 << 20
 
 
-def _rank2_map(vals: DataFrame, bucket_width: int) -> DataFrame:
+def _rank2_map_bounded(vals: DataFrame) -> DataFrame:
     """(val, cnt) -> (val, cnt, r2) where r2 = doubled average rank =
-    2*cnt_less + cnt_eq + 1 (exact integer, tie-correct), via the
-    shared :func:`_bucketed_cumsum` scaffold."""
-    return _bucketed_cumsum(vals, "val", ["cnt"], bucket_width).select(
+    2*cnt_less + cnt_eq + 1 (exact integer, tie-correct), for a
+    DOMAIN-BOUNDED value histogram (the y side: l_quantity ∈ 1..50 at
+    every scale factor) — one global-order window over the ≤50-row
+    frame. r12 and earlier ran the full :func:`_bucketed_cumsum`
+    scaffold here (bucket width 64 ⇒ a single bucket, so its
+    within-bucket window WAS this global window plus a constant-zero
+    offsets join); the direct window drops the scaffold's two extra
+    exchanges and broadcast join from a frame where two-phase
+    composition buys nothing (r13, guide §2.4)."""
+    w = (
+        Window.orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return vals.select(
         "val",
         "cnt",
         # cum = cnt_less + cnt_eq  =>  2*cum - cnt + 1 = 2*cnt_less + cnt_eq + 1
-        (F.lit(2) * F.col("cum_cnt") - F.col("cnt") + F.lit(1)).alias("r2"),
+        (
+            F.lit(2) * F.sum("cnt").over(w) - F.col("cnt") + F.lit(1)
+        ).alias("r2"),
     )
 
 
@@ -752,22 +765,17 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("bigint").alias("y"),
         )
     )
-    ymap = _rank2_map(
-        d.groupBy(F.col("y").alias("val")).agg(F.count(F.lit(1)).alias("cnt")),
-        64,  # y in 1..50: one bucket, trivially tiny
+    ymap = _rank2_map_bounded(
+        d.groupBy(F.col("y").alias("val")).agg(F.count(F.lit(1)).alias("cnt"))
     )
-    yrow = ymap.agg(
-        F.expr(
-            "CAST(SUM(CAST(r2 AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))"
-        ).alias("s_y"),
-        F.expr(
-            "CAST(SUM(CAST(r2 AS DECIMAL(38,0)) * r2 * cnt) AS DECIMAL(38,0))"
-        ).alias("s_yy"),
-    ).collect()[0]
-    s_y, s_yy = int(yrow.s_y), int(yrow.s_yy)
-
-    # one corpus-keyed shuffle: per distinct x, the row count AND the
-    # sum of that x's rows' doubled y-ranks (for S_xy = Σ r2x·t_x)
+    # one corpus-keyed shuffle: per distinct x, the row count, the sum
+    # of that x's rows' doubled y-ranks (for S_xy = Σ r2x·t_x), AND the
+    # sum of their squares. The y-marginal scalars ride this same
+    # aggregation — S_y = Σ_rows r2y = Σ_x t_x and S_yy = Σ_x t2_x,
+    # exact integer regroupings — so the r7–r12 eager driver collect of
+    # (s_y, s_yy) and the second build of the ymap DAG it forced are
+    # gone (r13, guide §5 driver / §2.4: the scaffold runs once, the
+    # query is one plan with zero driver round-trips).
     xagg = (
         d.join(
             F.broadcast(
@@ -780,14 +788,19 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.expr("CAST(SUM(CAST(r2y AS DECIMAL(38,0))) AS DECIMAL(38,0))")
             .alias("t_x"),
+            F.expr(
+                "CAST(SUM(CAST(r2y AS DECIMAL(38,0)) * r2y) AS DECIMAL(38,0))"
+            ).alias("t2_x"),
         )
     )
-    # two-phase doubled ranks over the distinct-x frame; t_x passes
+    # two-phase doubled ranks over the distinct-x frame; t_x/t2_x pass
     # through the shared scaffold untouched
     xfull = _bucketed_cumsum(xagg, "x", ["cnt"], _RANK_BUCKET).withColumn(
         "r2x",
         F.lit(2) * F.col("cum_cnt") - F.col("cnt") + F.lit(1),
     )
+    # DECIMAL(38,0) accumulation throughout: Σr2y² ≈ 4n³/3 tops int64
+    # past ~1.3e6 rows (r7 review); 38 digits hold to n ≈ 10¹².
     s = xfull.groupBy().agg(
         F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n"),
         F.expr(
@@ -799,19 +812,10 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * t_x) AS DECIMAL(38,0))"
         ).alias("s_xy"),
+        F.expr("CAST(SUM(t_x) AS DECIMAL(38,0))").alias("s_y"),
+        F.expr("CAST(SUM(t2_x) AS DECIMAL(38,0))").alias("s_yy"),
     )
-    return s.select(
-        "n",
-        "s_x",
-        "s_xx",
-        "s_xy",
-        # re-inject via STRING literals: F.lit(int) builds a LongType
-        # literal capped at 2^63-1, which would crash exactly where the
-        # DECIMAL(38,0) accumulation exists to go (Σr2y² ≈ 4n³/3 tops
-        # int64 past ~1.3e6 rows — r7 review)
-        F.lit(str(s_y)).cast("decimal(38,0)").alias("s_y"),
-        F.lit(str(s_yy)).cast("decimal(38,0)").alias("s_yy"),
-    ).selectExpr("n", _SPEARMAN_TAIL)
+    return s.selectExpr("n", _SPEARMAN_TAIL)
 
 
 # ---------------------------------------------------------------------------
