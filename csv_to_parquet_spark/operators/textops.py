@@ -17,6 +17,7 @@ over parquet splits plus one shuffle per declared aggregation.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4302,6 +4303,99 @@ _ULM_K = 48
 _ULM_ITERS = 2
 
 
+#: Corpus-size gate for the Arrow Viterbi kernel (VERDICT r12 #4 /
+#: measured dead end #4): below this many DOCUMENTS (parquet footer
+#: metadata, zero Spark jobs) segmentation stays the codegen HOF fold —
+#: the sf0.1 fixture has 31 word types, where a per-EM-round Arrow
+#: worker roundtrip measurably LOSES (0.465 s fold vs 0.547 s kernel).
+#: Above it, the fold's try_element_at(create_map(~150 literals)) costs
+#: a linear scan per probe (~7 200 interpreted string compares per word
+#: type) and the dict+numpy DP kernel wins by construction. Both paths
+#: are exact and tie-identical; the gate is a performance knob only.
+_ULM_KERNEL_MIN_DOCS = 1_000_000
+
+
+def _ulm_use_kernel(sf_dir: str) -> bool:
+    """True when the corpus is large enough that the Arrow DP kernel
+    beats the interpreted fold — decided from the documents parquet
+    FOOTER row count (pyarrow, no Spark job; the _cos_blocks
+    convention). Unreadable paths fall back to the fold."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else glob.glob(os.path.join(path, "*.parquet"))
+        )
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except OSError:
+        return False
+    return n >= _ULM_KERNEL_MIN_DOCS
+
+
+def _ulm_viterbi_udf(cost: dict):
+    """Arrow pandas_udf twin of :func:`_ulm_viterbi_pieces`: the same
+    longest-piece-first / strictly-smaller-cost Viterbi DP, run as a
+    dict+list kernel per batch of word types instead of the interpreted
+    expression fold. Integer costs end to end — no float anywhere — and
+    the identical tie rule, so the segmentation is equal word-for-word
+    (pinned by tests against the fold AND the pure-Python reference).
+    Assumes the trainer's coverage invariant (every character of every
+    input word is in ``cost``), which both callers guarantee: the seed
+    vocabulary contains all corpus single chars and pruning never drops
+    a single char."""
+    from pyspark.sql.functions import pandas_udf
+
+    items = sorted(cost.items())
+
+    @pandas_udf("array<string>")
+    def seg(ws: pd.Series) -> pd.Series:
+        c = dict(items)
+        maxp = _ULM_MAXP
+        out = []
+        for w in ws:
+            n = len(w)
+            dp = [0] + [None] * n
+            bk = [0] * (n + 1)
+            for i in range(1, n + 1):
+                best, b_l = None, 0
+                for L in range(maxp, 0, -1):
+                    if L > i:
+                        continue
+                    pc = c.get(w[i - L:i])
+                    if pc is None:
+                        continue
+                    prev = dp[i - L]
+                    if prev is None:
+                        continue
+                    cand = prev + pc
+                    if best is None or cand < best:
+                        best, b_l = cand, L
+                dp[i] = best
+                bk[i] = b_l
+            ps, pos = [], n
+            while pos > 0 and bk[pos] > 0:
+                ps.append(w[pos - bk[pos]:pos])
+                pos -= bk[pos]
+            out.append(ps[::-1])
+        return pd.Series(out)
+
+    return seg
+
+
+def _ulm_segment(w, cost: dict, use_kernel: bool):
+    """Segmentation column factory: the codegen fold below the gate,
+    the Arrow kernel above it (see _ULM_KERNEL_MIN_DOCS)."""
+    if use_kernel:
+        return _ulm_viterbi_udf(cost)(w)
+    return _ulm_viterbi_pieces(w, cost)
+
+
 def _ulm_viterbi_pieces(w, cost: dict):
     """Viterbi segmentation of word column ``w`` under integer piece
     costs — entirely Spark higher-order functions (one ``aggregate``
@@ -4420,11 +4514,18 @@ def _ulm_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def unigram_lm_model(words: DataFrame) -> list[tuple]:
+def unigram_lm_model(
+    words: DataFrame, use_kernel: bool = False
+) -> list[tuple]:
     """Train the unigram LM on a word-type histogram ``words``
     (columns: w string, f bigint) and return the final model rows
     ``(piece, piece_len, viterbi_count, cost_micro, kept)`` — factored
     so tests can run the identical estimator on planted histograms.
+
+    ``use_kernel`` selects the Arrow DP kernel for the per-round
+    segmentation (see _ULM_KERNEL_MIN_DOCS; entries pass the
+    footer-derived gate, tests force either path) — same model either
+    way.
 
     Shape (the ``bpe_learn_merges`` discipline): the corpus appears
     only through the histogram; every EM round segments WORD TYPES
@@ -4489,7 +4590,7 @@ def unigram_lm_model(words: DataFrame) -> list[tuple]:
         seg = words.select(
             "f",
             F.explode(
-                _ulm_viterbi_pieces(F.col("w"), cost)
+                _ulm_segment(F.col("w"), cost, use_kernel)
             ).alias("piece"),
         )
         got = {
@@ -4703,7 +4804,7 @@ def tokenizer_unigram_lm(
     if model is None:
         if words is None:
             words = _ulm_words(spark, sf_dir)
-        model = unigram_lm_model(words)
+        model = unigram_lm_model(words, use_kernel=_ulm_use_kernel(sf_dir))
     return spark.createDataFrame(
         model,
         "piece STRING, piece_len BIGINT, viterbi_count BIGINT,"
@@ -4782,14 +4883,15 @@ def tokenizer_unigram_fertility(
     via one CTE constant, zero drift).
     Reference: no counterpart (converter.go is a per-file converter);
     SURVEY §2 LLM-text extension."""
+    use_kernel = _ulm_use_kernel(sf_dir)
     if words is None:
         words = _ulm_words(spark, sf_dir)
     if model is None:
-        model = unigram_lm_model(words)
+        model = unigram_lm_model(words, use_kernel=use_kernel)
     kept_cost = {p: cost for p, _, _, cost, kept in model if kept}
     segn = words.select(
         "w",
-        F.size(_ulm_viterbi_pieces(F.col("w"), kept_cost))
+        F.size(_ulm_segment(F.col("w"), kept_cost, use_kernel))
         .cast("bigint")
         .alias("n_pieces"),
     )
@@ -4852,7 +4954,7 @@ def unigram_pipeline(
     per-file converter); SURVEY §2 LLM-text extension (non-entry
     composition API, the mix_pipeline convention)."""
     words = _persist(_ulm_words(spark, sf_dir))
-    model = unigram_lm_model(words)
+    model = unigram_lm_model(words, use_kernel=_ulm_use_kernel(sf_dir))
     return {
         "model": tokenizer_unigram_lm(spark, sf_dir, model=model),
         "fertility": tokenizer_unigram_fertility(

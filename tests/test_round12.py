@@ -626,9 +626,9 @@ def test_unigram_pipeline_matches_standalone_and_trains_once(
     calls = {"train": 0}
     orig = t.unigram_lm_model
 
-    def counting(words):
+    def counting(words, **kwargs):
         calls["train"] += 1
-        return orig(words)
+        return orig(words, **kwargs)
 
     monkeypatch.setattr(t, "unigram_lm_model", counting)
     tok = scope_token()
